@@ -1,0 +1,88 @@
+"""Query registry: the engine's public query surface.
+
+Each operator/query from SURVEY.md §2.C registers here with an optional
+DuckDB oracle SQL string. ``queries()`` / ``oracle_sql()`` feed the driver
+contract in ``__spark_entry__.py``. Queries without an oracle (``None``)
+get the driver's weaker rows-only check (non-SQL-expressible ops).
+"""
+
+from __future__ import annotations
+
+import importlib
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_OPERATOR_MODULES = (
+    "operators.triple",
+    "operators.joins",
+    "operators.aggregates",
+    "operators.windows",
+    "operators.setops",
+    "operators.scalars",
+    "operators.eventtime",
+    "operators.dedup",
+    "operators.text",
+    "operators.vector",
+    "operators.graph",
+    "operators.multimodal",
+    "streaming.queries",
+)
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    fn: QueryFn
+    oracle: str | None  # DuckDB SQL, or None for rows-only checks
+
+
+_REGISTRY: dict[str, QuerySpec] = {}
+_LOADED = False
+
+
+def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    """Decorator: register a (spark, sf_dir) -> DataFrame query."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in _REGISTRY:
+            raise ValueError(f"duplicate query name: {name}")
+        _REGISTRY[name] = QuerySpec(name=name, fn=fn, oracle=oracle)
+        return fn
+
+    return deco
+
+
+def _load_operators() -> None:
+    global _LOADED
+    if _LOADED:
+        return
+    for mod in _OPERATOR_MODULES:
+        try:
+            importlib.import_module(f"{__package__}.{mod}")
+        except ModuleNotFoundError as e:
+            # Only tolerate a module that does not exist yet (build order);
+            # real import errors inside an existing module must surface.
+            if f"{mod.rsplit('.', 1)[-1]}" not in str(e):
+                raise
+    _LOADED = True
+
+
+def all_specs() -> dict[str, QuerySpec]:
+    _load_operators()
+    return dict(_REGISTRY)
+
+
+def queries() -> dict[str, QueryFn]:
+    return {name: spec.fn for name, spec in all_specs().items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        name: spec.oracle
+        for name, spec in all_specs().items()
+        if spec.oracle is not None
+    }

@@ -1,0 +1,68 @@
+"""SparkSession factory with scale-oriented defaults.
+
+The same builder settings are intended for a 1000-executor cluster; only
+``master``/core counts are local-test artifacts. Key choices:
+
+- AQE on (coalesce shuffle partitions, skew-join splitting, dynamic join
+  selection) so plans re-optimize at runtime at any scale.
+- Arrow enabled for the few Pandas-UDF paths (multimodal decode).
+- ``nanosAsLong`` so the driver-generated ns-precision parquet is readable;
+  the catalog converts to timestamp_ntz (see catalog.py).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime-settable confs every query needs for deterministic results,
+# applied defensively in catalog.load_table too (the verification driver
+# owns its own SparkSession).
+RUNTIME_CONFS: dict[str, str] = {
+    # ns-precision parquet timestamps surface as long (ns since epoch);
+    # catalog.load_table converts to timestamp_ntz at µs precision.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # UTC everywhere: makes tz-aware <-> ntz casts and date_format
+    # deterministic regardless of host timezone.
+    "spark.sql.session.timeZone": "UTC",
+}
+
+
+def get_spark(
+    app_name: str = "nosql-triple-store-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` for local runs; on a
+    real cluster, leave unset and let spark-submit supply it.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))),
+        )
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def ensure_runtime_confs(spark: SparkSession) -> None:
+    """Apply the runtime-settable confs to an externally-created session."""
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:  # pragma: no cover - static conf on odd builds
+            pass
