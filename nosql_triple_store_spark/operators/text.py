@@ -1,0 +1,234 @@
+"""Text-analysis operators for LLM training-data pipelines: token stats,
+language-ID, quality scoring, token counting, document fingerprinting
+(task brief; operates on the `documents` table).
+
+All heuristics are defined once in functions/textfns.py and rendered into
+BOTH the Spark plan and the DuckDB oracle, so every query here is
+oracle-checked (no rows-only escapes). No Python UDFs: tokenization,
+regex counting, md5, and array intersections are codegen'd built-ins that
+scale linearly with one shuffle (or none) per query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.textfns import (
+    BPE_REGEX,
+    NORMALIZED_TEXT_SQL,
+    STOPWORDS,
+    TOKS_SQL,
+    lang_hits_col,
+    lang_hits_sql,
+    normalized_text_col,
+    sql_list,
+    tokens_col,
+)
+from ..registry import register
+
+
+@register(
+    "q_text_tokens",
+    oracle=f"""
+WITH tok AS (SELECT unnest({TOKS_SQL}) AS token FROM documents)
+SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+FROM tok GROUP BY token ORDER BY n DESC, token LIMIT 20
+""",
+)
+def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 token frequencies: split → explode → count → top-k.
+    TakeOrdered top-k after a partial-aggregated count — the full word-count
+    shuffle is on distinct tokens only."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(tokens_col()).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(20)
+    )
+
+
+@register(
+    "q_text_stats",
+    oracle="""
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(AVG(n_chars), 2) AS avg_chars,
+       MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+FROM documents GROUP BY lang
+""",
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus statistics."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+def _langid_case_sql() -> str:
+    hits = {lang: lang_hits_sql("t", lang) for lang in STOPWORDS}
+    return f"""
+CASE WHEN greatest({hits['en']}, {hits['de']}, {hits['fr']}, {hits['es']}) = 0
+     THEN 'unk'
+     WHEN {hits['en']} >= {hits['de']} AND {hits['en']} >= {hits['fr']}
+          AND {hits['en']} >= {hits['es']} THEN 'en'
+     WHEN {hits['de']} >= {hits['fr']} AND {hits['de']} >= {hits['es']}
+     THEN 'de'
+     WHEN {hits['fr']} >= {hits['es']} THEN 'fr'
+     ELSE 'es' END
+"""
+
+
+@register(
+    "q_text_langid",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, lang, {TOKS_SQL} AS t FROM documents)
+SELECT pred_lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN pred_lang = lang THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_label_agree
+FROM (SELECT doc_id, lang, {_langid_case_sql()} AS pred_lang FROM toks)
+GROUP BY pred_lang
+""",
+)
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram/stopword language-ID heuristic: per-language distinct-hit
+    counts, argmax with deterministic tie order en>de>fr>es, 'unk' on zero
+    hits. Pure array_intersect expressions — one scan, no shuffle until
+    the tiny per-language rollup."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col()
+    hits = {lang: lang_hits_col(toks, lang) for lang in STOPWORDS}
+    pred = (
+        F.when(
+            F.greatest(hits["en"], hits["de"], hits["fr"], hits["es"]) == 0,
+            F.lit("unk"),
+        )
+        .when(
+            (hits["en"] >= hits["de"])
+            & (hits["en"] >= hits["fr"])
+            & (hits["en"] >= hits["es"]),
+            F.lit("en"),
+        )
+        .when((hits["de"] >= hits["fr"]) & (hits["de"] >= hits["es"]), F.lit("de"))
+        .when(hits["fr"] >= hits["es"], F.lit("fr"))
+        .otherwise(F.lit("es"))
+    )
+    return (
+        docs.select("lang", pred.alias("pred_lang"))
+        .groupBy("pred_lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.when(F.col("pred_lang") == F.col("lang"), 1).otherwise(0)
+            ).alias("n_label_agree"),
+        )
+    )
+
+
+_ALL_STOPWORDS = sorted({w for ws in STOPWORDS.values() for w in ws})
+
+
+@register(
+    "q_text_quality",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, {TOKS_SQL} AS toks,
+         length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))
+           AS n_punct,
+         length(text) AS n_len
+  FROM documents),
+m AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         len(list_filter(toks,
+             x -> list_contains({sql_list(_ALL_STOPWORDS)}, x))) AS n_stop,
+         n_punct, n_len
+  FROM t WHERE len(toks) > 0)
+SELECT doc_id, n_tokens,
+       ROUND(n_stop * 1.0 / n_tokens, 4) AS stop_ratio,
+       ROUND(n_punct * 1.0 / n_len, 4) AS punct_ratio,
+       ROUND(0.5 * (n_stop * 1.0 / n_tokens)
+             + 0.5 * (1 - n_punct * 1.0 / n_len), 4) AS quality_score
+FROM m
+""",
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: stopword ratio + punctuation ratio → blended score
+    (the classic cheap pre-filter for LLM corpus cleaning)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col()
+    stop_lits = F.array(*[F.lit(w) for w in _ALL_STOPWORDS])
+    t = docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(
+            F.filter(toks, lambda x: F.array_contains(stop_lits, x))
+        ).alias("n_stop"),
+        F.length(
+            F.regexp_replace(F.lower(F.col("text")), "[a-z0-9 ]", "")
+        ).alias("n_punct"),
+        F.length("text").alias("n_len"),
+    ).filter(F.col("n_tokens") > 0)
+    stop_ratio = F.col("n_stop") * 1.0 / F.col("n_tokens")
+    punct_ratio = F.col("n_punct") * 1.0 / F.col("n_len")
+    return t.select(
+        "doc_id",
+        "n_tokens",
+        F.round(stop_ratio, 4).alias("stop_ratio"),
+        F.round(punct_ratio, 4).alias("punct_ratio"),
+        F.round(0.5 * stop_ratio + 0.5 * (1 - punct_ratio), 4).alias(
+            "quality_score"
+        ),
+    )
+
+
+@register(
+    "q_text_token_count",
+    oracle=f"""
+SELECT doc_id,
+       CAST(len({TOKS_SQL}) AS BIGINT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(lower(text), '{BPE_REGEX}'))
+            AS BIGINT) AS n_bpe_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars_actual
+FROM documents
+""",
+)
+def q_text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace split and a BPE-ish regex
+    (letter runs / digit runs / single punctuation)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(tokens_col()).cast("long").alias("n_ws_tokens"),
+        F.size(
+            F.expr(f"regexp_extract_all(lower(text), '{BPE_REGEX}', 0)")
+        ).cast("long").alias("n_bpe_tokens"),
+        F.length("text").cast("long").alias("n_chars_actual"),
+    )
+
+
+@register(
+    "q_text_fingerprint",
+    oracle=f"""
+SELECT doc_id, md5({NORMALIZED_TEXT_SQL}) AS fingerprint,
+       CAST(length({NORMALIZED_TEXT_SQL}) AS BIGINT) AS n_norm_chars
+FROM documents
+""",
+)
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization-robust document fingerprint: lower → strip
+    punctuation → collapse whitespace → md5. The key for fuzzy-exact
+    dedup across formatting variants."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = normalized_text_col()
+    return docs.select(
+        "doc_id",
+        F.md5(norm).alias("fingerprint"),
+        F.length(norm).cast("long").alias("n_norm_chars"),
+    )
