@@ -13,6 +13,7 @@ The same builder settings are intended for a 1000-executor cluster; only
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import SparkSession
 
@@ -60,9 +61,44 @@ def get_spark(
 
 
 def ensure_runtime_confs(spark: SparkSession) -> None:
-    """Apply the runtime-settable confs to an externally-created session."""
+    """Apply the runtime-settable confs to an externally-created session
+    and ship this package to the executors."""
     for k, v in RUNTIME_CONFS.items():
         try:
             spark.conf.set(k, v)
         except Exception:  # pragma: no cover - static conf on odd builds
             pass
+    _ship_package(spark)
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """addPyFile a zip of this package so executor Python workers can
+    unpickle by-reference functions (mapInPandas / applyInPandasWithState
+    kernels). Required whenever the driver process imports the package
+    from a path the workers don't share — which is exactly the cluster
+    deployment model (spark-submit --py-files); local pytest runs mask
+    the issue because workers inherit the repo cwd."""
+    if getattr(spark, "_nts_pkg_shipped", False):
+        return
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    pkg_name = os.path.basename(pkg_dir)
+    zpath = os.path.join(
+        tempfile.gettempdir(), f"{pkg_name}_{os.getpid()}_ship.zip"
+    )
+    if not os.path.exists(zpath):
+        with zipfile.ZipFile(zpath, "w") as zf:
+            for root, _dirs, files in os.walk(pkg_dir):
+                for fn in files:
+                    if fn.endswith(".py"):
+                        full = os.path.join(root, fn)
+                        rel = os.path.join(
+                            pkg_name, os.path.relpath(full, pkg_dir)
+                        )
+                        zf.write(full, rel)
+    try:
+        spark.sparkContext.addPyFile(zpath)
+    except Exception:  # pragma: no cover - e.g. Connect-only sessions
+        pass
+    spark._nts_pkg_shipped = True

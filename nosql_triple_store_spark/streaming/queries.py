@@ -1,0 +1,196 @@
+"""Streaming queries over the events table via a parquet file stream.
+
+The reference's write path is an HTTP-driven changelog merged by periodic
+anti-entropy (SURVEY §3.2-3.3); Spark-natively that's a stream: files
+arrive, stateful operators maintain the LWW register / window aggregates
+continuously. Each query here runs the stream with Trigger.AvailableNow
+against the fixture directory, drains to a memory sink, and returns the
+final table — on bounded input the result equals the batch computation,
+which is exactly what the DuckDB oracles check (same oracles as the batch
+twins).
+
+Scale notes: state lives in the executor state store keyed by the
+aggregation key (RocksDB-backed in production configs); watermarks bound
+state growth by evicting windows older than the allowed lateness. The
+aggregations are the same partial-aggregable shapes as their batch twins,
+so per-microbatch shuffle volume is the distinct-keys delta, not the raw
+event count.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..registry import register
+from ..session import ensure_runtime_confs
+from ..operators.triple import E_CTE
+
+# Explicit schema: file streams require one; ts arrives as raw ns-long
+# (nanosAsLong) and is converted exactly like catalog.load_table does.
+_EVENTS_DDL = (
+    "event_id long, ts long, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+_STREAM_DIRS: dict[str, str] = {}
+
+
+def _events_stream_dir(sf_dir: str) -> str:
+    """File-stream sources require a *directory*; the fixture is a single
+    read-only file, so expose it via a symlink in a temp dir (this is also
+    how new micro-batch files would arrive in production: atomic moves
+    into a watched directory)."""
+    if sf_dir not in _STREAM_DIRS:
+        d = tempfile.mkdtemp(prefix="events_stream_")
+        os.symlink(f"{sf_dir}/events.parquet", f"{d}/events.parquet")
+        _STREAM_DIRS[sf_dir] = d
+    return _STREAM_DIRS[sf_dir]
+
+
+def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_runtime_confs(spark)
+    raw = (
+        spark.readStream.schema(_EVENTS_DDL)
+        .format("parquet")
+        .load(_events_stream_dir(sf_dir))
+    )
+    # Event-time columns must be tz-aware TIMESTAMP for watermarks
+    # (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE on ntz); the session is pinned
+    # to UTC, and outputs are cast back to ntz after the sink so results
+    # collect identically to the batch twins on any host timezone.
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def _run_to_memory(stream_df: DataFrame, output_mode: str) -> DataFrame:
+    """Drain a bounded stream into a memory sink, return the final table."""
+    name = f"mem_{uuid.uuid4().hex[:10]}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)
+
+
+@register(
+    "q_stream_tumbling",
+    oracle=f"""
+{E_CTE}
+SELECT date_trunc('hour', ts) AS win_start, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 2) AS total_value
+FROM e GROUP BY 1, 2
+""",
+)
+def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming tumbling-window counts with a 1-hour watermark — the
+    same plan as batch q_tumbling_window lifted onto readStream. On the
+    bounded fixture the final state equals the batch result (the oracle);
+    the watermark becomes meaningful on unbounded input, bounding state."""
+    ev = _stream_events(spark, sf_dir).withWatermark("ts", "1 hour")
+    agg = (
+        ev.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("win_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    out = _run_to_memory(agg, "complete")
+    return out.withColumn("win_start", F.col("win_start").cast("timestamp_ntz"))
+
+
+_STREAM_LWW_ORACLE = f"""
+{E_CTE},
+ranked AS (
+  SELECT user_id, event_type, event_id, ts, value,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM e)
+SELECT user_id, event_type, event_id, ts, value FROM ranked WHERE rn = 1
+"""
+
+
+@register("q_stream_lww", oracle=_STREAM_LWW_ORACLE)
+def q_stream_lww(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LWW register as a *continuously maintained* streaming state:
+    max_by aggregation keyed (user_id, event_type) in complete mode —
+    the reference's anti-entropy merge (R3) becomes a standing query.
+    LWW's commutativity/idempotence is what makes arbitrary micro-batch
+    boundaries safe: any arrival order converges to the same register."""
+    ev = _stream_events(spark, sf_dir)
+    ordering = F.struct(F.col("ts"), F.col("event_id"))
+    payload = F.struct(F.col("event_id"), F.col("ts"), F.col("value"))
+    agg = (
+        ev.groupBy("user_id", "event_type")
+        .agg(F.max_by(payload, ordering).alias("__r"))
+        .select(
+            "user_id",
+            "event_type",
+            F.col("__r.event_id").alias("event_id"),
+            F.col("__r.ts").alias("ts"),
+            F.col("__r.value").alias("value"),
+        )
+    )
+    out = _run_to_memory(agg, "complete")
+    return out.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+
+
+def _counter_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """applyInPandasWithState kernel: running per-user event count +
+    running value sum, persisted in the state store across micro-batches."""
+    (user_id,) = key
+    if state.exists:
+        (n, total) = state.get
+    else:
+        n, total = 0, 0.0
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((n, total))
+    yield pd.DataFrame(
+        {"user_id": [user_id], "n_events": [n], "total_value": [round(total, 2)]}
+    )
+
+
+@register(
+    "q_stream_stateful_counter",
+    oracle="SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events, "
+    "ROUND(SUM(value), 2) AS total_value FROM events GROUP BY user_id",
+)
+def q_stream_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user
+    running (count, sum) state — the escape hatch for stateful semantics
+    the built-in aggregates can't express (reference analog: the node's
+    in-memory updateModifications dict, SQLite3DBConnector.py:83, held as
+    managed, fault-tolerant state instead of a process-local python dict).
+    On bounded input the final emission equals the batch group-by."""
+    ev = _stream_events(spark, sf_dir)
+    out = ev.groupBy("user_id").applyInPandasWithState(
+        _counter_fn,
+        outputStructType="user_id long, n_events long, total_value double",
+        stateStructType="n long, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return _run_to_memory(out, "update")

@@ -1,0 +1,115 @@
+"""Driver-contract emulation: vanilla SparkSession (none of the engine's
+confs), import __spark_entry__, run every query, compare against its
+DuckDB oracle — the same check the verification driver performs at
+sf0.01. Usage:
+
+    python scripts/driver_check.py [sf_dir] [query ...]
+
+Exit code 0 iff everything matches.
+"""
+
+from __future__ import annotations
+
+import decimal
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents "
+    "embeddings"
+).split()
+
+
+def _norm(v):
+    if isinstance(v, decimal.Decimal):
+        f = float(v)
+        return int(f) if f.is_integer() else f
+    if isinstance(v, float) and math.isnan(v):
+        return "NaN"
+    return v
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import duckdb
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("driver-check")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as mod
+
+    entry_rows = mod.entry(spark).collect()
+    print(f"entry: {len(entry_rows)} rows", flush=True)
+    assert len(entry_rows) > 0
+
+    qs, osql = mod.queries(), mod.oracle_sql()
+    assert set(osql) <= set(qs)
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    failed = []
+    for name in sorted(qs):
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        df = qs[name](spark, sf_dir)
+        if name not in osql:
+            n1 = df.count()
+            n2 = qs[name](spark, sf_dir).count()
+            ok = n1 == n2
+            print(
+                f"{name:28s} rows-only n={n1:6d} det={ok} "
+                f"{time.time() - t0:5.1f}s",
+                flush=True,
+            )
+            if not ok:
+                failed.append(name)
+            continue
+        cols = sorted(df.columns)
+        s = sorted(
+            [tuple(_norm(r[c]) for c in cols) for r in df.collect()], key=repr
+        )
+        rel = con.sql(osql[name])
+        names = list(rel.columns)
+        if sorted(names) != cols:
+            print(f"{name:28s} SCHEMA MISMATCH {cols} vs {sorted(names)}")
+            failed.append(name)
+            continue
+        idx = [names.index(c) for c in cols]
+        d = sorted(
+            [tuple(_norm(row[i]) for i in idx) for row in rel.fetchall()],
+            key=repr,
+        )
+        ok = s == d
+        print(
+            f"{name:28s} rows={len(s):6d} match={ok} {time.time() - t0:5.1f}s",
+            flush=True,
+        )
+        if not ok:
+            bad = [(a, b) for a, b in zip(s, d) if a != b][:3]
+            print(f"  first diffs: {bad}")
+            failed.append(name)
+
+    print(f"{'ALL OK' if not failed else 'FAILED: ' + ', '.join(failed)}")
+    return 0 if not failed else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
