@@ -29,6 +29,7 @@ _OPERATOR_MODULES = (
     "operators.vector",
     "operators.graph",
     "operators.multimodal",
+    "operators.bgp_queries",
     "streaming.queries",
 )
 

@@ -1,0 +1,89 @@
+"""Physical-plan shape assertions: the 100 TB design claims each operator
+makes (pushdown, broadcast, partial agg, top-k heap) must be visible in
+the plan, not just hoped for (SURVEY task brief: '.explain the plan and
+iterate until it's the plan you'd want')."""
+
+from __future__ import annotations
+
+from nosql_triple_store_spark.registry import all_specs
+
+from .conftest import SF_DIR
+
+SPECS = all_specs()
+
+
+def _plan(spark, name: str) -> str:
+    df = SPECS[name].fn(spark, SF_DIR)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_point_lookup_pushes_filter_to_scan(spark):
+    p = _plan(spark, "q_point_lookup")
+    assert "PushedFilters: [" in p and "user_id" in p.split("PushedFilters")[1][:120]
+
+
+def test_range_prune_pushes_range_and_prunes_columns(spark):
+    p = _plan(spark, "q_range_prune")
+    pushed = p.split("PushedFilters")[1][:200]
+    assert "GreaterThanOrEqual(l_shipdate" in pushed
+    assert "LessThan(l_shipdate" in pushed
+    # column pruning: ReadSchema must not include unused columns
+    read = p.split("ReadSchema")[1][:400]
+    assert "l_extendedprice" in read and "l_tax" not in read
+
+
+def test_broadcast_join_is_broadcast(spark):
+    p = _plan(spark, "q_join_broadcast")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_multiway_broadcasts_dims(spark):
+    p = _plan(spark, "q_join_multiway")
+    assert p.count("BroadcastHashJoin") >= 2  # nation & region at minimum
+
+
+def test_topk_uses_heap_not_global_sort(spark):
+    p = _plan(spark, "q_topk")
+    assert "TakeOrderedAndProject" in p
+    assert "Exchange rangepartitioning" not in p
+
+
+def test_lww_latest_is_partial_aggregate_not_window(spark):
+    p = _plan(spark, "q_lww_latest")
+    assert "Window" not in p  # max_by agg formulation, not row_number
+    # map-side combine before the shuffle (partial_max_by), final after
+    assert "partial_max_by" in p
+    assert p.index("partial_max_by") > p.index("Exchange")  # partial below
+
+
+def test_agg_pricing_partial_final_codegen(spark):
+    df = SPECS["q_agg_pricing"].fn(spark, SF_DIR)
+    pre = df._jdf.queryExecution().executedPlan().toString()
+    assert "partial_sum" in pre
+    # codegen markers only materialize in the AQE final plan
+    df.collect()
+    post = df._jdf.queryExecution().executedPlan().toString()
+    assert "WholeStageCodegen" in post or "*(" in post
+
+
+def test_semi_anti_are_join_strategies(spark):
+    for q in ("q_join_semi", "q_join_anti"):
+        p = _plan(spark, q)
+        assert "LeftSemi" in p or "LeftAnti" in p
+
+
+def test_no_python_udf_in_relational_core(spark):
+    """Python execution nodes (BatchEvalPython/ArrowEvalPython) must not
+    appear anywhere in the relational/LWW/window/text core — only the two
+    explicitly-Python operators (simhash, multimodal) may use them."""
+    for q in (
+        "q_lww_latest",
+        "q_agg_pricing",
+        "q_window_running",
+        "q_text_quality",
+        "q_vector_knn",
+        "q_dedup_near",
+    ):
+        p = _plan(spark, q)
+        assert "EvalPython" not in p, f"{q} fell off the JVM fast path"

@@ -1,0 +1,85 @@
+"""Source/sink layer: TSV triple bulk load (R19), range-sharded and
+predicate-partitioned parquet layouts (R20 / S2RDF), pruning behavior."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+from nosql_triple_store_spark.sources import (
+    read_triples_tsv,
+    write_predicate_partitioned,
+    write_range_sharded,
+)
+
+# Reference-shaped rows (FIXTURES.md §1: YAGO triples, sentinel
+# min-timestamps from the bulk path, fresh timestamps from upserts).
+_ROWS = [
+    ("<!!!>", "<created>", "<Louden_Up_Now>", "0001-01-01 00:00:00.000000"),
+    ("<!PAUS3>", "<hasGender>", "<male>", "0001-01-01 00:00:00.000000"),
+    ("<!PAUS3>", "<hasMusicalRole>", "<wordnet_bass>", "0001-01-01 00:00:00.000000"),
+    ("<!PAUS3>", "<isCitizenOf>", "<Ukraine>", "2024-06-01 12:30:45.123456"),
+    ("<Steve_Pickell>", "<hasWonPrize>", "<Nobel_Prize>", "2024-06-02 08:00:00.000001"),
+    ("<Zebra>", "<isA>", "<animal>", ""),
+]
+
+
+def _write_tsv(tmp_path) -> str:
+    p = os.path.join(str(tmp_path), "triples.tsv")
+    with open(p, "w") as f:
+        for r in _ROWS:
+            f.write("\t".join(r) + "\n")
+    return p
+
+
+def test_bulk_load_tsv(spark, tmp_path):
+    df = read_triples_tsv(spark, _write_tsv(tmp_path))
+    rows = {r["subject"]: r for r in df.collect()}
+    assert len(rows) == 4  # distinct subjects (<!PAUS3> has 3 rows)
+    assert df.count() == 6
+    # fresh timestamp parsed to µs
+    assert str(rows["<Steve_Pickell>"]["timestamp"]) == "2024-06-02 08:00:00.000001"
+    # empty/sentinel timestamps get the reference's datetime.min sentinel
+    assert str(rows["<Zebra>"]["timestamp"]).startswith("0001-01-01")
+    assert str(rows["<!!!>"]["timestamp"]).startswith("0001-01-01")
+
+
+def test_range_sharded_write_roundtrip(spark, tmp_path):
+    df = read_triples_tsv(spark, _write_tsv(tmp_path))
+    out = os.path.join(str(tmp_path), "sharded")
+    write_range_sharded(df, out, 3, "subject", "predicate")
+    back = spark.read.parquet(out)
+    assert back.count() == 6
+    assert sorted(back.columns) == ["object", "predicate", "subject", "timestamp"]
+    files = glob.glob(f"{out}/part-*.parquet")
+    assert 1 <= len(files) <= 3
+
+
+def test_predicate_partitioned_layout_prunes(spark, tmp_path):
+    df = read_triples_tsv(spark, _write_tsv(tmp_path))
+    out = os.path.join(str(tmp_path), "bypred")
+    write_predicate_partitioned(df, out)
+    # one directory per predicate (S2RDF vertical partitioning)
+    dirs = {os.path.basename(d) for d in glob.glob(f"{out}/predicate=*")}
+    assert len(dirs) == 6
+    back = spark.read.parquet(out)
+    one = back.filter(F.col("predicate") == "<hasGender>")
+    # constant-predicate filter must become partition pruning
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(predicate" in plan or "predicate#" in plan
+    assert one.count() == 1
+
+
+def test_point_lookup_on_sharded_layout(spark, tmp_path):
+    df = read_triples_tsv(spark, _write_tsv(tmp_path))
+    out = os.path.join(str(tmp_path), "sharded2")
+    write_range_sharded(df, out, 3, "subject", "predicate")
+    got = (
+        spark.read.parquet(out)
+        .filter(F.col("subject") == "<!PAUS3>")
+        .select("predicate", "object")
+        .collect()
+    )
+    assert len(got) == 3
