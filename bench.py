@@ -33,8 +33,11 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in sorted(specs):
-        df = specs[name].fn(spark, sf_dir)
+        # time plan construction + full execution: some operators run
+        # eagerly inside the query fn (streaming drains, iterative graph
+        # algorithms), so t0 must precede the fn call
         t0 = time.perf_counter()
+        df = specs[name].fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 4)
 

