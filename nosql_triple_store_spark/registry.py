@@ -30,6 +30,7 @@ _OPERATOR_MODULES = (
     "operators.graph",
     "operators.multimodal",
     "operators.bgp_queries",
+    "operators.relational_ext",
     "streaming.queries",
 )
 
