@@ -31,6 +31,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from ..registry import register
 from ..session import ensure_runtime_confs
+from ..operators.eventtime import _SLIDING_ORACLE as _BATCH_SLIDING_ORACLE
 from ..operators.triple import E_CTE
 
 # Explicit schema: file streams require one; ts arrives as raw ns-long
@@ -103,6 +104,29 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _stream_events(spark, sf_dir).withWatermark("ts", "1 hour")
     agg = (
         ev.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("win_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    out = _run_to_memory(agg, "complete")
+    return out.withColumn("win_start", F.col("win_start").cast("timestamp_ntz"))
+
+
+@register("q_stream_sliding", oracle=_BATCH_SLIDING_ORACLE)
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming 1h/15min sliding windows with watermark — each event
+    expands into 4 window states; same oracle as batch q_sliding_window
+    (bounded input ⇒ final state equals the batch result)."""
+    ev = _stream_events(spark, sf_dir).withWatermark("ts", "1 hour")
+    agg = (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.round(F.sum("value"), 2).alias("total_value"),
