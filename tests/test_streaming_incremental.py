@@ -1,0 +1,96 @@
+"""Multi-micro-batch streaming: state must accumulate correctly ACROSS
+batches (the single-file availableNow runs in the registry process one
+batch; here maxFilesPerTrigger=1 forces 4 batches) and the compaction
+job must converge to the same register state."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import functions as F
+
+from nosql_triple_store_spark.catalog import load_table
+from nosql_triple_store_spark.functions.lww import latest_by_key
+from nosql_triple_store_spark.sources.compaction import (
+    compact,
+    init_register,
+    read_register,
+)
+
+from .conftest import SF_DIR
+
+KEYS = ["user_id", "event_type"]
+ORDER = ["ts", "event_id"]
+PAYLOAD = ["event_id", "ts", "value"]
+COLS = ["user_id", "event_type", "event_id", "ts", "value"]
+
+
+def _rows(df):
+    return sorted((tuple(r[c] for c in COLS) for r in df.collect()), key=repr)
+
+
+def test_lww_stream_across_microbatches(spark):
+    events = load_table(spark, SF_DIR, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    src = tempfile.mkdtemp(prefix="mb_src_")
+    # 4 files arriving over time = 4 micro-batches
+    events.withColumn("part", F.col("event_id") % 4).repartition(
+        "part"
+    ).write.partitionBy("part").mode("overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp_ntz, user_id long, "
+                                "event_type string, value double, part long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    ordering = F.struct(F.col("ts"), F.col("event_id"))
+    payload = F.struct(F.col("event_id"), F.col("ts"), F.col("value"))
+    agg = (
+        stream.groupBy("user_id", "event_type")
+        .agg(F.max_by(payload, ordering).alias("__r"))
+        .select(
+            "user_id", "event_type",
+            F.col("__r.event_id").alias("event_id"),
+            F.col("__r.ts").alias("ts"),
+            F.col("__r.value").alias("value"),
+        )
+    )
+    name = f"mb_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert q.lastProgress is not None
+    streamed = spark.table(name)
+    batch = latest_by_key(events, KEYS, ORDER, PAYLOAD)
+    assert _rows(streamed) == _rows(batch)
+
+
+def test_compaction_converges_to_batch_state(spark, tmp_path):
+    events = load_table(spark, SF_DIR, "events").select(*COLS)
+    base_dir = os.path.join(str(tmp_path), "register")
+    first = events.filter(F.col("event_id") % 3 == 0)
+    d1 = events.filter(F.col("event_id") % 3 == 1)
+    d2 = events.filter(F.col("event_id") % 3 == 2)
+
+    init_register(first, base_dir, KEYS, ORDER)
+    compact(spark, base_dir, d1, KEYS, ORDER)
+    p = compact(spark, base_dir, d2, KEYS, ORDER)
+    assert p.endswith("v000003")
+
+    got = read_register(spark, base_dir).select(*COLS)
+    want = latest_by_key(events, KEYS, ORDER, PAYLOAD).select(*COLS)
+    assert _rows(got) == _rows(want)
+
+    # idempotence: re-compacting an already-applied delta changes nothing
+    compact(spark, base_dir, d2, KEYS, ORDER)
+    again = read_register(spark, base_dir).select(*COLS)
+    assert _rows(again) == _rows(want)
