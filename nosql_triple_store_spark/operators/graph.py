@@ -128,6 +128,7 @@ def q_graph_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     labels = nodes.select("node_id", F.col("node_id").alias("component"))
+    changed = -1
     for _ in range(10):
         neigh = (
             e.join(labels, e.dst == labels.node_id)
@@ -148,6 +149,13 @@ def q_graph_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        # silent non-convergence would return wrong components
+        raise RuntimeError(
+            "connected components did not converge within 10 rounds "
+            "(graph diameter too large — raise the cap or switch to the "
+            "small-star/large-star variant)"
+        )
     return labels
 
 

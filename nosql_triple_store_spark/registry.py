@@ -31,6 +31,7 @@ _OPERATOR_MODULES = (
     "operators.multimodal",
     "operators.bgp_queries",
     "operators.relational_ext",
+    "operators.relational_ext2",
     "streaming.queries",
 )
 
