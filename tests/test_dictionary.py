@@ -1,0 +1,52 @@
+"""Dictionary encoding roundtrip + id-scheme properties."""
+
+from __future__ import annotations
+
+import pytest
+
+from nosql_triple_store_spark.plans.bgp import triples_view
+from nosql_triple_store_spark.sources.dictionary import (
+    build_dictionary,
+    decode_triples,
+    encode_triples,
+)
+
+from .conftest import SF_DIR
+
+
+def _rows(df):
+    return sorted((tuple(r) for r in df.collect()), key=repr)
+
+
+def test_dense_roundtrip(spark):
+    t = triples_view(spark, SF_DIR)
+    d = build_dictionary(t, ids="dense")
+    enc = encode_triples(t, d)
+    assert enc.count() == t.count()
+    assert dict(enc.dtypes) == {
+        "s_id": "bigint", "p_id": "bigint", "o_id": "bigint"
+    }
+    dec = decode_triples(enc, d)
+    assert _rows(dec) == _rows(t.select("s", "p", "o"))
+
+
+def test_dense_ids_contiguous_and_sorted(spark):
+    t = triples_view(spark, SF_DIR)
+    d = build_dictionary(t, ids="dense").orderBy("term_id")
+    rows = d.collect()
+    assert [r["term_id"] for r in rows] == list(range(1, len(rows) + 1))
+    terms = [r["term"] for r in rows]
+    assert terms == sorted(terms)  # id order == term order (range-joinable)
+
+
+def test_hash_roundtrip_no_collisions(spark):
+    t = triples_view(spark, SF_DIR)
+    d = build_dictionary(t, ids="hash")
+    dec = decode_triples(encode_triples(t, d), d)
+    assert _rows(dec) == _rows(t.select("s", "p", "o"))
+
+
+def test_unknown_scheme_rejected(spark):
+    t = triples_view(spark, SF_DIR)
+    with pytest.raises(ValueError):
+        build_dictionary(t, ids="zorder")
