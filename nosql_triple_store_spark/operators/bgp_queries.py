@@ -26,15 +26,15 @@ def q_bgp_point(spark: SparkSession, sf_dir: str) -> DataFrame:
     return compile_bgp(t, [("customer:42", Var("p"), Var("o"))])
 
 
-@register(
-    "q_bgp_star",
-    oracle=f"""
+STAR_ORACLE = f"""
 WITH {TRIPLES_SQL}
 SELECT a.s AS c, b.o AS n
 FROM triples a JOIN triples b ON a.s = b.s
 WHERE a.p = 'inSegment' AND a.o = 'BUILDING' AND b.p = 'inNation'
-""",
-)
+"""
+
+
+@register("q_bgp_star", oracle=STAR_ORACLE)
 def q_bgp_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Star pattern: ?c inSegment 'BUILDING' . ?c inNation ?n — two
     patterns joined on the shared subject variable."""

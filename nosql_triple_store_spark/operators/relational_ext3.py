@@ -1,0 +1,162 @@
+"""Third extension batch: statistical aggregates, rank-distribution
+windows, string edit distance, dictionary-encoded BGP execution."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..plans.bgp import Var, compile_bgp, triples_view
+from ..registry import register
+from ..sources.dictionary import build_dictionary
+from .bgp_queries import STAR_ORACLE
+
+
+@register(
+    "q_agg_stats",
+    oracle="""
+SELECT l_returnflag,
+       ROUND(stddev_samp(l_quantity), 4) AS sd_qty,
+       ROUND(var_samp(l_discount), 6) AS var_disc,
+       ROUND(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+       ROUND(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qty_price
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical moments + correlation — single-pass partial-aggregable
+    (both engines use numerically-stable merge formulas; rounding absorbs
+    the last-ulp differences of their update orders)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+        F.round(F.var_samp("l_discount"), 6).alias("var_disc"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias(
+            "corr_qty_price"
+        ),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
+            "covar_qty_price"
+        ),
+    )
+
+
+@register(
+    "q_window_rank_dist",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       ROUND(percent_rank() OVER w, 6) AS pr,
+       ROUND(cume_dist() OVER w, 6) AS cd,
+       CAST(dense_rank() OVER w AS INT) AS dr
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+""",
+)
+def q_window_rank_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank / cume_dist / dense_rank per customer — rank
+    distributions are exact rational values (rank ratios), so rounding is
+    cosmetic, not a float-order guard."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        F.dense_rank().over(w).alias("dr"),
+    )
+
+
+@register(
+    "q_string_distance",
+    oracle="""
+WITH g AS (SELECT p_partkey, p_brand, p_size, p_name FROM part)
+SELECT a.p_brand, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(MIN(levenshtein(a.p_name, b.p_name)) AS BIGINT) AS min_dist,
+       ROUND(AVG(levenshtein(a.p_name, b.p_name)), 4) AS avg_dist
+FROM g a JOIN g b
+  ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+  AND a.p_partkey < b.p_partkey
+GROUP BY a.p_brand
+""",
+)
+def q_string_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Levenshtein distance over (brand, size)-blocked part-name pairs —
+    fuzzy matching with a blocking key so the pair space stays
+    |group|² × groups, never n² (the same blocking discipline as
+    embedding dedup)."""
+    part = load_table(spark, sf_dir, "part")
+    a = part.select(
+        F.col("p_partkey").alias("ak"),
+        F.col("p_brand"),
+        F.col("p_size").alias("asz"),
+        F.col("p_name").alias("an"),
+    )
+    b = part.select(
+        F.col("p_partkey").alias("bk"),
+        F.col("p_brand").alias("bb"),
+        F.col("p_size").alias("bsz"),
+        F.col("p_name").alias("bn"),
+    )
+    pairs = a.join(
+        b,
+        (a.p_brand == b.bb) & (a.asz == b.bsz) & (a.ak < b.bk),
+    )
+    dist = F.levenshtein("an", "bn")
+    return pairs.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.min(dist).cast("long").alias("min_dist"),
+        F.round(F.avg(dist), 4).alias("avg_dist"),
+    )
+
+
+@register("q_bgp_star_encoded", oracle=STAR_ORACLE)
+def q_bgp_star_encoded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The q_bgp_star pattern executed over DICTIONARY-ENCODED triples:
+    build the term dictionary, encode (s,p,o) to longs, compile the BGP
+    against the encoded relation (pattern constants looked up in the
+    dictionary), decode the variable bindings back to strings — the full
+    S2RDF execution pipeline, same oracle as the string-space query.
+    The joins in the pattern run on 8-byte longs; only the (small)
+    final result pays string decode."""
+    t = triples_view(spark, sf_dir)
+    d = build_dictionary(t, ids="hash")
+    enc = (
+        t.join(
+            F.broadcast(d.select(F.col("term").alias("s"), F.col("term_id").alias("s_id"))),
+            "s",
+        )
+        .join(
+            F.broadcast(d.select(F.col("term").alias("p"), F.col("term_id").alias("p_id"))),
+            "p",
+        )
+        .join(
+            F.broadcast(d.select(F.col("term").alias("o"), F.col("term_id").alias("o_id"))),
+            "o",
+        )
+        .select(
+            F.col("s_id").alias("s"),
+            F.col("p_id").alias("p"),
+            F.col("o_id").alias("o"),
+        )
+    )
+    const = {
+        r["term"]: r["term_id"]
+        for r in d.filter(
+            F.col("term").isin("inSegment", "BUILDING", "inNation")
+        ).collect()
+    }
+    bound = compile_bgp(
+        enc,
+        [
+            (Var("c"), const["inSegment"], const["BUILDING"]),
+            (Var("c"), const["inNation"], Var("n")),
+        ],
+    )
+    dec_c = d.select(F.col("term_id").alias("c"), F.col("term").alias("c_str"))
+    dec_n = d.select(F.col("term_id").alias("n"), F.col("term").alias("n_str"))
+    return (
+        bound.join(F.broadcast(dec_c), "c")
+        .join(F.broadcast(dec_n), "n")
+        .select(F.col("c_str").alias("c"), F.col("n_str").alias("n"))
+    )

@@ -35,7 +35,7 @@ class Var:
     name: str
 
 
-Term = Var | str
+Term = Var | str | int  # int terms arise from dictionary-encoded triples
 
 # DuckDB CTE mirroring triples_view — kept adjacent so engine and oracle
 # derive the same triples relation.

@@ -32,6 +32,7 @@ _OPERATOR_MODULES = (
     "operators.bgp_queries",
     "operators.relational_ext",
     "operators.relational_ext2",
+    "operators.relational_ext3",
     "streaming.queries",
 )
 
