@@ -13,6 +13,24 @@ from ..sources.dictionary import build_dictionary
 from .bgp_queries import STAR_ORACLE
 
 
+@register("q_agg_approx_percentile", oracle=None)  # rows-only: sketch
+def q_agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (Greenwald-Khanna summaries): the 100 TB
+    percentile path — partial-aggregable sketches, no per-group sorted
+    buffers. Rows-only (sketch boundaries are engine-specific);
+    tests/test_approx.py bounds its error against the exact percentiles."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(
+            F.approx_percentile("l_quantity", F.lit(0.5), F.lit(10000)), 4
+        ).alias("median_qty_approx"),
+        F.round(
+            F.approx_percentile("l_extendedprice", F.lit(0.99), F.lit(10000)),
+            4,
+        ).alias("p99_price_approx"),
+    )
+
+
 @register(
     "q_agg_stats",
     oracle="""

@@ -213,6 +213,95 @@ def q_text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_WINNOW_K = 8  # k-gram length (chars)
+_WINNOW_W = 4  # winnowing window (positions)
+_WINNOW_BASE = 31
+
+# polynomial k-gram hash Σ ascii(char_j)·31^j, written once and rendered
+# into both engines; literals carry explicit BIGINT casts because 31^6
+# products overflow DuckDB's default INT32 arithmetic
+_POWS = [_WINNOW_BASE**j for j in range(_WINNOW_K)]
+
+
+def _gram_hash_sql(s: str, i: str) -> str:
+    terms = [
+        f"ascii(substr({s}, {i} + {j}, 1)) * ({p}::BIGINT)"
+        for j, p in enumerate(_POWS)
+    ]
+    return " + ".join(terms)
+
+
+_WINNOW_ORACLE = f"""
+WITH n AS (
+  SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS s
+  FROM documents),
+pos AS (
+  SELECT doc_id, s, CAST(unnest(range(1, len(s) - {_WINNOW_K - 2})) AS INT)
+           AS i
+  FROM n WHERE len(s) >= {_WINNOW_K}),
+h AS (SELECT doc_id, i, {_gram_hash_sql("s", "i")} AS gh FROM pos),
+w AS (
+  SELECT doc_id, i, min(gh) OVER (PARTITION BY doc_id ORDER BY i
+           ROWS BETWEEN CURRENT ROW AND {_WINNOW_W - 1} FOLLOWING) AS fp,
+         max(i) OVER (PARTITION BY doc_id) AS max_i
+  FROM h)
+SELECT DISTINCT doc_id, fp FROM w WHERE i <= max_i - {_WINNOW_W - 1}
+"""
+
+
+@register("q_text_winnow", oracle=_WINNOW_ORACLE)
+def q_text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (the MOSS algorithm): polynomial
+    rolling hashes of char 8-grams over the normalized text, then the
+    minimum hash of every 4-position window — each document yields a
+    sparse, position-robust fingerprint set for plagiarism/near-dup
+    detection. Pure expressions: posexplode positions, an explicit
+    8-term polynomial (identical literals both engines), one window min.
+    Scale: output is ~len/w fingerprints per doc; the explode is bounded
+    by text length and happens after the normalization projection."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]", "")
+    base = docs.select("doc_id", norm.alias("s")).filter(
+        F.length("s") >= _WINNOW_K
+    )
+    pos = base.select(
+        "doc_id",
+        "s",
+        F.explode(
+            F.sequence(F.lit(1), F.length("s") - (_WINNOW_K - 1))
+        ).alias("i"),
+    )
+    # ascii() is INT; cast before multiplying — 31^6-scale products
+    # overflow 32-bit under Spark 4's default ANSI arithmetic
+    terms = [
+        F.ascii(F.expr(f"substr(s, i + {j}, 1)")).cast("long") * F.lit(p)
+        for j, p in enumerate(_POWS)
+    ]
+    expr = terms[0]
+    for t in terms[1:]:
+        expr = expr + t
+    h = pos.select("doc_id", "i", expr.cast("long").alias("gh"))
+    w_min = (
+        Window.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(Window.currentRow, _WINNOW_W - 1)
+    )
+    w_all = Window.partitionBy("doc_id")
+    w = h.select(
+        "doc_id",
+        "i",
+        F.min("gh").over(w_min).alias("fp"),
+        F.max("i").over(w_all).alias("max_i"),
+    )
+    return (
+        w.filter(F.col("i") <= F.col("max_i") - (_WINNOW_W - 1))
+        .select("doc_id", "fp")
+        .distinct()
+    )
+
+
 @register(
     "q_text_fingerprint",
     oracle=f"""
