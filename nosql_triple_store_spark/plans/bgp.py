@@ -105,14 +105,34 @@ def triples_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def _pattern_step(triples: DataFrame, pat: tuple[Term, Term, Term]) -> DataFrame:
+    df = triples
+    proj = []
+    seen: dict[str, str] = {}
+    for col, term in zip(("s", "p", "o"), pat):
+        if isinstance(term, Var):
+            if term.name in seen:  # same var twice in one pattern
+                df = df.filter(F.col(col) == F.col(seen[term.name]))
+            else:
+                proj.append(F.col(col).alias(term.name))
+                seen[term.name] = col
+        else:
+            df = df.filter(F.col(col) == F.lit(term))
+    return df.select(*proj)
+
+
 def compile_bgp(
-    triples: DataFrame, patterns: list[tuple[Term, Term, Term]]
+    triples: DataFrame,
+    patterns: list[tuple[Term, Term, Term]],
+    optional: list[tuple[Term, Term, Term]] = (),
 ) -> DataFrame:
     """Compile a conjunctive BGP to a DataFrame of variable bindings.
 
     Each (s, p, o) pattern: constants become pushed-down filters, Vars
     become projected binding columns; patterns sharing a Var are
     equi-joined on it (natural join over the accumulated bindings).
+    ``optional`` patterns implement SPARQL OPTIONAL: left joins that
+    extend bindings where they match and leave NULLs where they don't.
     Catalyst reorders/broadcasts the joins; with a predicate-partitioned
     layout the constant-p filters prune partitions (see module docstring).
     """
@@ -120,19 +140,7 @@ def compile_bgp(
         raise ValueError("empty BGP")
     bound: DataFrame | None = None
     for pat in patterns:
-        df = triples
-        proj = []
-        seen: dict[str, str] = {}
-        for col, term in zip(("s", "p", "o"), pat):
-            if isinstance(term, Var):
-                if term.name in seen:  # same var twice in one pattern
-                    df = df.filter(F.col(col) == F.col(seen[term.name]))
-                else:
-                    proj.append(F.col(col).alias(term.name))
-                    seen[term.name] = col
-            else:
-                df = df.filter(F.col(col) == F.lit(term))
-        step = df.select(*proj)
+        step = _pattern_step(triples, pat)
         if bound is None:
             bound = step
         else:
@@ -142,4 +150,10 @@ def compile_bgp(
                 if shared
                 else bound.crossJoin(step)
             )
+    for pat in optional:
+        step = _pattern_step(triples, pat)
+        shared = sorted(set(bound.columns) & set(step.columns))
+        if not shared:
+            raise ValueError("OPTIONAL pattern shares no variable with BGP")
+        bound = bound.join(step, on=shared, how="left")
     return bound
