@@ -8,6 +8,7 @@ executors; no driver-side collect serialization skewing the numbers).
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import re
@@ -40,6 +41,12 @@ def main() -> None:
         df = specs[name].fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 4)
+        # drop python refs to checkpointed/iterative plans so the JVM
+        # ContextCleaner can free their blocks before the next query —
+        # otherwise graph-query checkpoint blocks linger and skew later
+        # timings (measured: q_grouping_sets 0.2s -> 6.6s when starved)
+        del df
+        gc.collect()
 
     total = round(sum(timings.values()), 4)
     print(

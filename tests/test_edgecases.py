@@ -50,6 +50,16 @@ def test_bgp_no_match_returns_empty_with_schema(spark):
     assert res.count() == 0
 
 
+def test_bgp_same_var_twice_in_pattern(spark):
+    """(?x, loves, ?x) must bind only self-loops."""
+    t = spark.createDataFrame(
+        [("a", "loves", "a"), ("a", "loves", "b"), ("b", "loves", "b")],
+        "s string, p string, o string",
+    )
+    res = compile_bgp(t, [(Var("x"), "loves", Var("x"))])
+    assert sorted(r["x"] for r in res.collect()) == ["a", "b"]
+
+
 def test_salted_join_empty_small_side(spark):
     ev = load_table(spark, SF_DIR, "events").select("event_id", "user_id")
     empty = ev.filter(F.lit(False)).select(
