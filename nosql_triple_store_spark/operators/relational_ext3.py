@@ -128,6 +128,73 @@ def q_string_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_unpivot",
+    oracle="""
+WITH m AS (
+  SELECT 'l_quantity' AS measure, l_quantity AS v FROM lineitem
+  UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+  UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+  UNION ALL SELECT 'l_tax', l_tax FROM lineitem)
+SELECT measure, ROUND(AVG(v), 4) AS avg_v, ROUND(MIN(v), 4) AS min_v,
+       ROUND(MAX(v), 4) AS max_v, CAST(COUNT(*) AS BIGINT) AS n
+FROM m GROUP BY measure
+""",
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt: wide measure columns to (measure, value) rows, then
+    one aggregate over all measures — the schema-normalization step for
+    metric pipelines. Spark's unpivot is an Expand (no shuffle until the
+    aggregate); the oracle states the same thing as a UNION ALL."""
+    li = load_table(spark, sf_dir, "lineitem")
+    melted = li.unpivot(
+        [],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "measure",
+        "v",
+    )
+    return melted.groupBy("measure").agg(
+        F.round(F.avg("v"), 4).alias("avg_v"),
+        F.round(F.min("v"), 4).alias("min_v"),
+        F.round(F.max("v"), 4).alias("max_v"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "q_join_nullsafe",
+    oracle="""
+WITH a AS (
+  SELECT event_id, CASE WHEN value < 50 THEN NULL ELSE user_id END AS k
+  FROM events WHERE event_id < 300),
+b AS (
+  SELECT event_id, CASE WHEN value < 50 THEN NULL ELSE user_id END AS k
+  FROM events WHERE event_id >= 300 AND event_id < 600)
+SELECT COALESCE(CAST(a.k AS VARCHAR), 'NULL') AS k_g,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+GROUP BY 1
+""",
+)
+def q_join_nullsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (<=> / IS NOT DISTINCT FROM): NULL keys match
+    each other — the semantics regular equi-joins silently drop. Spark
+    plans <=> as a hash join (null becomes a joinable value); bounded id
+    slices keep the NULL-group cross product small."""
+    events = load_table(spark, sf_dir, "events")
+    k = F.when(F.col("value") < 50, F.lit(None)).otherwise(F.col("user_id"))
+    a = events.filter(F.col("event_id") < 300).select(
+        F.col("event_id").alias("a_id"), k.alias("ak")
+    )
+    b = events.filter(
+        (F.col("event_id") >= 300) & (F.col("event_id") < 600)
+    ).select(F.col("event_id").alias("b_id"), k.alias("bk"))
+    joined = a.join(b, a.ak.eqNullSafe(b.bk))
+    return joined.groupBy(
+        F.coalesce(F.col("ak").cast("string"), F.lit("NULL")).alias("k_g")
+    ).agg(F.count(F.lit(1)).alias("n_pairs"))
+
+
 @register("q_bgp_star_encoded", oracle=STAR_ORACLE)
 def q_bgp_star_encoded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The q_bgp_star pattern executed over DICTIONARY-ENCODED triples:
