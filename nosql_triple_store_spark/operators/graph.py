@@ -194,10 +194,21 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # near-uniform degrees (~4 parts/order), so the two extra degree
     # joins cost more than the wedge bound saves. Keep id-orientation;
     # switch to degree-orientation only for power-law edge sets.
+    # The wedge join materializes ~50M intermediate rows at sf0.1; at the
+    # session default of 32 shuffle partitions that's ~1.5M rows/task and
+    # the tasks GC-thrash (measured 48 s; 10 s at 96+). Pin a wide
+    # partitioning for BOTH wedge-building joins explicitly — plan-local,
+    # unlike a session-wide initialPartitionNum (which regressed other
+    # queries; see session.py note). AQE still coalesces the tiny final
+    # count stage.
+    wide = 96
     e1 = pairs.select(F.col("pa").alias("x"), F.col("pb").alias("y"))
     e2 = pairs.select(F.col("pa").alias("y"), F.col("pb").alias("z"))
     e3 = pairs.select(F.col("pa").alias("x"), F.col("pb").alias("z"))
-    tri = e1.join(e2, "y").join(e3, ["x", "z"])
+    wedges = e1.repartition(wide, "y").join(e2.repartition(wide, "y"), "y")
+    tri = wedges.repartition(wide, "x", "z").join(
+        e3.repartition(wide, "x", "z"), ["x", "z"]
+    )
     return tri.agg(F.count(F.lit(1)).alias("n_triangles"))
 
 

@@ -27,6 +27,12 @@ RUNTIME_CONFS: dict[str, str] = {
     # UTC everywhere: makes tz-aware <-> ntz casts and date_format
     # deterministic regardless of host timezone.
     "spark.sql.session.timeZone": "UTC",
+    # NOTE: a global adaptive.coalescePartitions.initialPartitionNum=192
+    # was tried for the wide wedge-join stages and REJECTED: it fixed
+    # q_graph_triangles (48 s -> ~10 s) but regressed q_dedup_near 7.9 s
+    # -> 50 s and taxed every cheap query. Wide-intermediate operators
+    # instead pin their own shuffle width with explicit repartition()
+    # (see q_graph_triangles).
 }
 
 
