@@ -162,6 +162,36 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_sample_stratified",
+    oracle="""
+WITH r AS (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY md5(CAST(o_orderkey AS VARCHAR)),
+                                     o_orderkey) AS rn
+  FROM orders)
+SELECT o_custkey, o_orderkey, o_totalprice FROM r WHERE rn <= 2
+""",
+)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling: exactly 2 orders per customer, chosen by
+    md5-of-key order — per-stratum quotas that are reproducible across
+    engines/runs/cluster layouts (the property rand()-based sampling
+    lacks). One window shuffle on the stratum key."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.md5(F.col("o_orderkey").cast("string")), F.col("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
+
+
+@register(
     "q_join_nullsafe",
     oracle="""
 WITH a AS (

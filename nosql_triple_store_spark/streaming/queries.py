@@ -178,6 +178,62 @@ def q_stream_lww(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
 
 
+_STREAM_SESSION_ORACLE = f"""
+{E_CTE},
+t AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id)
+                   >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_session
+  FROM e),
+s AS (
+  SELECT user_id, ts, value,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM t),
+g AS (
+  SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS last_ts,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         ROUND(SUM(value), 2) AS total_value
+  FROM s GROUP BY user_id, sess_id),
+m AS (SELECT MAX(ts) AS mx FROM e)
+SELECT user_id, session_start, n_events, total_value
+FROM g, m
+WHERE last_ts + INTERVAL 30 MINUTE <= mx - INTERVAL 30 MINUTE
+"""
+
+
+@register("q_stream_session", oracle=_STREAM_SESSION_ORACLE)
+def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming session windows in APPEND mode: a session is emitted
+    only once the watermark (max event time − 30 min) passes its end
+    (last_ts + 30 min gap) — so the stream's output is the batch result
+    MINUS the still-open tail sessions. The oracle encodes exactly that
+    truncation (last_ts ≤ max_ts − 60 min), making watermark semantics
+    themselves oracle-checked, not just asserted. The final no-data
+    micro-batch that availableNow commits is what advances the watermark
+    and flushes the closed sessions."""
+    ev = _stream_events(spark, sf_dir).withWatermark("ts", "30 minutes")
+    agg = (
+        ev.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+    out = _run_to_memory(agg, "append")
+    return out.withColumn(
+        "session_start", F.col("session_start").cast("timestamp_ntz")
+    )
+
+
 def _counter_fn(
     key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
