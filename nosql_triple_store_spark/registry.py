@@ -34,6 +34,7 @@ _OPERATOR_MODULES = (
     "operators.relational_ext2",
     "operators.relational_ext3",
     "operators.graph_ext",
+    "operators.relational_ext4",
     "streaming.queries",
 )
 
