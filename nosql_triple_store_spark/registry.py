@@ -35,6 +35,7 @@ _OPERATOR_MODULES = (
     "operators.relational_ext3",
     "operators.graph_ext",
     "operators.relational_ext4",
+    "operators.subqueries",
     "streaming.queries",
 )
 

@@ -72,18 +72,31 @@ def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _run_to_memory(stream_df: DataFrame, output_mode: str) -> DataFrame:
-    """Drain a bounded stream into a memory sink, return the final table."""
+    """Drain a bounded stream into a memory sink, return the final table.
+
+    State-store partition count is baked from spark.sql.shuffle.partitions
+    at query START — a vanilla session's default 200 costs ~25 s of
+    per-micro-batch state-partition overhead on these fixtures, so pin a
+    width matched to the data for the stream's lifetime and restore after
+    (stateful operators on a real cluster size this to cores × small k).
+    """
+    spark = stream_df.sparkSession
     name = f"mem_{uuid.uuid4().hex[:10]}"
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return stream_df.sparkSession.table(name)
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    try:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    return spark.table(name)
 
 
 @register(
@@ -232,6 +245,58 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn(
         "session_start", F.col("session_start").cast("timestamp_ntz")
     )
+
+
+_STREAM_JOIN_ORACLE = f"""
+{E_CTE},
+p AS (SELECT event_id AS purchase_id, user_id, ts AS p_ts FROM e
+      WHERE event_type = 'purchase'),
+c AS (SELECT event_id AS click_id, user_id, ts AS c_ts FROM e
+      WHERE event_type = 'click')
+SELECT p.purchase_id, c.click_id, p.user_id
+FROM p JOIN c
+  ON p.user_id = c.user_id
+ AND c.c_ts >= p.p_ts - INTERVAL 30 MINUTE
+ AND c.c_ts <= p.p_ts
+"""
+
+
+@register("q_stream_stream_join", oracle=_STREAM_JOIN_ORACLE)
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: each purchase matched to the same
+    user's clicks in the preceding 30 minutes — the attribution join as
+    two live streams. Both sides carry watermarks and the join condition
+    carries the time bound, which is what lets Spark evict join state
+    (purchases older than click-watermark − 30 min can never match
+    again). Inner joins emit matches as both sides arrive, so on bounded
+    input the result equals the batch interval join — the oracle."""
+    ev = _stream_events(spark, sf_dir)
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    joined = purchases.join(
+        clicks,
+        (purchases.user_id == clicks.c_user)
+        & (clicks.c_ts >= purchases.p_ts - F.expr("INTERVAL 30 MINUTE"))
+        & (clicks.c_ts <= purchases.p_ts),
+        "inner",
+    ).select("purchase_id", "click_id", "user_id")
+    return _run_to_memory(joined, "append")
 
 
 def _counter_fn(
