@@ -36,6 +36,7 @@ _OPERATOR_MODULES = (
     "operators.graph_ext",
     "operators.relational_ext4",
     "operators.subqueries",
+    "operators.relational_ext5",
     "streaming.queries",
 )
 
