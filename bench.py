@@ -29,8 +29,14 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     specs = all_specs()
-    # Warm the JVM/codegen once on a trivial job so q1 isn't charged startup.
+    # Warm the JVM/codegen once on a trivial job so q1 isn't charged startup,
+    # then touch every table so alphabetically-early queries aren't charged
+    # first-read parquet footer/IO warmup either.
     spark.range(1000).selectExpr("sum(id)").collect()
+    from nosql_triple_store_spark.catalog import TABLES, load_table
+
+    for t in TABLES:
+        load_table(spark, sf_dir, t).count()
 
     timings: dict[str, float] = {}
     for name in sorted(specs):

