@@ -37,6 +37,7 @@ _OPERATOR_MODULES = (
     "operators.relational_ext4",
     "operators.subqueries",
     "operators.relational_ext5",
+    "operators.vector_ext",
     "streaming.queries",
 )
 

@@ -30,6 +30,8 @@ def _norm(v):
         return int(f) if f.is_integer() else f
     if isinstance(v, float) and math.isnan(v):
         return "NaN"
+    if isinstance(v, float) and v == 0.0:
+        return 0.0  # canonicalize -0.0 (repr-sort alignment hazard)
     return v
 
 
