@@ -38,6 +38,7 @@ _OPERATOR_MODULES = (
     "operators.subqueries",
     "operators.relational_ext5",
     "operators.vector_ext",
+    "operators.tpch_ext",
     "streaming.queries",
 )
 
