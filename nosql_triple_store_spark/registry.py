@@ -39,6 +39,7 @@ _OPERATOR_MODULES = (
     "operators.relational_ext5",
     "operators.vector_ext",
     "operators.tpch_ext",
+    "operators.relational_ext6",
     "streaming.queries",
 )
 
