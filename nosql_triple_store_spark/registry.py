@@ -40,6 +40,9 @@ _OPERATOR_MODULES = (
     "operators.vector_ext",
     "operators.tpch_ext",
     "operators.relational_ext6",
+    "operators.dedup_ext",
+    "operators.graph_ext2",
+    "operators.layout",
     "streaming.queries",
 )
 
