@@ -43,6 +43,7 @@ _OPERATOR_MODULES = (
     "operators.dedup_ext",
     "operators.graph_ext2",
     "operators.layout",
+    "operators.bgp_ext",
     "streaming.queries",
 )
 
