@@ -34,20 +34,41 @@ def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Spark side is a sort-sweep, not the oracle's quadratic NOT EXISTS:
     a part is dominated iff min(price) over strictly-smaller sizes is
-    <= its price (RANGE frame ending 1 PRECEDING on the integer size),
-    or a same-size part is strictly cheaper (group min). Two window
-    passes over one sort — O(n log n) and range-partitionable at 100 TB
-    (sort by size; per-partition sweep + tiny boundary-min exchange),
-    vs the oracle's O(n^2) self-join. Price comparisons are on raw
-    stored doubles so both engines compare identical bits."""
+    <= its price, or a same-size part is strictly cheaper (group min).
+    The smaller-size min is computed WITHOUT a global single-partition
+    window (the naive Window.orderBy would serialize the whole table
+    through one task at 100 TB): sizes are bucketed, the RANGE-frame
+    sweep runs per bucket in parallel, and cross-bucket information is
+    a per-bucket min — a tiny aggregate whose strictly-before running
+    min broadcasts back. O(n log n) total vs the oracle's O(n^2)
+    self-join; price comparisons are on raw stored doubles so both
+    engines compare identical bits."""
     part = load_table(spark, sf_dir, "part")
-    w_lt = (
-        Window.orderBy("p_size")
+    bucket = F.floor((F.col("p_size") - 1) / 5)
+    w_lt_local = (
+        Window.partitionBy("__b")
+        .orderBy("p_size")
         .rangeBetween(Window.unboundedPreceding, -1)
     )
     w_eq = Window.partitionBy("p_size")
+    # per-bucket min price, then running min over strictly-smaller buckets
+    # (a handful of rows — windowed on the driver-sized agg, broadcast back)
+    bmins = (
+        part.withColumn("__b", bucket)
+        .groupBy("__b")
+        .agg(F.min("p_retailprice").alias("__bmin"))
+    )
+    w_prefix = (
+        Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prefix = bmins.select(
+        "__b", F.min("__bmin").over(w_prefix).alias("__prefix_min")
+    )
     return (
-        part.withColumn("__min_lt", F.min("p_retailprice").over(w_lt))
+        part.withColumn("__b", bucket)
+        .join(F.broadcast(prefix), "__b")
+        .withColumn("__min_local", F.min("p_retailprice").over(w_lt_local))
+        .withColumn("__min_lt", F.least("__min_local", "__prefix_min"))
         .withColumn("__min_eq", F.min("p_retailprice").over(w_eq))
         .filter(
             (F.col("__min_lt").isNull() | (F.col("__min_lt") > F.col("p_retailprice")))
