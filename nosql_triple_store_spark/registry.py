@@ -44,6 +44,7 @@ _OPERATOR_MODULES = (
     "operators.graph_ext2",
     "operators.layout",
     "operators.bgp_ext",
+    "operators.bucketed",
     "streaming.queries",
 )
 

@@ -339,3 +339,36 @@ def q_stream_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     return _run_to_memory(out, "update")
+
+
+@register(
+    "q_stream_dedup",
+    oracle=f"""
+{E_CTE}
+SELECT DISTINCT user_id, event_type, date_trunc('hour', ts) AS hr
+FROM e
+""",
+)
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deduplication with bounded state:
+    dropDuplicatesWithinWatermark on (user_id, event_type, hour) — the
+    streaming twin of exact dedup (q_dedup_exact) for a continuously
+    arriving changelog. First-arrival rows are emitted immediately
+    (append mode, no window end to wait for); the watermark lets the
+    state store EVICT keys older than the lateness bound instead of
+    holding every key ever seen — the difference between O(active keys)
+    and O(all history) state at 100 TB. Output is projected to the dedup
+    key, so which duplicate arrived first is immaterial — the result is
+    exactly the batch DISTINCT the oracle computes."""
+    ev = _stream_events(spark, sf_dir).withWatermark("ts", "1 hour")
+    keyed = ev.select(
+        "ts",
+        "user_id",
+        "event_type",
+        F.date_trunc("hour", "ts").alias("hr"),
+    )
+    deduped = keyed.dropDuplicatesWithinWatermark(
+        ["user_id", "event_type", "hr"]
+    ).select("user_id", "event_type", "hr")
+    out = _run_to_memory(deduped, "append")
+    return out.withColumn("hr", F.col("hr").cast("timestamp_ntz"))
