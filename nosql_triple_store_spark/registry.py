@@ -45,6 +45,7 @@ _OPERATOR_MODULES = (
     "operators.layout",
     "operators.bgp_ext",
     "operators.bucketed",
+    "operators.relational_ext7",
     "streaming.queries",
 )
 
