@@ -46,6 +46,7 @@ _OPERATOR_MODULES = (
     "operators.bgp_ext",
     "operators.bucketed",
     "operators.relational_ext7",
+    "operators.relational_ext8",
     "streaming.queries",
 )
 
