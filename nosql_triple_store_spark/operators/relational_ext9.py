@@ -1,0 +1,120 @@
+"""Ninth extension batch: SCD type-2 dimension build, year-over-year
+growth, ORC source roundtrip."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import register
+from .triple import E_CTE
+
+
+@register(
+    "q_scd2",
+    oracle=f"""
+{E_CTE},
+v AS (
+  SELECT user_id, event_type, value, ts AS valid_from,
+         lead(ts) OVER (PARTITION BY user_id, event_type
+                        ORDER BY ts, event_id) AS valid_to
+  FROM e WHERE event_type = 'signup' OR event_type = 'purchase')
+SELECT user_id, event_type, value, valid_from, valid_to,
+       CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS is_current
+FROM v
+""",
+)
+def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2: turn a change log into validity
+    intervals — valid_from = change ts, valid_to = next change's ts for
+    the same key (NULL = current). One lead() window per key (single
+    shuffle keyed by the dimension key, (ts, event_id) tiebreak for
+    same-timestamp changes). This is the read-side temporal-table
+    construction over the reference's changelog (SURVEY §3.2); the
+    as-of join q_join_asof is its lookup counterpart."""
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("signup", "purchase")
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return events.select(
+        "user_id",
+        "event_type",
+        "value",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+    ).withColumn(
+        "is_current",
+        F.when(F.col("valid_to").isNull(), 1).otherwise(0),
+    )
+
+
+@register(
+    "q_orders_yoy",
+    oracle="""
+WITH yearly AS (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+         o_orderpriority,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         ROUND(SUM(o_totalprice), 2) AS revenue
+  FROM orders GROUP BY 1, 2)
+SELECT yr, o_orderpriority, n_orders, revenue,
+       revenue - lag(revenue) OVER (PARTITION BY o_orderpriority
+                                    ORDER BY yr) AS yoy_delta
+FROM yearly
+""",
+)
+def q_orders_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year revenue delta per order priority: yearly aggregate
+    then lag() over the (tiny) per-priority year series. The window
+    input is the AGGREGATE (years x priorities rows), so the
+    single-partition-per-priority window is trivially small no matter
+    the fact-table scale; the delta subtracts two already-rounded 2dp
+    sums (exact decimal values — no re-rounding needed, difference is
+    exact)."""
+    orders = load_table(spark, sf_dir, "orders")
+    yearly = orders.groupBy(
+        F.year("o_orderdate").cast("long").alias("yr"), "o_orderpriority"
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("yr")
+    return yearly.withColumn(
+        "yoy_delta", F.col("revenue") - F.lag("revenue").over(w)
+    )
+
+
+_ORC_DIRS: dict[str, str] = {}
+
+
+@register(
+    "q_source_orc",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(o_totalprice), 2) AS total
+FROM orders GROUP BY o_orderstatus, o_orderpriority
+""",
+)
+def q_source_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source roundtrip: orders written to ORC (the other columnar
+    format Spark reads natively — predicate pushdown and column pruning
+    work the same as parquet), read back and aggregated; oracle runs on
+    the original parquet, proving losslessness."""
+    if sf_dir not in _ORC_DIRS:
+        out = os.path.join(
+            tempfile.gettempdir(),
+            "spark_graft_orc",
+            os.path.basename(os.path.normpath(sf_dir)),
+        )
+        load_table(spark, sf_dir, "orders").write.mode("overwrite").orc(out)
+        _ORC_DIRS[sf_dir] = out
+    orders = spark.read.orc(_ORC_DIRS[sf_dir])
+    return orders.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )

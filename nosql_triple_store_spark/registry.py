@@ -47,6 +47,7 @@ _OPERATOR_MODULES = (
     "operators.bucketed",
     "operators.relational_ext7",
     "operators.relational_ext8",
+    "operators.relational_ext9",
     "streaming.queries",
 )
 
