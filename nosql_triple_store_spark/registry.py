@@ -48,6 +48,7 @@ _OPERATOR_MODULES = (
     "operators.relational_ext7",
     "operators.relational_ext8",
     "operators.relational_ext9",
+    "operators.vector_ext2",
     "streaming.queries",
 )
 
