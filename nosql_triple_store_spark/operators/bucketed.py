@@ -77,7 +77,10 @@ def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ot, lt = bucketed_tables(spark, sf_dir)
     o = spark.table(ot).filter(F.col("o_totalprice") > 350000)
     li = spark.table(lt)
-    j = o.join(li, o.o_orderkey == li.l_orderkey)
+    # merge hint: without it the planner broadcasts the filtered orders
+    # side and the downstream groupBy re-shuffles — the hint makes both
+    # sides consume the on-disk bucketing, which is the layout's point
+    j = o.hint("merge").join(li, o.o_orderkey == li.l_orderkey)
     return j.groupBy("o_orderkey", "o_orderstatus").agg(
         F.count(F.lit(1)).alias("n_items"),
         F.round(F.sum("l_extendedprice"), 2).alias("gross"),
