@@ -49,6 +49,7 @@ _OPERATOR_MODULES = (
     "operators.relational_ext8",
     "operators.relational_ext9",
     "operators.vector_ext2",
+    "operators.pipeline",
     "streaming.queries",
 )
 
