@@ -50,6 +50,7 @@ _OPERATOR_MODULES = (
     "operators.relational_ext9",
     "operators.vector_ext2",
     "operators.pipeline",
+    "operators.tpch_ext2",
     "streaming.queries",
 )
 

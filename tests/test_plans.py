@@ -87,3 +87,14 @@ def test_no_python_udf_in_relational_core(spark):
     ):
         p = _plan(spark, q)
         assert "EvalPython" not in p, f"{q} fell off the JVM fast path"
+
+
+def test_tpch_q6_q19_predicates_push_to_scan(spark):
+    """Q6's conjunctive and Q19's disjunctive predicates must reach the
+    parquet scans (PushedFilters non-empty on lineitem), keeping both
+    queries scan+agg-only — no predicate evaluated post-join that a scan
+    could have dropped."""
+    for q in ("q_tpch_q6", "q_tpch_q19"):
+        p = _plan(spark, q)
+        assert "PushedFilters: [" in p, q
+        assert "PushedFilters: []" not in p.split("Scan parquet")[1], q
