@@ -51,6 +51,7 @@ _OPERATOR_MODULES = (
     "operators.vector_ext2",
     "operators.pipeline",
     "operators.tpch_ext2",
+    "operators.relational_ext10",
     "streaming.queries",
 )
 

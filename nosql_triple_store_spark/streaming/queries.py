@@ -372,3 +372,63 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("user_id", "event_type", "hr")
     out = _run_to_memory(deduped, "append")
     return out.withColumn("hr", F.col("hr").cast("timestamp_ntz"))
+
+
+@register(
+    "q_stream_compact",
+    oracle=f"""
+{E_CTE},
+ranked AS (
+  SELECT user_id, event_type, event_id, ts, value,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM e)
+SELECT user_id, event_type, event_id, ts, value
+FROM ranked WHERE rn = 1
+""",
+)
+def q_stream_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming write path END-TO-END: foreachBatch drives the
+    versioned on-disk register (sources/compaction.py) — each
+    micro-batch folds its delta into a new LWW-compacted parquet
+    version, exactly how the production sink runs (Delta/Iceberg MERGE
+    per micro-batch). The returned DataFrame is the register read back
+    from disk after the stream drains; the oracle is the batch LWW
+    state over all events. Idempotency note: compact() is
+    commutative/idempotent per delta, so a micro-batch retry after a
+    sink failure converges (the reference replays its changelog the
+    same way, SURVEY §3.2)."""
+    import shutil
+
+    from ..sources.compaction import compact, read_register
+
+    base = os.path.join(
+        tempfile.mkdtemp(prefix="stream_register_"), "register"
+    )
+    keys, order = ["user_id", "event_type"], ["ts", "event_id"]
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        compact(batch_df.sparkSession, base, batch_df, keys, order)
+
+    ev = _stream_events(spark, sf_dir).select(
+        "user_id", "event_type", "event_id", "ts", "value"
+    )
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    try:
+        q = (
+            ev.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    out = read_register(spark, base).withColumn(
+        "ts", F.col("ts").cast("timestamp_ntz")
+    )
+    # materialize before the temp register dir can be cleaned up
+    out = out.localCheckpoint()
+    shutil.rmtree(os.path.dirname(base), ignore_errors=True)
+    return out.select("user_id", "event_type", "event_id", "ts", "value")
