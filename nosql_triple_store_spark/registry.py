@@ -52,6 +52,7 @@ _OPERATOR_MODULES = (
     "operators.pipeline",
     "operators.tpch_ext2",
     "operators.relational_ext10",
+    "operators.relational_ext11",
     "streaming.queries",
 )
 
