@@ -58,6 +58,13 @@ def _shingle_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = docs.select(
         "doc_id", F.explode(shingles_col(tokens_col())).alias("shingle")
     )
+    # The shingle stream fans out THREE ways (sizes, join-left, join-right);
+    # without materialization Spark re-runs the scan+explode for each, all
+    # in the single input-file partition. repartition spreads the explode
+    # across cores and localCheckpoint pins the result (measured at sf0.1:
+    # 8-12 s -> ~4 s). At 100 TB the same role is played by persisting the
+    # shingle table (or writing it once) before the self-join.
+    sh = sh.repartition(16).localCheckpoint()
     # At 100 TB: add .filter on shingle doc-frequency (df <= cap) here to
     # bound hot-shingle pair explosion; fixture max df is 7, so omitted.
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
@@ -137,7 +144,7 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the exact Jaccard pairs of q_dedup_near.
     """
     docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select(
+    sh = docs.repartition(16).select(
         "doc_id", F.explode(shingles_col(tokens_col())).alias("shingle")
     )
     # All 16 permutations as parallel min-aggregates in ONE pass over the
@@ -247,7 +254,9 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     the self-join, and the Hamming verify are codegen'd expressions.
     """
     docs = load_table(spark, sf_dir, "documents")
-    sigs = docs.select(
+    # spread the single-file scan before the pandas UDF: one partition
+    # would mean ONE Arrow batch on one core for the whole corpus
+    sigs = docs.repartition(16).select(
         "doc_id", _simhash64(tokens_col()).alias("sh")
     )
     chunks = sigs.select(

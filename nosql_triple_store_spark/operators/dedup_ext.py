@@ -56,7 +56,7 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     join is the same inverted-index shape as q_dedup_near. Jaccard is a
     ratio of exact ints so cross-engine ordering is bit-identical; the
     top-50 carries (doc_a, doc_b) tiebreaks."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents").repartition(16)
     grams = docs.select(
         "doc_id", F.lower("text").alias("__t")
     ).select(
