@@ -53,6 +53,7 @@ _OPERATOR_MODULES = (
     "operators.tpch_ext2",
     "operators.relational_ext10",
     "operators.relational_ext11",
+    "operators.bgp_ext2",
     "streaming.queries",
 )
 
