@@ -184,3 +184,53 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return labels
+
+
+@register(
+    "q_orders_abc",
+    oracle="""
+WITH per_cust AS (
+  SELECT o_custkey, ROUND(SUM(o_totalprice), 2) AS revenue
+  FROM orders GROUP BY o_custkey),
+tot AS (SELECT SUM(revenue) AS t FROM per_cust),
+ranked AS (
+  SELECT o_custkey, revenue,
+         SUM(revenue) OVER (ORDER BY revenue DESC, o_custkey
+                            ROWS UNBOUNDED PRECEDING) AS cum
+  FROM per_cust)
+SELECT o_custkey, revenue,
+       CASE WHEN cum <= 0.80 * tot.t THEN 'A'
+            WHEN cum <= 0.95 * tot.t THEN 'B'
+            ELSE 'C' END AS abc_class
+FROM ranked, tot
+""",
+)
+def q_orders_abc(spark, sf_dir):
+    """ABC / Pareto classification: customers ranked by revenue, class A
+    while the running share stays under 80%, B to 95%, C beyond. The
+    running sum uses an explicit ROWS frame with (revenue desc,
+    custkey) tiebreak, so both engines accumulate the SAME rounded
+    2dp revenues in the SAME order — cum and total are bit-identical
+    doubles and the threshold comparisons cannot diverge. Scale note:
+    the window input is the per-customer aggregate; for customer counts
+    where even that overflows one partition, swap the global frame for
+    the bucketed prefix-sum pattern used by q_skyline."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("revenue")
+    )
+    tot = per_cust.agg(F.sum("revenue").alias("t"))
+    w = Window.orderBy(F.desc("revenue"), F.asc("o_custkey")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = per_cust.withColumn("cum", F.sum("revenue").over(w))
+    return ranked.crossJoin(F.broadcast(tot)).select(
+        "o_custkey",
+        "revenue",
+        F.when(F.col("cum") <= 0.80 * F.col("t"), "A")
+        .when(F.col("cum") <= 0.95 * F.col("t"), "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
