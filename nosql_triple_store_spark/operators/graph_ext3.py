@@ -1,0 +1,138 @@
+"""Graph batch 3: k-core decomposition (iterative peel) on the part
+co-purchase graph, and customer-similarity Jaccard over the bipartite
+customer->part incidence."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import register
+
+K_CORE = 4
+
+
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected distinct part-pair edges (parts sharing an order)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select("l_orderkey", F.col("l_partkey").alias("pa"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("pb"))
+    return (
+        a.join(b, "l_orderkey")
+        .filter(F.col("pa") < F.col("pb"))
+        .select("pa", "pb")
+        .distinct()
+    )
+
+
+@register("q_graph_kcore", oracle=None)  # rows-only: iterative fixpoint
+def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition (k=4): repeatedly peel nodes with degree < k
+    until every survivor has >= k neighbors inside the survivor set —
+    the standard graph-mining density filter (community seeds, spam
+    cores). Each round is one degree aggregate + one semi join, both
+    keyed by node; lineage truncated per round; the node count is
+    monotone decreasing so convergence is <= |V| rounds (tens in
+    practice — capped with an error, same contract as the CC loops).
+    Not SQL-expressible without recursion over aggregates (beyond
+    DuckDB's recursive-UNION restrictions), so rows-only; the k-core
+    INVARIANTS (min degree >= k inside the core; peeled nodes cannot
+    re-qualify) are asserted in tests/test_kcore.py."""
+    e0 = _copurchase_edges(spark, sf_dir).localCheckpoint()
+    sym = e0.unionByName(
+        e0.select(F.col("pb").alias("pa"), F.col("pa").alias("pb"))
+    )
+    edges = sym
+    for _ in range(50):
+        deg = edges.groupBy("pa").agg(F.count(F.lit(1)).alias("deg"))
+        keep = deg.filter(F.col("deg") >= K_CORE).select("pa")
+        n_all = deg.count()
+        n_keep = keep.count()
+        if n_keep == n_all:
+            break
+        keep_b = keep.select(F.col("pa").alias("pb"))
+        edges = (
+            edges.join(keep, "pa", "left_semi")
+            .join(keep_b, "pb", "left_semi")
+            .localCheckpoint()
+        )
+    else:
+        raise RuntimeError("k-core peel did not converge in 50 rounds")
+    deg_final = edges.groupBy("pa").agg(F.count(F.lit(1)).alias("core_deg"))
+    return deg_final.select(
+        F.col("pa").alias("part_id"), "core_deg"
+    )
+
+
+@register(
+    "q_graph_node_jaccard",
+    oracle="""
+WITH basket AS (
+  SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS part
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+deg AS (SELECT cust, CAST(COUNT(*) AS BIGINT) AS d
+        FROM basket GROUP BY cust),
+wedge AS (
+  SELECT x.cust AS u, y.cust AS v, CAST(COUNT(*) AS BIGINT) AS common
+  FROM basket x JOIN basket y ON x.part = y.part AND x.cust < y.cust
+  GROUP BY 1, 2)
+SELECT u, v, common,
+       ROUND(common * 1.0 / (du.d + dv.d - common), 4) AS jaccard
+FROM wedge
+JOIN deg du ON du.cust = u
+JOIN deg dv ON dv.cust = v
+WHERE common >= 5
+ORDER BY common * 1.0 / (du.d + dv.d - common) DESC, u, v
+LIMIT 50
+""",
+)
+def q_graph_node_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer similarity by purchased-part-set Jaccard (top-50 pairs
+    with >= 5 common parts) — the collaborative-filtering neighbor
+    computation, via the inverted-index wedge join on the shared part.
+
+    Graph-shape note (probed, recorded here deliberately): the obvious
+    alternative — neighbor Jaccard on the part co-PURCHASE graph — is
+    infeasible at sf0.1 and beyond: that graph's MEDIAN degree is ~119
+    (min > 30), so the wedge through shared neighbors is sum(deg^2) ~
+    298M rows and OOMs a default driver. The bipartite customer->part
+    relation is the naturally sparse encoding of the same information
+    (per-part customer lists are ~15 long; wedge = sum over parts of
+    that squared ~ 4.5M). Choosing WHICH incidence to wedge through is
+    the real scale decision for set-similarity on graphs. Jaccard is a
+    ratio of exact ints; (u, v) tiebreaks pin the top-k."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    basket = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part"))
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = basket.groupBy("cust").agg(F.count(F.lit(1)).alias("d"))
+    x = basket.select(F.col("cust").alias("u"), "part")
+    y = basket.select(F.col("cust").alias("v"), "part")
+    wide = 96
+    wedge = (
+        x.repartition(wide, "part")
+        .join(y.repartition(wide, "part"), "part")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("common"))
+        .filter(F.col("common") >= 5)
+    )
+    du = deg.select(F.col("cust").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("cust").alias("v"), F.col("d").alias("dv"))
+    jac = F.col("common") * 1.0 / (F.col("du") + F.col("dv") - F.col("common"))
+    return (
+        wedge.join(du, "u")
+        .join(dv, "v")
+        .select(
+            "u", "v", "common",
+            jac.alias("_j"), F.round(jac, 4).alias("jaccard"),
+        )
+        .orderBy(F.desc("_j"), "u", "v")
+        .limit(50)
+        .select("u", "v", "common", "jaccard")
+    )

@@ -54,6 +54,7 @@ _OPERATOR_MODULES = (
     "operators.relational_ext10",
     "operators.relational_ext11",
     "operators.bgp_ext2",
+    "operators.graph_ext3",
     "streaming.queries",
 )
 
