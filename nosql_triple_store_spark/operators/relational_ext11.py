@@ -234,3 +234,34 @@ def q_orders_abc(spark, sf_dir):
         .otherwise("C")
         .alias("abc_class"),
     )
+
+
+@register(
+    "q_events_hourly_profile",
+    oracle=f"""
+{E_CTE},
+h AS (
+  SELECT event_type, CAST(hour(ts) AS BIGINT) AS hr,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM e GROUP BY 1, 2),
+tot AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS t
+        FROM h GROUP BY event_type)
+SELECT h.event_type, h.hr, h.n,
+       ROUND(h.n * 1.0 / tot.t, 4) AS share
+FROM h JOIN tot USING (event_type)
+""",
+)
+def q_events_hourly_profile(spark, sf_dir):
+    """Hour-of-day activity profile per event type (counts + within-type
+    share) — the time-profile matrix behavioral dashboards start from.
+    Two partial-aggregable groupBys; share is a ratio of exact ints.
+    hour() on timestamp_ntz has no timezone dependence."""
+    events = load_table(spark, sf_dir, "events")
+    h = events.groupBy(
+        "event_type", F.hour("ts").cast("long").alias("hr")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tot = h.groupBy("event_type").agg(F.sum("n").alias("t"))
+    return h.join(tot, "event_type").select(
+        "event_type", "hr", "n",
+        F.round(F.col("n") * 1.0 / F.col("t"), 4).alias("share"),
+    )

@@ -55,6 +55,7 @@ _OPERATOR_MODULES = (
     "operators.relational_ext11",
     "operators.bgp_ext2",
     "operators.graph_ext3",
+    "operators.vector_ext3",
     "streaming.queries",
 )
 
