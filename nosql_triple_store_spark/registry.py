@@ -56,6 +56,7 @@ _OPERATOR_MODULES = (
     "operators.bgp_ext2",
     "operators.graph_ext3",
     "operators.vector_ext3",
+    "operators.tpch_ext3",
     "streaming.queries",
 )
 
