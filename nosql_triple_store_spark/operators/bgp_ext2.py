@@ -92,3 +92,50 @@ def q_text_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(50)
         .select("doc_a", "doc_b", "containment")
     )
+
+
+@register(
+    "q_bgp_ask",
+    oracle=f"""
+WITH {TRIPLES_SQL}
+SELECT CAST(EXISTS (
+  SELECT 1 FROM triples n JOIN triples r ON n.o = r.s
+  WHERE n.p = 'inRegion' AND r.p = 'hasName' AND r.o = 'ASIA'
+) AS BIGINT) AS answer
+""",
+)
+def q_bgp_ask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL ASK: does any nation sit in the region named ASIA? —
+    boolean existence of a pattern match. Planned as the pattern join
+    under a LIMIT 1 (Spark stops scanning at the first match; at scale
+    the limit propagates into the scan), emitted as one 0/1 row."""
+    t = triples_view(spark, sf_dir)
+    n = t.filter(F.col("p") == "inRegion").select(F.col("o").alias("reg"))
+    r = t.filter((F.col("p") == "hasName") & (F.col("o") == "ASIA")).select(
+        F.col("s").alias("reg")
+    )
+    hit = n.join(r, "reg").limit(1)
+    return hit.agg(
+        F.when(F.count(F.lit(1)) > 0, 1).otherwise(0).cast("long").alias("answer")
+    )
+
+
+@register(
+    "q_bgp_describe",
+    oracle=f"""
+WITH {TRIPLES_SQL}
+SELECT s, p, o FROM triples WHERE s = 'nation:7'
+UNION ALL
+SELECT s, p, o FROM triples WHERE o = 'nation:7'
+""",
+)
+def q_bgp_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL DESCRIBE <nation:7>: every triple where the resource is
+    subject or object — the resource's full neighborhood. Two
+    predicate-pushed scans of the triples relation, unioned; with the
+    predicate-partitioned layout (sources) each side prunes to the
+    partitions that can contain the term."""
+    t = triples_view(spark, sf_dir)
+    return t.filter(F.col("s") == "nation:7").unionAll(
+        t.filter(F.col("o") == "nation:7")
+    )

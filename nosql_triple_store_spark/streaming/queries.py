@@ -432,3 +432,39 @@ def q_stream_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = out.localCheckpoint()
     shutil.rmtree(os.path.dirname(base), ignore_errors=True)
     return out.select("user_id", "event_type", "event_id", "ts", "value")
+
+
+@register(
+    "q_stream_static_join",
+    oracle=f"""
+{E_CTE}
+SELECT c.c_mktsegment, e.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(e.value), 2) AS total_value
+FROM e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c.c_mktsegment, e.event_type
+""",
+)
+def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment — THE canonical streaming pattern: the
+    event stream joins a static dimension (customer) micro-batch by
+    micro-batch, then aggregates per (segment, type). The static side
+    is planned as a broadcast into each micro-batch (no stream-side
+    state for the join; only the downstream aggregate keeps state).
+    On bounded input the final table equals the batch join+aggregate,
+    which the oracle checks."""
+    from ..catalog import load_table
+
+    ev = _stream_events(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    agg = (
+        ev.join(F.broadcast(cust), "user_id")
+        .groupBy("c_mktsegment", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+    return _run_to_memory(agg, "complete")
