@@ -57,6 +57,7 @@ _OPERATOR_MODULES = (
     "operators.graph_ext3",
     "operators.vector_ext3",
     "operators.tpch_ext3",
+    "operators.tpch_ext4",
     "streaming.queries",
 )
 
