@@ -468,3 +468,84 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _run_to_memory(agg, "complete")
+
+
+_LATE_SPLIT = "2024-01-10"
+_LATE_DIRS: dict[str, str] = {}
+
+
+def _late_stream_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Three-file stream: A1 + A2 = events on/after the split date (two
+    on-time batches), B = everything before the split, arriving LAST.
+    Three files, not two, because of a measured Spark semantic: the
+    late-event filter uses the watermark as of ONE COMMIT EARLIER than
+    the running batch (state EVICTION uses the current watermark, late-
+    row filtering the previous one — watermark propagation lags a
+    batch). With only two files the late batch runs under the initial
+    1970 watermark and nothing is dropped; with the bulk split across
+    two leading batches, the late batch filters under ~max_ts - delay.
+    File order is pinned by mtime (FileStreamSource processes oldest
+    first)."""
+    if sf_dir not in _LATE_DIRS:
+        ensure_runtime_confs(spark)
+        d = tempfile.mkdtemp(prefix="events_late_")
+        raw = spark.read.schema(_EVENTS_DDL).parquet(f"{sf_dir}/events.parquet")
+        ts = F.timestamp_micros(F.expr("ts div 1000"))
+        split = F.lit(_LATE_SPLIT).cast("timestamp")
+        mid = F.lit("2024-01-20").cast("timestamp")
+        raw.filter((ts >= split) & (ts < mid)).coalesce(1).write.parquet(f"{d}/a1")
+        raw.filter(ts >= mid).coalesce(1).write.parquet(f"{d}/a2")
+        raw.filter(ts < split).coalesce(1).write.parquet(f"{d}/b")
+        import glob as _glob
+
+        out = tempfile.mkdtemp(prefix="events_late_stream_")
+        for sub, mtime in (("a1", 1_000_000), ("a2", 2_000_000), ("b", 3_000_000)):
+            (src,) = _glob.glob(f"{d}/{sub}/part-*.parquet")
+            dst = f"{out}/{sub}.parquet"
+            os.rename(src, dst)
+            os.utime(dst, (mtime, mtime))
+        _LATE_DIRS[sf_dir] = out
+    return _LATE_DIRS[sf_dir]
+
+
+@register(
+    "q_stream_late_drop",
+    oracle=f"""
+{E_CTE}
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM e
+WHERE ts >= TIMESTAMP '{_LATE_SPLIT}'
+GROUP BY 1, 2
+""",
+)
+def q_stream_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark LATE-DATA DROP, oracle-encoded: two on-time micro-
+    batches push the watermark to ~max event time; the final micro-
+    batch carries ONLY pre-split events — every one lands in a day-
+    window whose end precedes the (one-commit-lagged, see
+    _late_stream_dir) late-event watermark, so the stateful aggregate
+    DROPS them all. The oracle is the batch aggregate over on-time
+    rows only — the drop itself is what the differential check
+    verifies (q_stream_session checks append-mode emission timing;
+    this checks state-side rejection). maxFilesPerTrigger=1 pins the
+    three-batch schedule."""
+    d = _late_stream_dir(spark, sf_dir)
+    raw = (
+        spark.readStream.schema(_EVENTS_DDL)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(d)
+    )
+    ev = raw.withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    ).withWatermark("ts", "1 hour")
+    agg = (
+        ev.groupBy(F.window("ts", "1 day"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("window.start").alias("day"), "event_type", "n_events"
+        )
+    )
+    out = _run_to_memory(agg, "update")
+    return out.withColumn("day", F.col("day").cast("timestamp_ntz"))
