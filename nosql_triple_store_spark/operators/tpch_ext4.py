@@ -12,7 +12,7 @@ semi-joins, and Q21's exists/not-exists pair over the same fact table."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
