@@ -265,3 +265,39 @@ def q_events_hourly_profile(spark, sf_dir):
         "event_type", "hr", "n",
         F.round(F.col("n") * 1.0 / F.col("t"), 4).alias("share"),
     )
+
+
+@register(
+    "q_agg_decimal_exact",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS VARCHAR)
+         AS total_exact,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM orders GROUP BY o_orderpriority
+""",
+)
+def q_agg_decimal_exact(spark, sf_dir):
+    """EXACT decimal aggregation — the principled fix for every float-
+    drift hazard this repo's oracles dodge with rounding-grain probes:
+    money lands in DECIMAL(14,2), sums are exact integers underneath,
+    and the result is identical in ANY engine and ANY accumulation
+    order (what a 100 TB financial pipeline should do instead of
+    summing doubles). Output serialized as a string so the comparison
+    is on the exact decimal rendering, not a float re-parse; Spark's
+    decimal sum stays whole-stage-codegen'd (no UDF)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(14,2)")).alias("__t"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "o_orderpriority",
+            # Spark widens sum(decimal(14,2)) to decimal(24,2); cast back
+            # before rendering so both engines print the same scale
+            F.col("__t").cast("decimal(14,2)").cast("string").alias("total_exact"),
+            "n",
+        )
+    )

@@ -85,3 +85,24 @@ def test_zorder_scan_prunes_partitions(spark):
         .collect()
     ]
     assert len(files) < len(all_files), "bucket filter pruned nothing"
+
+
+def test_rectangle_buckets_complete_randomized():
+    """Property: for ANY rectangle, every covered point's bucket is
+    listed (completeness is what guarantees the pruned scan can't drop
+    rows). Deterministic seed; pure bit math, no Spark."""
+    import random
+
+    rng = random.Random(1234)
+    hi = (1 << BITS) - 1
+    for _ in range(200):
+        x1, x2 = sorted(rng.randint(0, hi) for _ in range(2))
+        y1, y2 = sorted(rng.randint(0, hi) for _ in range(2))
+        hits = set(rectangle_buckets(x1, x2, y1, y2, BITS, BUCKET_BITS))
+        # sample points inside the rectangle (corners + random interior)
+        pts = {(x1, y1), (x1, y2), (x2, y1), (x2, y2)}
+        for _ in range(30):
+            pts.add((rng.randint(x1, x2), rng.randint(y1, y2)))
+        for x, y in pts:
+            b = _morton_py(x, y, BITS) >> (2 * BITS - BUCKET_BITS)
+            assert b in hits, (x, y, x1, x2, y1, y2)
