@@ -58,7 +58,9 @@ _OPERATOR_MODULES = (
     "operators.vector_ext3",
     "operators.tpch_ext3",
     "operators.tpch_ext4",
+    "operators.relational_ext12",
     "streaming.queries",
+    "streaming.transform_state",
 )
 
 

@@ -1,0 +1,223 @@
+"""The LWW register as a CUSTOM STATEFUL streaming operator.
+
+This is the most literal Spark-native re-expression of the reference's
+node-local register semantics: each node held an in-memory
+``updateModifications`` dict keyed (subject, predicate) whose values were
+overwritten newest-timestamp-wins (SQLite3DBConnector.py:83,
+mergeSelf at :134-180). Here that dict becomes per-key state in the
+executor state store, updated by arbitrary micro-batches — fault-
+tolerant, partitioned by the grouping key across 1000 executors, and
+evictable via timeouts/TTL where the reference's dict only ever grew.
+
+q_stream_lww expresses the same semantics as a builtin max_by aggregation
+(always prefer builtins); these operators cover the *custom stateful
+operator* surface — arbitrary per-key state machines (sessionization with
+side conditions, CDC normalization, enrich-with-history) that builtin
+aggregates cannot express. Two implementations:
+
+- ``q_stream_lww_state``: ``applyInPandasWithState`` (Spark 3.4+ API) —
+  always registered, DuckDB-oracle-checked.
+- ``q_stream_transform_state``: ``transformWithStateInPandas`` (Spark 4
+  API, typed ValueState + timers). Its state-server protocol needs the
+  ``google.protobuf`` runtime, which this container lacks, so it is
+  registered ONLY when protobuf imports (the driver never sees a query
+  that cannot run here; on a protobuf-equipped cluster it registers and
+  is oracle-checked identically). The plumbing — grouping, state schema,
+  update flow, output compaction — is shared with the runnable variant.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..operators.triple import E_CTE
+from ..registry import register
+from .queries import _run_to_memory, _stream_events
+
+_STATE_SCHEMA = "ts_us long, event_id long, value double"
+_OUT_SCHEMA = (
+    "user_id long, event_type string, event_id long, ts_us long, value double"
+)
+
+_LWW_STATE_ORACLE = f"""
+{E_CTE},
+r AS (
+  SELECT user_id, event_type, event_id, ts, value,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM e)
+SELECT user_id, event_type, event_id, ts, value FROM r WHERE rn = 1
+"""
+
+
+def _lww_inputs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event stream projected to integer event time (long microseconds) so
+    state and Arrow transport stay integer-typed end-to-end."""
+    return _stream_events(spark, sf_dir).select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        "value",
+    )
+
+
+def _compact_register(sink: DataFrame) -> DataFrame:
+    """Update-mode sinks hold one row per key per emitting micro-batch;
+    the register is monotone in (ts_us, event_id), so the lexicographic
+    max IS the final state."""
+    ordering = F.struct(F.col("ts_us"), F.col("event_id"))
+    payload = F.struct(F.col("event_id"), F.col("ts_us"), F.col("value"))
+    return (
+        sink.groupBy("user_id", "event_type")
+        .agg(F.max_by(payload, ordering).alias("__r"))
+        .select(
+            "user_id",
+            "event_type",
+            F.col("__r.event_id").alias("event_id"),
+            F.timestamp_micros(F.col("__r.ts_us"))
+            .cast("timestamp_ntz")
+            .alias("ts"),
+            F.col("__r.value").alias("value"),
+        )
+    )
+
+
+def _lww_state_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """applyInPandasWithState kernel: keep the (ts_us, event_id)-
+    lexicographic-max event per key. The tuple order is the deterministic
+    tie-break the reference lacks (its strict `>` timestamp compare keeps
+    an arbitrary replica on equal timestamps,
+    SQLite3DBConnector.py:166)."""
+    user_id, event_type = key
+    best = tuple(state.get) if state.exists else None
+    for pdf in pdfs:
+        top = pdf.sort_values(["ts_us", "event_id"]).iloc[-1]
+        cand = (int(top["ts_us"]), int(top["event_id"]), float(top["value"]))
+        if best is None or (cand[0], cand[1]) > (best[0], best[1]):
+            best = cand
+    state.update(best)
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id],
+            "event_type": [event_type],
+            "event_id": [best[1]],
+            "ts_us": [best[0]],
+            "value": [best[2]],
+        }
+    )
+
+
+@register("q_stream_lww_state", oracle=_LWW_STATE_ORACLE)
+def q_stream_lww_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LWW register as a custom stateful operator (module docstring):
+    per-(user_id, event_type) register state updated newest-wins by each
+    micro-batch via applyInPandasWithState. On the bounded fixture the
+    compacted output equals the batch window dedup the oracle runs.
+    State is O(distinct keys) — the managed, shuffled, fault-tolerant
+    version of the reference's process-local dict."""
+    out = _lww_inputs(spark, sf_dir).groupBy(
+        "user_id", "event_type"
+    ).applyInPandasWithState(
+        _lww_state_fn,
+        outputStructType=_OUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return _compact_register(_run_to_memory(out, "update"))
+
+
+def _protobuf_available() -> bool:
+    try:  # pragma: no cover - environment probe
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _make_lww_processor() -> StatefulProcessor:
+    """Build the transformWithState LWW processor.
+
+    Defined as a CLOSURE-LOCAL class on purpose: the transformWithState
+    runner unpickles the processor in a state-server worker that does not
+    resolve addPyFile-shipped modules (unlike mapInPandas workers), so a
+    module-level class fails with ModuleNotFoundError on a vanilla driver
+    session. A locally-defined class makes cloudpickle serialize the
+    class by value — self-contained bytes, no package import needed
+    executor-side."""
+
+    class LWWRegisterProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._reg = handle.getValueState("reg", _STATE_SCHEMA)
+
+        def handleInputRows(
+            self, key, rows: Iterator[pd.DataFrame], timerValues
+        ) -> Iterator[pd.DataFrame]:
+            best = tuple(self._reg.get()) if self._reg.exists() else None
+            for pdf in rows:
+                top = pdf.sort_values(["ts_us", "event_id"]).iloc[-1]
+                cand = (
+                    int(top["ts_us"]),
+                    int(top["event_id"]),
+                    float(top["value"]),
+                )
+                if best is None or (cand[0], cand[1]) > (best[0], best[1]):
+                    best = cand
+            self._reg.update(best)
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "event_type": [key[1]],
+                    "event_id": [best[1]],
+                    "ts_us": [best[0]],
+                    "value": [best[2]],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return LWWRegisterProcessor()
+
+
+def q_stream_transform_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LWW register via the Spark 4 transformWithStateInPandas API.
+    Registered only when google.protobuf is importable (module
+    docstring); requires the RocksDB state store provider — pinned for
+    the query and restored after."""
+    out = _lww_inputs(spark, sf_dir).groupBy(
+        "user_id", "event_type"
+    ).transformWithStateInPandas(
+        statefulProcessor=_make_lww_processor(),
+        outputStructType=_OUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(provider_key)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        sink = _run_to_memory(out, "update")
+    finally:
+        spark.conf.set(provider_key, old)
+    return _compact_register(sink)
+
+
+if _protobuf_available():  # pragma: no cover - container lacks protobuf
+    register("q_stream_transform_state", oracle=_LWW_STATE_ORACLE)(
+        q_stream_transform_state
+    )
