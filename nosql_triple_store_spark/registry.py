@@ -59,6 +59,7 @@ _OPERATOR_MODULES = (
     "operators.tpch_ext3",
     "operators.tpch_ext4",
     "operators.relational_ext12",
+    "operators.relational_ext13",
     "streaming.queries",
     "streaming.transform_state",
 )
