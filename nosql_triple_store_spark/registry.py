@@ -60,6 +60,7 @@ _OPERATOR_MODULES = (
     "operators.tpch_ext4",
     "operators.relational_ext12",
     "operators.relational_ext13",
+    "operators.relational_ext14",
     "streaming.queries",
     "streaming.transform_state",
 )
