@@ -61,6 +61,7 @@ _OPERATOR_MODULES = (
     "operators.relational_ext12",
     "operators.relational_ext13",
     "operators.relational_ext14",
+    "operators.relational_ext15",
     "streaming.queries",
     "streaming.transform_state",
 )
