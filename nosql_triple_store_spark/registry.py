@@ -62,6 +62,7 @@ _OPERATOR_MODULES = (
     "operators.relational_ext13",
     "operators.relational_ext14",
     "operators.relational_ext15",
+    "operators.relational_ext16",
     "streaming.queries",
     "streaming.transform_state",
 )
