@@ -206,6 +206,32 @@ _ORDERS_DDL = (
 _TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
 
 
+def csv_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders as a CSV-backed DataFrame: exported once per sf_dir to
+    headered CSV, read back with an explicit schema + NTZ timestamp
+    format (shared by q_source_csv and the federated join in ext17)."""
+    if sf_dir not in _CSV_DIRS:
+        out = os.path.join(
+            tempfile.gettempdir(),
+            "spark_graft_csv",
+            os.path.basename(os.path.normpath(sf_dir)),
+        )
+        (
+            load_table(spark, sf_dir, "orders")
+            .write.mode("overwrite")
+            .option("header", True)
+            .option("timestampNTZFormat", _TS_FMT)
+            .csv(out)
+        )
+        _CSV_DIRS[sf_dir] = out
+    return (
+        spark.read.schema(_ORDERS_DDL)
+        .option("header", True)
+        .option("timestampNTZFormat", _TS_FMT)
+        .csv(_CSV_DIRS[sf_dir])
+    )
+
+
 @register(
     "q_source_csv",
     oracle="""
@@ -225,26 +251,7 @@ def q_source_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     timestamps are pinned to a microsecond pattern. The aggregate runs
     on the re-read copy while the oracle reads the original parquet —
     equality proves losslessness."""
-    if sf_dir not in _CSV_DIRS:
-        out = os.path.join(
-            tempfile.gettempdir(),
-            "spark_graft_csv",
-            os.path.basename(os.path.normpath(sf_dir)),
-        )
-        (
-            load_table(spark, sf_dir, "orders")
-            .write.mode("overwrite")
-            .option("header", True)
-            .option("timestampNTZFormat", _TS_FMT)
-            .csv(out)
-        )
-        _CSV_DIRS[sf_dir] = out
-    orders = (
-        spark.read.schema(_ORDERS_DDL)
-        .option("header", True)
-        .option("timestampNTZFormat", _TS_FMT)
-        .csv(_CSV_DIRS[sf_dir])
-    )
+    orders = csv_orders(spark, sf_dir)
     return orders.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("o_totalprice"), 2).alias("revenue"),

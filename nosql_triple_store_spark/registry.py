@@ -63,6 +63,7 @@ _OPERATOR_MODULES = (
     "operators.relational_ext14",
     "operators.relational_ext15",
     "operators.relational_ext16",
+    "operators.relational_ext17",
     "streaming.queries",
     "streaming.transform_state",
 )
