@@ -64,6 +64,7 @@ _OPERATOR_MODULES = (
     "operators.relational_ext15",
     "operators.relational_ext16",
     "operators.relational_ext17",
+    "operators.relational_ext18",
     "streaming.queries",
     "streaming.transform_state",
 )
