@@ -65,6 +65,7 @@ _OPERATOR_MODULES = (
     "operators.relational_ext16",
     "operators.relational_ext17",
     "operators.relational_ext18",
+    "operators.relational_ext19",
     "streaming.queries",
     "streaming.transform_state",
 )
