@@ -66,6 +66,7 @@ _OPERATOR_MODULES = (
     "operators.relational_ext17",
     "operators.relational_ext18",
     "operators.relational_ext19",
+    "operators.relational_ext20",
     "streaming.queries",
     "streaming.transform_state",
 )
