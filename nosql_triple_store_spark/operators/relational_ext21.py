@@ -1,0 +1,262 @@
+"""Twenty-first extension batch: line-level corpus dedup, shuffle-hash
+join hint, empirical survival curve, Matryoshka prefix-dimension recall.
+
+Lineage: line-level dedup is the CCNet/RefinedWeb cleaning step the
+task brief's dedup family was missing — exact dedup at SUB-document
+granularity with document reconstruction (doc-level dedup keeps near-
+identical boilerplate pages; line-level removes the boilerplate from
+otherwise-unique pages). The shuffle-hash hint completes the join-
+strategy surface (broadcast / sort-merge / bucketed SMJ elsewhere)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.textfns import TOKS_SQL
+from ..registry import register
+from .triple import E_CTE
+
+_LINE_DF_CAP = 3
+
+_LINEDEDUP_ORACLE = f"""
+WITH split AS (
+  SELECT doc_id, {{toks}} AS t FROM documents),
+lines AS (
+  SELECT doc_id, CAST(u.i AS BIGINT) AS pos,
+         t[3 * u.i + 1] || ' ' || t[3 * u.i + 2] || ' ' || t[3 * u.i + 3]
+           AS line
+  FROM split,
+       LATERAL UNNEST(generate_series(0, len(t) // 3 - 1)) AS u(i)),
+df AS (
+  SELECT line, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+  FROM lines GROUP BY line),
+kept AS (
+  SELECT l.doc_id, l.pos, l.line
+  FROM lines l JOIN df ON l.line = df.line
+  WHERE df.n_docs <= {_LINE_DF_CAP})
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_lines_kept,
+       md5(string_agg(line, ' ' ORDER BY pos)) AS cleaned_md5
+FROM kept GROUP BY doc_id
+"""
+
+
+@register("q_text_line_dedup", oracle=_LINEDEDUP_ORACLE.format(toks=TOKS_SQL))
+def q_text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINE-level corpus dedup (CCNet/RefinedWeb style): segment each
+    doc into consecutive 3-token 'lines' (the fixture text has no
+    sentence delimiters — probed: '. ' splitting yields one line per
+    doc, max df 1, a vacuous filter; 3-token segments repeat with df up
+    to 15), drop every segment occurring in more than {cap} distinct
+    docs (corpus boilerplate), reconstruct the cleaned text in original
+    order and fingerprint it. Docs losing ALL segments disappear —
+    that's the policy, not a bug. Two shuffles: the segment-document-
+    frequency aggregate (the same inverted-index shape as q_dedup_near;
+    at 100 TB the df table is reusable across runs) and the per-doc
+    reconstruction keyed by doc_id, order pinned by the position column
+    in BOTH engines (sort_array on (pos, line) structs here,
+    string_agg ORDER BY pos in DuckDB)."""
+    from ..functions.textfns import tokens_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens_col().alias("t"))
+    lines = toks.select(
+        "doc_id",
+        F.posexplode(
+            # CASE guard: sequence(0, n) DESCENDS when n < 0 (the
+            # shingles_col gotcha) — short docs must yield [] instead
+            F.when(
+                F.size("t") < 3, F.array().cast("array<string>")
+            ).otherwise(
+                F.transform(
+                    F.sequence(
+                        F.lit(0), (F.size("t") / 3).cast("long") - 1
+                    ),
+                    lambda i: F.concat_ws(" ", F.slice("t", i * 3 + 1, 3)),
+                )
+            )
+        ).alias("pos", "line"),
+    )
+    df = lines.groupBy("line").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    kept = lines.join(df, "line").filter(F.col("n_docs") <= _LINE_DF_CAP)
+    return (
+        kept.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines_kept"),
+            F.array_sort(F.collect_list(F.struct("pos", "line"))).alias("ls"),
+        )
+        .select(
+            "doc_id",
+            "n_lines_kept",
+            F.md5(
+                F.encode(
+                    F.array_join(
+                        F.transform("ls", lambda x: x["line"]), " "
+                    ),
+                    "UTF-8",
+                )
+            ).alias("cleaned_md5"),
+        )
+    )
+
+
+q_text_line_dedup.__doc__ = q_text_line_dedup.__doc__.format(cap=_LINE_DF_CAP)
+
+
+@register(
+    "q_join_shuffle_hash",
+    oracle="""
+SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+GROUP BY c_mktsegment
+""",
+)
+def q_join_shuffle_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHUFFLE_HASH-hinted join: both sides shuffle on the key, but the
+    build side becomes an in-memory hash table instead of both sides
+    SORTING (sort-merge's dominant cost when neither side fits a
+    broadcast and output needs no order). The right strategy when the
+    smaller side fits per-partition memory but not the broadcast
+    threshold — at 100 TB that's most dimension-vs-fact joins with a
+    100M-row dimension. tests/test_ext21.py asserts ShuffledHashJoin in
+    the plan (Catalyst honors the hint unless impossible); results are
+    strategy-invariant, which is exactly what the oracle checks."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp_ntz")
+    )
+    cust = load_table(spark, sf_dir, "customer").hint("shuffle_hash")
+    return (
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+_SURVIVAL_ORACLE = f"""
+{E_CTE},
+span AS (
+  SELECT user_id,
+         CAST(CAST(MAX(ts) AS DATE) - CAST(MIN(ts) AS DATE) AS BIGINT)
+           AS span_days
+  FROM e GROUP BY user_id),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_users FROM span),
+d AS (SELECT CAST(unnest(generate_series(0, 28, 7)) AS BIGINT) AS day)
+SELECT d.day,
+       CAST(COUNT(*) FILTER (WHERE span.span_days >= d.day) AS BIGINT)
+         AS n_active,
+       (CAST(COUNT(*) FILTER (WHERE span.span_days >= d.day) AS DOUBLE)
+        / CAST(MAX(n.n_users) AS DOUBLE)) AS survival
+FROM d, span, n
+GROUP BY d.day
+"""
+
+
+@register("q_events_survival", oracle=_SURVIVAL_ORACLE)
+def q_events_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical survival curve: the fraction of users still active d
+    days after their first event (activity span ≥ d), sampled weekly —
+    the churn curve product teams read. Per-user span is one exact-int
+    aggregate; each survival point is a ratio of exact counts (single
+    identical division → bit-identical, no rounding). The day grid is
+    a 5-row literal cross join — survival at N days costs one pass
+    over per-user aggregates regardless of corpus size."""
+    ev = load_table(spark, sf_dir, "events")
+    span = ev.groupBy("user_id").agg(
+        F.datediff(
+            F.max("ts").cast("date"), F.min("ts").cast("date")
+        ).cast("long").alias("span_days")
+    )
+    n = span.agg(F.count(F.lit(1)).alias("n_users"))
+    days = spark.range(0, 29, 7).select(F.col("id").alias("day"))
+    return (
+        days.crossJoin(span)
+        .crossJoin(F.broadcast(n))
+        .groupBy("day")
+        .agg(
+            F.count_if(F.col("span_days") >= F.col("day")).alias("n_active"),
+            (
+                F.count_if(F.col("span_days") >= F.col("day")).cast("double")
+                / F.max("n_users").cast("double")
+            ).alias("survival"),
+        )
+    )
+
+
+_MRL_PREFIX_DIM = 16
+_MRL_K = 10
+
+
+@register("q_vector_matryoshka")  # rows-only: float cosine ordering is
+# engine-specific at the ulp level; recall bounds in tests/test_ext21.py
+def q_vector_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style prefix-dimension retrieval audit: for each of 8
+    probe vectors, compare top-{k} nearest neighbors by full-dimension
+    dot product vs the first {d} dimensions only, reporting per-probe
+    recall — the measurement that tells you whether truncated (cheaper)
+    embeddings suffice for first-stage retrieval. Both rankings use
+    (score desc, vec_id) tiebreaks; overlap counting is exact ints.
+    Scale: prefix scoring reads {d}/64 of the vector bytes — with
+    columnar storage of sliced embeddings this is a 4× scan saving
+    before any index enters the picture."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") % 251 == 0).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("p_emb"),
+    )
+    pairs = emb.crossJoin(F.broadcast(probes)).filter(
+        F.col("vec_id") != F.col("probe_id")
+    )
+    dot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = pairs.select(
+        "probe_id",
+        "vec_id",
+        dot(F.col("embedding"), F.col("p_emb")).alias("full_score"),
+        dot(
+            F.slice("embedding", 1, _MRL_PREFIX_DIM),
+            F.slice("p_emb", 1, _MRL_PREFIX_DIM),
+        ).alias("prefix_score"),
+    )
+    from pyspark.sql import Window
+
+    w_full = Window.partitionBy("probe_id").orderBy(
+        F.desc("full_score"), F.asc("vec_id")
+    )
+    w_pre = Window.partitionBy("probe_id").orderBy(
+        F.desc("prefix_score"), F.asc("vec_id")
+    )
+    ranked = scored.select(
+        "probe_id",
+        "vec_id",
+        F.row_number().over(w_full).alias("r_full"),
+        F.row_number().over(w_pre).alias("r_pre"),
+    )
+    return ranked.groupBy("probe_id").agg(
+        F.count_if(
+            (F.col("r_full") <= _MRL_K) & (F.col("r_pre") <= _MRL_K)
+        ).alias("n_overlap"),
+        (
+            F.count_if(
+                (F.col("r_full") <= _MRL_K) & (F.col("r_pre") <= _MRL_K)
+            )
+            * F.lit(1.0)
+            / _MRL_K
+        ).alias("recall_at_k"),
+    )
+
+
+q_vector_matryoshka.__doc__ = q_vector_matryoshka.__doc__.format(
+    k=_MRL_K, d=_MRL_PREFIX_DIM
+)

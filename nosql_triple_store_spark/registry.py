@@ -67,6 +67,7 @@ _OPERATOR_MODULES = (
     "operators.relational_ext18",
     "operators.relational_ext19",
     "operators.relational_ext20",
+    "operators.relational_ext21",
     "streaming.queries",
     "streaming.transform_state",
 )
