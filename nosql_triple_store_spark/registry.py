@@ -68,6 +68,7 @@ _OPERATOR_MODULES = (
     "operators.relational_ext19",
     "operators.relational_ext20",
     "operators.relational_ext21",
+    "operators.relational_ext22",
     "streaming.queries",
     "streaming.transform_state",
 )
