@@ -69,6 +69,7 @@ _OPERATOR_MODULES = (
     "operators.relational_ext20",
     "operators.relational_ext21",
     "operators.relational_ext22",
+    "operators.relational_ext23",
     "streaming.queries",
     "streaming.transform_state",
 )
