@@ -70,6 +70,7 @@ _OPERATOR_MODULES = (
     "operators.relational_ext21",
     "operators.relational_ext22",
     "operators.relational_ext23",
+    "operators.relational_ext24",
     "streaming.queries",
     "streaming.transform_state",
 )
