@@ -71,6 +71,7 @@ _OPERATOR_MODULES = (
     "operators.relational_ext22",
     "operators.relational_ext23",
     "operators.relational_ext24",
+    "operators.relational_ext25",
     "streaming.queries",
     "streaming.transform_state",
 )
