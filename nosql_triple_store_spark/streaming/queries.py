@@ -34,12 +34,46 @@ from ..session import ensure_runtime_confs
 from ..operators.eventtime import _SLIDING_ORACLE as _BATCH_SLIDING_ORACLE
 from ..operators.triple import E_CTE
 
-# Explicit schema: file streams require one; ts arrives as raw ns-long
-# (nanosAsLong) and is converted exactly like catalog.load_table does.
-_EVENTS_DDL = (
+# Explicit schema: file streams require one. The fixture's ts column has
+# shipped in two physical representations across driver generations —
+# INT64 TIMESTAMP(NANOS) (surfacing as ns-long under nanosAsLong) and
+# native TIMESTAMP(MICROS) ntz — so the DDL and the event-time conversion
+# are derived from the actual file footer (one batch-read peek, cached),
+# exactly like catalog.load_table adapts.
+_EVENTS_DDL_NS = (
     "event_id long, ts long, user_id long, event_type string, "
     "value double, props string"
 )
+_EVENTS_DDL_TS = (
+    "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+    "value double, props string"
+)
+
+_TS_IS_LONG: dict[str, bool] = {}
+
+
+def _events_ts_is_long(spark: SparkSession, sf_dir: str) -> bool:
+    if sf_dir not in _TS_IS_LONG:
+        ensure_runtime_confs(spark)
+        dt = dict(spark.read.parquet(f"{sf_dir}/events.parquet").dtypes)
+        _TS_IS_LONG[sf_dir] = dt.get("ts") == "bigint"
+    return _TS_IS_LONG[sf_dir]
+
+
+def _events_ddl(spark: SparkSession, sf_dir: str) -> str:
+    return (
+        _EVENTS_DDL_NS
+        if _events_ts_is_long(spark, sf_dir)
+        else _EVENTS_DDL_TS
+    )
+
+
+def _event_time_col(spark: SparkSession, sf_dir: str):
+    """Event-time ts as tz-aware TIMESTAMP (required by watermarks); the
+    UTC-pinned session makes the ntz->tz cast value-preserving."""
+    if _events_ts_is_long(spark, sf_dir):
+        return F.timestamp_micros(F.expr("ts div 1000"))
+    return F.col("ts").cast("timestamp")
 
 
 _STREAM_DIRS: dict[str, str] = {}
@@ -60,7 +94,7 @@ def _events_stream_dir(sf_dir: str) -> str:
 def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_runtime_confs(spark)
     raw = (
-        spark.readStream.schema(_EVENTS_DDL)
+        spark.readStream.schema(_events_ddl(spark, sf_dir))
         .format("parquet")
         .load(_events_stream_dir(sf_dir))
     )
@@ -68,7 +102,7 @@ def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE on ntz); the session is pinned
     # to UTC, and outputs are cast back to ntz after the sink so results
     # collect identically to the batch twins on any host timezone.
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", _event_time_col(spark, sf_dir))
 
 
 def _run_to_memory(stream_df: DataFrame, output_mode: str) -> DataFrame:
@@ -489,8 +523,10 @@ def _late_stream_dir(spark: SparkSession, sf_dir: str) -> str:
     if sf_dir not in _LATE_DIRS:
         ensure_runtime_confs(spark)
         d = tempfile.mkdtemp(prefix="events_late_")
-        raw = spark.read.schema(_EVENTS_DDL).parquet(f"{sf_dir}/events.parquet")
-        ts = F.timestamp_micros(F.expr("ts div 1000"))
+        raw = spark.read.schema(_events_ddl(spark, sf_dir)).parquet(
+            f"{sf_dir}/events.parquet"
+        )
+        ts = _event_time_col(spark, sf_dir)
         split = F.lit(_LATE_SPLIT).cast("timestamp")
         mid = F.lit("2024-01-20").cast("timestamp")
         raw.filter((ts >= split) & (ts < mid)).coalesce(1).write.parquet(f"{d}/a1")
@@ -532,14 +568,14 @@ def q_stream_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     three-batch schedule."""
     d = _late_stream_dir(spark, sf_dir)
     raw = (
-        spark.readStream.schema(_EVENTS_DDL)
+        spark.readStream.schema(_events_ddl(spark, sf_dir))
         .option("maxFilesPerTrigger", 1)
         .format("parquet")
         .load(d)
     )
-    ev = raw.withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    ).withWatermark("ts", "1 hour")
+    ev = raw.withColumn("ts", _event_time_col(spark, sf_dir)).withWatermark(
+        "ts", "1 hour"
+    )
     agg = (
         ev.groupBy(F.window("ts", "1 day"), "event_type")
         .agg(F.count(F.lit(1)).alias("n_events"))
