@@ -72,6 +72,8 @@ _OPERATOR_MODULES = (
     "operators.relational_ext23",
     "operators.relational_ext24",
     "operators.relational_ext25",
+    "operators.relational_ext26",
+    "operators.vector_ext4",
     "streaming.queries",
     "streaming.transform_state",
 )
