@@ -178,15 +178,12 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     via the canonical e1(a,b)⋈e2(b,c)⋈e3(a,c) double join — the classic
     distributed formulation; degree-based orientation keeps the path
     explosion bounded by heavy-hitter degree."""
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a = li.select("l_orderkey", F.col("l_partkey").alias("pa"))
-    b = li.select("l_orderkey", F.col("l_partkey").alias("pb"))
-    pairs = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("pa") < F.col("pb"))
-        .select("pa", "pb")
-        .distinct()
-    )
+    from .graph_ext3 import _copurchase_edges
+
+    # Shared materialized edge relation: the three wedge-join branches
+    # below each scan the small 2-column parquet instead of re-running
+    # the lineitem self-join + distinct per branch.
+    pairs = _copurchase_edges(spark, sf_dir)
     # Orientation note (measured): id-ordered orientation (a<b) does the
     # canonical wedge join in ~13 s at sf0.1. A degree-based orientation
     # (orient toward higher degree — the O(sqrt m) heavy-hitter bound)

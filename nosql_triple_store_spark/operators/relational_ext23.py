@@ -112,17 +112,12 @@ def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     applied to a graph moment). Costs one edge-derivation (shared shape
     with q_graph_triangles), one degree aggregate, and one broadcast-
     able degree join per edge end."""
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_partkey"
-    )
-    a = li.select("l_orderkey", F.col("l_partkey").alias("pa"))
-    b = li.select("l_orderkey", F.col("l_partkey").alias("pb"))
-    pairs = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("pa") < F.col("pb"))
-        .select("pa", "pb")
-        .distinct()
-    )
+    from .graph_ext3 import _copurchase_edges
+
+    # Shared materialized edge relation (see graph_ext3._copurchase_edges):
+    # the und stream below fans out twice (degree agg + edge-end join) and
+    # now re-reads a 2-column parquet instead of re-deriving the self-join.
+    pairs = _copurchase_edges(spark, sf_dir)
     und = pairs.select(
         F.col("pa").alias("src"), F.col("pb").alias("dst")
     ).unionByName(

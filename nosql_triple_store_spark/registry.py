@@ -73,6 +73,7 @@ _OPERATOR_MODULES = (
     "operators.relational_ext24",
     "operators.relational_ext25",
     "operators.relational_ext26",
+    "operators.relational_ext27",
     "operators.vector_ext4",
     "streaming.queries",
     "streaming.transform_state",
