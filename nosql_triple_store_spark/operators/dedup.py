@@ -7,9 +7,10 @@ Scale design per operator:
 - shingle-Jaccard: inverted-index self-join (explode shingles → join on
   shingle → count common per pair) instead of an O(n²) cross join; the
   pair space is bounded by shared-shingle co-occurrence. Hot shingles are
-  the skew risk at 100 TB — the standard mitigation (drop shingles above a
-  doc-frequency cap) is noted inline; unnecessary at fixture skew (max df
-  7 at sf0.01).
+  the skew risk at 100 TB — shingles with doc-frequency > SHINGLE_DF_CAP
+  are dropped from the index (broadcast anti-join; denominators stay
+  exact), bounding any one join key's pair fanout at cap²/2. Skew-tested
+  in tests/test_dedup.py with a 50%-df synthetic shingle.
 - MinHash LSH: 16 permutations × 4 bands; signatures via xxhash64(shingle,
   seed) min-aggregated (partial-aggregable), band-bucket self-join emits
   candidates, zip_with estimates Jaccard — the sub-quadratic path.
@@ -17,8 +18,9 @@ Scale design per operator:
   per-bit majority vote is the one step built-ins can't express without a
   64x row explosion), then 8-bit banded self-join + bit_count Hamming
   verify — all JVM-side.
-- embedding-cosine: exact all-pairs at fixture scale (≤2k vectors);
-  the LSH/IVF sub-quadratic variants live in operators/vector.py.
+- embedding-cosine: exact all-pairs via triangle-blocked distributed
+  GEMM (no driver collect); the sub-quadratic approximate variants live
+  in operators/vector.py (IVF) and vector_ext2.py (SRP-LSH).
 """
 
 from __future__ import annotations
@@ -52,7 +54,20 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.md5("text").alias("text_md5"), "keep_doc_id", "n_copies")
 
 
-def _shingle_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+# Shingles appearing in more than this many docs are dropped from the
+# inverted index (NOT from the per-doc size denominators): one viral
+# shingle shared by f docs contributes f·(f-1)/2 candidate pairs on a
+# single join key — the quadratic skew blowup at 100 TB. Dropping it
+# loses at most (dropped shingles)/(union size) of Jaccard mass per
+# pair, and high-df shingles are boilerplate that carries no dedup
+# signal anyway. Fixture max df is 7 (sf0.01) / ~70 (sf0.1), far below
+# the default, so fixture results are byte-identical to the uncapped run.
+SHINGLE_DF_CAP = 5000
+
+
+def _shingle_pairs(
+    spark: SparkSession, sf_dir: str, df_cap: int = SHINGLE_DF_CAP
+) -> DataFrame:
     """(doc_a, doc_b, common, na, nb) via inverted-index self-join."""
     docs = load_table(spark, sf_dir, "documents")
     sh = docs.select(
@@ -65,11 +80,21 @@ def _shingle_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 8-12 s -> ~4 s). At 100 TB the same role is played by persisting the
     # shingle table (or writing it once) before the self-join.
     sh = sh.repartition(16).localCheckpoint()
-    # At 100 TB: add .filter on shingle doc-frequency (df <= cap) here to
-    # bound hot-shingle pair explosion; fixture max df is 7, so omitted.
+    # sizes come from the UNCAPPED stream so Jaccard denominators stay
+    # exact; the cap only prunes the candidate-generating index below
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    # hot-shingle skew guard: the over-cap shingle set is tiny by
+    # construction (each member appears in >df_cap docs), so it
+    # broadcasts; the anti-join never shuffles the shingle stream
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > df_cap)
+        .select("shingle")
+    )
+    sh_idx = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    a = sh_idx.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh_idx.select(F.col("doc_id").alias("doc_b"), "shingle")
     common = (
         a.join(b, "shingle")
         .filter(F.col("doc_a") < F.col("doc_b"))
@@ -306,49 +331,84 @@ WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
 """
 
 
+_EMBED_TAU = 0.4
+_EMBED_BLOCK_ROWS = 4096  # target rows per GEMM block
+
+
 @register("q_dedup_embed", oracle=_EMBED_ORACLE)
 def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (cos ≥ 0.4), exact, via blocked
-    matrix multiply.
+    """Embedding-cosine near-dup pairs (cos ≥ 0.4), exact, via a
+    triangle-blocked DISTRIBUTED matrix multiply — no driver collect.
+
+    Rows are hashed into B row-blocks (B sized so a block matrix is a few
+    MB); every unordered block pair (lo, hi) with lo ≤ hi is one GEMM
+    task. Each row is exploded to its B partner tasks, shuffled once by
+    (lo, hi), and applyInPandas computes that task's A_lo @ A_hi^T in one
+    BLAS call, emitting pairs ≥ τ. Every unordered vector pair lands in
+    exactly one task, so the result is EXACT (recall 1.0 vs the all-pairs
+    oracle) while the shuffle carries n·B rows and no single task ever
+    holds more than ~2·_EMBED_BLOCK_ROWS vectors — this survives 100 TB
+    where the previous whole-table collect()+broadcast was a driver OOM.
+    Exact all-pairs is inherently O(n²·d) flops; the sub-quadratic
+    *approximate* paths (SRP-LSH bands, IVF cells) are
+    vector_ext2.q_vector_lsh_cosine and vector.q_vector_ivf.
 
     Implementation note (measured): the pure higher-order-function
     formulation (crossJoin + zip_with/aggregate cosine) took 63 s at
     sf0.1 — lambda-based array expressions are *interpreted per element*,
-    not codegen'd, so n²·d interpreted closures dominate. The scale-right
-    kernel is a blocked GEMM: normalize rows once, broadcast the (small)
-    right-hand matrix, and let each partition compute its block's
-    A_block @ B^T in one BLAS call via mapInPandas — n²·d fused flops,
-    ~100× faster, and exactly how you'd structure within-bucket
-    verification of blocked dedup at 100 TB (broadcast the bucket, GEMM
-    per block). Threshold margin vs BLAS/duckdb summation-order noise was
-    probed: nearest pair sits 1.3e-4 from τ, noise is ~1e-15.
+    not codegen'd, so n²·d interpreted closures dominate; blocked BLAS is
+    ~100× faster. Threshold margin vs BLAS/duckdb summation-order noise
+    was probed: nearest pair sits 1.3e-4 from τ, noise is ~1e-15.
     """
     import numpy as np
 
     emb = load_table(spark, sf_dir, "embeddings")
-    rows = emb.select("vec_id", "embedding").collect()
-    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
-    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
-    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
-    b_ids = spark.sparkContext.broadcast(ids)
-    b_mat = spark.sparkContext.broadcast(mat)
+    n = emb.count()  # scalar only — no vector data leaves the executors
+    n_blocks = max(1, -(-n // _EMBED_BLOCK_ROWS))
 
-    def gemm_block(pdfs: "pd.DataFrame") -> "pd.DataFrame":
-        for pdf in pdfs:
-            a = np.array(list(pdf["embedding"]), dtype=np.float64)
-            a /= np.linalg.norm(a, axis=1, keepdims=True)
-            sims = a @ b_mat.value.T  # one BLAS call per Arrow batch
-            aid = pdf["vec_id"].to_numpy()
-            ai, bj = np.nonzero(sims >= 0.4)
-            keep = aid[ai] < b_ids.value[bj]
-            yield pd.DataFrame(
-                {
-                    "vec_a": aid[ai][keep],
-                    "vec_b": b_ids.value[bj][keep],
-                    "cos_sim": np.round(sims[ai, bj][keep], 6),
-                }
-            )
+    tagged = emb.select(
+        "vec_id",
+        "embedding",
+        F.pmod(F.xxhash64("vec_id"), F.lit(n_blocks)).alias("blk"),
+    )
+    # each row joins every partner block exactly once: task key is the
+    # sorted block pair, so pair {x, y} appears in exactly one task
+    tasks = tagged.select(
+        "vec_id",
+        "embedding",
+        "blk",
+        F.explode(F.array(*[F.lit(j) for j in range(n_blocks)])).alias("j"),
+    ).select(
+        "vec_id",
+        "embedding",
+        "blk",
+        F.least("blk", "j").alias("t_lo"),
+        F.greatest("blk", "j").alias("t_hi"),
+    )
 
-    return emb.select("vec_id", "embedding").mapInPandas(
-        gemm_block, schema="vec_a long, vec_b long, cos_sim double"
+    def gemm_task(key, pdf):
+        lo, hi = key
+        ids = pdf["vec_id"].to_numpy()
+        mat = np.array(list(pdf["embedding"]), dtype=np.float64)
+        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+        if lo == hi:
+            sims = mat @ mat.T
+            ai, bj = np.nonzero(sims >= _EMBED_TAU)
+            keep = ids[ai] < ids[bj]
+            va, vb, cs = ids[ai][keep], ids[bj][keep], sims[ai, bj][keep]
+        else:
+            a_side = pdf["blk"].to_numpy() == lo
+            sims = mat[a_side] @ mat[~a_side].T
+            ai, bj = np.nonzero(sims >= _EMBED_TAU)
+            va, vb, cs = ids[a_side][ai], ids[~a_side][bj], sims[ai, bj]
+        return pd.DataFrame(
+            {
+                "vec_a": np.minimum(va, vb),
+                "vec_b": np.maximum(va, vb),
+                "cos_sim": np.round(cs, 6),
+            }
+        )
+
+    return tasks.groupBy("t_lo", "t_hi").applyInPandas(
+        gemm_task, schema="vec_a long, vec_b long, cos_sim double"
     )

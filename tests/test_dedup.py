@@ -44,6 +44,81 @@ def test_minhash_estimates_correlate(spark):
     assert all(abs(e - x) < 0.35 for x, e in both), both
 
 
+def test_embed_blocked_gemm_exact_vs_bruteforce(spark):
+    """The triangle-blocked distributed GEMM must be EXACT: its pair set
+    at τ=0.4 equals driver-side brute force (recall 1.0 AND precision
+    1.0) — the blocking is a shuffle layout, not an approximation."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{SF_DIR}/embeddings.parquet").to_pandas()
+    ids = t["vec_id"].to_numpy()
+    mat = np.array(list(t["embedding"]), dtype=np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = mat @ mat.T
+    ai, bj = np.nonzero(sims >= 0.4)
+    keep = ids[ai] < ids[bj]
+    expected = set(zip(ids[ai][keep].tolist(), ids[bj][keep].tolist()))
+
+    got = {
+        (r["vec_a"], r["vec_b"])
+        for r in SPECS["q_dedup_embed"].fn(spark, SF_DIR).collect()
+    }
+    assert got == expected
+    assert len(got) > 0
+
+
+def test_embed_no_driver_collect_of_vectors():
+    """Regression guard for the round-2 scale defect: q_dedup_embed must
+    not materialize the embeddings table on the driver."""
+    import inspect
+
+    from nosql_triple_store_spark.operators.dedup import q_dedup_embed
+
+    src = inspect.getsource(q_dedup_embed)
+    assert ".collect()" not in src
+    assert "broadcast(" not in src
+
+
+def test_shingle_df_cap_bounds_hot_shingle_pairs(spark, tmp_path):
+    """Skew guard: a synthetic corpus where one shingle appears in 50% of
+    docs. Uncapped, that shingle alone contributes 50·49/2 = 1225 pairs;
+    with the df-cap it contributes none, and only genuinely-similar pairs
+    survive. Denominators (n_sh) must stay uncapped-exact."""
+    import pandas as pd
+
+    from nosql_triple_store_spark.operators.dedup import _shingle_pairs
+
+    rng_docs = []
+    for i in range(100):
+        if i % 2 == 0:
+            # hot boilerplate shingle "common header line" in half the docs
+            text = f"common header line unique{i} tail{i} body{i}"
+        else:
+            text = f"solo{i} words{i} only{i} here{i} now{i}"
+        rng_docs.append({"doc_id": i, "text": text})
+    # one genuine near-dup pair that shares non-hot shingles
+    rng_docs.append({"doc_id": 200, "text": "alpha beta gamma delta epsilon"})
+    rng_docs.append({"doc_id": 201, "text": "alpha beta gamma delta zeta"})
+    pdf = pd.DataFrame(rng_docs)
+    pdf["lang"] = "en"
+    pdf["source"] = "synth"
+    pdf["n_chars"] = pdf["text"].str.len()
+    pdf.to_parquet(str(tmp_path / "documents.parquet"))
+
+    capped = _shingle_pairs(spark, str(tmp_path), df_cap=10).collect()
+    capped_pairs = {(r["doc_a"], r["doc_b"]) for r in capped}
+    # the hot shingle's 1225-pair clique is gone; the genuine pair stays
+    assert (200, 201) in capped_pairs
+    assert len(capped_pairs) < 100, len(capped_pairs)
+    # denominators exact: doc 200 has 3 shingles of 5 tokens
+    n_sh = {r["doc_a"]: r["na"] for r in capped}
+    assert n_sh[200] == 3
+
+    uncapped = _shingle_pairs(spark, str(tmp_path), df_cap=10_000).collect()
+    assert len({(r["doc_a"], r["doc_b"]) for r in uncapped}) > 1225
+
+
 def test_simhash_deterministic(spark):
     r1 = sorted(
         map(tuple, SPECS["q_dedup_simhash"].fn(spark, SF_DIR).collect())
