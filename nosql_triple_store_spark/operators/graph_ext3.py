@@ -4,14 +4,12 @@ customer->part incidence."""
 
 from __future__ import annotations
 
-import os
-import tempfile
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..registry import register
+from ..scratch import scratch_dir
 
 K_CORE = 4
 
@@ -34,11 +32,7 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     table (at 100 TB, bucketed by pa so the wedge joins also skip their
     shuffle)."""
     if sf_dir not in _COPURCHASE_DIRS:
-        out = os.path.join(
-            tempfile.gettempdir(),
-            "spark_graft_copurchase",
-            os.path.basename(os.path.normpath(sf_dir)),
-        )
+        out = scratch_dir("copurchase", sf_dir)
         li = load_table(spark, sf_dir, "lineitem").select(
             "l_orderkey", "l_partkey"
         )

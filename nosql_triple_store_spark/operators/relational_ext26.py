@@ -10,9 +10,6 @@ sum/count, has no incremental form.
 
 from __future__ import annotations
 
-import os
-import tempfile
-
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -20,6 +17,7 @@ from ..catalog import load_table
 from ..functions.textfns import TOKS_SQL, shingles_col, shingles_sql, tokens_col
 from ..operators.triple import E_CTE
 from ..registry import register
+from ..scratch import scratch_dir
 
 # --- q_text_repetition --------------------------------------------------
 
@@ -251,11 +249,21 @@ _SMALL_FILES = 48
 _COMPACT_TARGET = 4
 
 
+_COMPACT_DIRS: dict[str, tuple[str, str]] = {}
+
+
 def compact_dir(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     """Materialize the small-file layout and its compacted rewrite;
-    returns (small_dir, compacted_dir). Exposed for tests."""
-    tag = os.path.basename(os.path.normpath(sf_dir))
-    base = os.path.join(tempfile.gettempdir(), "spark_graft_compact", tag)
+    returns (small_dir, compacted_dir). Exposed for tests.
+
+    Memoized per sf_dir like the sibling _COPURCHASE/_XML/_BINFILE
+    caches, so repeated q_maintenance_compact runs don't pay two full
+    event-table rewrites each, and a concurrent run can never overwrite
+    a directory another plan is lazily reading (path is also
+    per-process via scratch_dir)."""
+    if sf_dir in _COMPACT_DIRS:
+        return _COMPACT_DIRS[sf_dir]
+    base = scratch_dir("compact", sf_dir)
     small, compacted = f"{base}/small", f"{base}/compacted"
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "event_type", "value"
@@ -267,6 +275,7 @@ def compact_dir(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
         .write.mode("overwrite")
         .parquet(compacted)
     )
+    _COMPACT_DIRS[sf_dir] = (small, compacted)
     return small, compacted
 
 

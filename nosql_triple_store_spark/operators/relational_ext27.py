@@ -10,14 +10,12 @@ error-bound tests.
 
 from __future__ import annotations
 
-import os
-import tempfile
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..registry import register
+from ..scratch import scratch_dir
 
 # --- q_source_xml ---------------------------------------------------------
 
@@ -44,11 +42,7 @@ def q_source_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
     tier speaks it via every ESB); parsing happens JVM-side per
     partition, no Python in the row path."""
     if sf_dir not in _XML_DIRS:
-        out = os.path.join(
-            tempfile.gettempdir(),
-            "spark_graft_xml",
-            os.path.basename(os.path.normpath(sf_dir)),
-        )
+        out = scratch_dir("xml", sf_dir)
         (
             load_table(spark, sf_dir, "customer")
             .select("c_custkey", "c_mktsegment", "c_acctbal")
@@ -100,11 +94,7 @@ def q_source_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same bytes as Σ(octet_length(text)+1 newline) per source —
     file-count-independent, so the check is layout-stable."""
     if sf_dir not in _BINFILE_DIRS:
-        out = os.path.join(
-            tempfile.gettempdir(),
-            "spark_graft_binfiles",
-            os.path.basename(os.path.normpath(sf_dir)),
-        )
+        out = scratch_dir("binfiles", sf_dir)
         (
             load_table(spark, sf_dir, "documents")
             .select("source", "text")
@@ -174,7 +164,13 @@ def q_scalar_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- q_agg_heavy_hitters -----------------------------------------------------
 
-_HH_SHARE = 0.02  # report items holding >= 2% of their type's events
+# Threshold as an exact rational 1/_HH_DEN: the filter is cnt*_HH_DEN >=
+# total on BOTH sides, pure int64 arithmetic, so Spark and DuckDB agree
+# bit-for-bit at the boundary (a double 0.02*total is strictly > 1/50 of
+# an exact DECIMAL total, which silently excluded exact-2% holders).
+# 1/125 = 0.8% is fixture-calibrated: sf0.01 max share is ~1.2%, so the
+# result is non-empty and the oracle check is non-vacuous.
+_HH_DEN = 125
 
 _HH_ORACLE = f"""
 WITH c AS (
@@ -186,19 +182,19 @@ t AS (
 SELECT c.event_type, c.user_id, c.cnt,
        ROUND(CAST(c.cnt AS DOUBLE) / CAST(t.total AS DOUBLE), 5) AS share
 FROM c JOIN t USING (event_type)
-WHERE c.cnt * 1.0 >= {_HH_SHARE} * t.total
+WHERE c.cnt * {_HH_DEN} >= t.total
 """
 
 
 @register("q_agg_heavy_hitters", oracle=_HH_ORACLE)
 def q_agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact heavy hitters: users holding ≥{pct}% of their event type's
+    """Exact heavy hitters: users holding ≥1/{den} of their event type's
     traffic — the ground truth that q_agg_countmin's sketch estimates
     (the sketch path wins when the key universe doesn't fit a groupBy;
     this exact path is two partial-aggregable shuffles and a broadcast
     of the per-type totals, the right plan while distinct keys stay
-    bounded). The threshold compare is integer×double on exact counts;
-    only the reported share is rounded."""
+    bounded). The threshold compare is pure int64 (cnt·den ≥ total) so
+    the boundary is engine-exact; only the reported share is rounded."""
     ev = load_table(spark, sf_dir, "events")
     c = ev.groupBy("event_type", "user_id").agg(
         F.count(F.lit(1)).alias("cnt")
@@ -206,7 +202,7 @@ def q_agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = c.groupBy("event_type").agg(F.sum("cnt").alias("total"))
     return (
         c.join(F.broadcast(t), "event_type")
-        .filter(F.col("cnt") * 1.0 >= _HH_SHARE * F.col("total"))
+        .filter(F.col("cnt") * _HH_DEN >= F.col("total"))
         .select(
             "event_type",
             "user_id",
@@ -220,5 +216,5 @@ def q_agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 q_agg_heavy_hitters.__doc__ = q_agg_heavy_hitters.__doc__.format(
-    pct=int(_HH_SHARE * 100)
+    den=_HH_DEN
 )
