@@ -432,8 +432,6 @@ def q_stream_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     commutative/idempotent per delta, so a micro-batch retry after a
     sink failure converges (the reference replays its changelog the
     same way, SURVEY §3.2)."""
-    import shutil
-
     from ..sources.compaction import compact, read_register
 
     base = os.path.join(
@@ -459,12 +457,14 @@ def q_stream_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
+    # return the lazy read over the final version: the register dir is a
+    # per-run mkdtemp that outlives the query (no rmtree), so no
+    # localCheckpoint double-materialization is needed — round 2 paid an
+    # extra full pass (checkpoint compute+store, then reread) just to
+    # allow an eager cleanup of a few MB of /tmp
     out = read_register(spark, base).withColumn(
         "ts", F.col("ts").cast("timestamp_ntz")
     )
-    # materialize before the temp register dir can be cleaned up
-    out = out.localCheckpoint()
-    shutil.rmtree(os.path.dirname(base), ignore_errors=True)
     return out.select("user_id", "event_type", "event_id", "ts", "value")
 
 
