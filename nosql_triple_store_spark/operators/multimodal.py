@@ -2,12 +2,21 @@
 binary columns + typed metadata, with decode / feature-extraction /
 frame-sampling plumbing.
 
-The container has no image/audio codecs (task brief), so the *decode*
-step is a clearly-marked stub: `decode_media` raises NotImplementedError
-for real decoding, and the pipelines use a deterministic fake feature
-extractor instead. Everything Spark-side is real and tested: binary
-column synthesis, Arrow transfer of bytes through mapInPandas, batch
-shapes, output schemas, and per-frame explosion.
+Two public container formats are decoded END-TO-END with pure
+numpy/stdlib parsers — no codec libraries needed:
+
+- WAV (RIFF PCM16 mono): `encode_wav_pcm16` writes a real RIFF file,
+  `decode_wav_pcm16` independently walks the chunk list (never assuming
+  a fixed 44-byte layout) and returns rate + samples.
+- PPM (P6 binary): `encode_ppm`/`decode_ppm` for 24-bit RGB rasters.
+
+Compressed formats (png/jpg/mp3/...) still raise NotImplementedError in
+`decode_media` — their codecs aren't in this container — and those
+pipelines use the deterministic fake feature extractor. Everything
+Spark-side is real and tested either way: binary column synthesis, Arrow
+transfer of bytes through mapInPandas, batch shapes, output schemas,
+per-frame explosion, and (for wav/ppm) the full encode→decode→stats
+loop, oracle-checked by recomputing the stats analytically in SQL.
 
 Scale notes: mapInPandas streams Arrow record batches (no per-row pickle);
 binary payloads ride columnar buffers. Frame sampling is a JVM-side
@@ -16,8 +25,10 @@ sequence+explode — row expansion happens after filters, never before.
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -26,9 +37,85 @@ from ..catalog import load_table
 from ..registry import register
 
 
-def decode_media(payload: bytes, fmt: str):  # pragma: no cover - stub
-    """Decode an image/audio/video payload. STUB: real codecs are not
-    available in this environment; swap in PIL/ffmpeg/soundfile here."""
+def encode_wav_pcm16(samples: "np.ndarray", rate: int) -> bytes:
+    """Minimal RIFF/WAVE writer: PCM16 mono, little-endian."""
+    data = samples.astype("<i2").tobytes()
+    fmt_chunk = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt_chunk)) + fmt_chunk
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav_pcm16(payload: bytes) -> tuple[int, "np.ndarray"]:
+    """Pure-numpy RIFF/WAVE PCM16 decoder: returns (sample_rate, samples).
+
+    Walks the chunk list rather than assuming a fixed header layout, so
+    files with extra chunks (LIST/INFO metadata) decode correctly."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, rate, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        chunk = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            audio_fmt, channels, rate = struct.unpack("<HHI", chunk[:8])
+            bits = struct.unpack("<H", chunk[14:16])[0]
+            if (audio_fmt, channels, bits) != (1, 1, 16):
+                raise ValueError("only PCM16 mono supported")
+        elif cid == b"data":
+            data = np.frombuffer(chunk, dtype="<i2")
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if rate is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    return rate, data
+
+
+def encode_ppm(pixels: "np.ndarray") -> bytes:
+    """Minimal binary PPM (P6) writer: pixels is (h, w, 3) uint8."""
+    h, w, _ = pixels.shape
+    return f"P6\n{w} {h}\n255\n".encode("ascii") + pixels.astype(
+        np.uint8
+    ).tobytes()
+
+
+def decode_ppm(payload: bytes) -> "np.ndarray":
+    """Pure-numpy binary PPM (P6) decoder: returns (h, w, 3) uint8.
+
+    Parses the whitespace/comment-tolerant header per the netpbm spec."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a binary PPM payload")
+    fields, pos = [], 2
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":  # comment to end-of-line
+            while payload[pos : pos + 1] not in (b"\n", b""):
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = fields
+    if maxval != 255:
+        raise ValueError("only 8-bit PPM supported")
+    raster = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=pos)
+    return raster.reshape(h, w, 3)
+
+
+def decode_media(payload: bytes, fmt: str):
+    """Decode an image/audio payload. Real pure-numpy decoders for the
+    uncompressed public container formats (wav, ppm); compressed codecs
+    (png/jpg/...) are NOT in this container and still raise."""
+    if fmt == "wav":
+        return decode_wav_pcm16(payload)
+    if fmt == "ppm":
+        return decode_ppm(payload)
     raise NotImplementedError(
         f"media decoding for format {fmt!r} requires codec libraries "
         "(PIL/ffmpeg) not present in this environment; pipelines use "
@@ -98,6 +185,135 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.encode("text", "UTF-8").alias("payload"),
     )
     return media.mapInPandas(_extract_meta, schema=_META_SCHEMA)
+
+
+_WAV_RATE = 8000
+
+
+@register(
+    "q_multimodal_decode",
+    oracle="""
+WITH p AS (
+  SELECT doc_id, 160 + doc_id % 96 AS n FROM documents),
+s AS (
+  SELECT doc_id, n,
+         ((doc_id * 31 + 7 * unnest(range(n))) % 2001) - 1000 AS v
+  FROM p)
+SELECT doc_id,
+       CAST(8000 AS BIGINT) AS sample_rate,
+       CAST(n AS BIGINT) AS n_samples,
+       n / 8.0 AS duration_ms,
+       ROUND(AVG(v), 6) AS mean_amp,
+       CAST(MAX(ABS(v)) AS BIGINT) AS peak_amp
+FROM s GROUP BY doc_id, n
+""",
+)
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode end-to-end: per doc, synthesize a deterministic
+    PCM16 signal, container it as an actual RIFF/WAVE file
+    (encode_wav_pcm16), then DECODE the bytes back with the independent
+    chunk-walking parser (decode_wav_pcm16) and derive stats from the
+    decoded samples only. The oracle recomputes the same stats
+    analytically in SQL from the signal formula — so a header-layout
+    bug, byte-order slip, or off-by-one in either codec path breaks the
+    hash match. This is the decode step the round-2 stub left out; the
+    compressed formats (png/jpg) remain stubbed for lack of codecs.
+
+    Scale: one mapInPandas over Arrow batches; each task decodes its
+    batch in-place — at 100 TB this is the same kernel shape with
+    payloads read from parquet binary columns instead of synthesized.
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "doc_id": [], "sample_rate": [], "n_samples": [],
+                "duration_ms": [], "mean_amp": [], "peak_amp": [],
+            }
+            for doc_id in pdf["doc_id"]:
+                n = 160 + doc_id % 96
+                i = np.arange(n, dtype=np.int64)
+                sig = ((doc_id * 31 + 7 * i) % 2001) - 1000
+                payload = encode_wav_pcm16(sig, _WAV_RATE)
+                rate, dec = decode_wav_pcm16(payload)
+                dec = dec.astype(np.int64)
+                out["doc_id"].append(doc_id)
+                out["sample_rate"].append(rate)
+                out["n_samples"].append(len(dec))
+                out["duration_ms"].append(len(dec) * 1000.0 / rate)
+                out["mean_amp"].append(round(float(dec.mean()), 6))
+                out["peak_amp"].append(int(np.abs(dec).max()))
+            yield pd.DataFrame(out)
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.repartition(16).mapInPandas(
+        kernel,
+        schema=(
+            "doc_id long, sample_rate long, n_samples long, "
+            "duration_ms double, mean_amp double, peak_amp long"
+        ),
+    )
+
+
+@register(
+    "q_multimodal_decode_image",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 5 AS h FROM documents),
+px AS (
+  SELECT doc_id, w, h, unnest(range(w * h)) AS p FROM d)
+SELECT doc_id,
+       CAST(w AS BIGINT) AS width,
+       CAST(h AS BIGINT) AS height,
+       ROUND(AVG((doc_id + p) % 256), 6) AS mean_r,
+       ROUND(AVG((doc_id * 2 + 3 * p) % 256), 6) AS mean_g,
+       ROUND(AVG((doc_id * 3 + 7 * p) % 256), 6) AS mean_b
+FROM px GROUP BY doc_id, w, h
+""",
+)
+def q_multimodal_decode_image(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode end-to-end: per doc, rasterize a deterministic
+    RGB pattern, container it as an actual binary PPM (P6) file, decode
+    the bytes back with the independent header-parsing decoder, and
+    derive per-channel stats from the decoded raster only; the oracle
+    recomputes them analytically. Same mapInPandas kernel shape as
+    q_multimodal_decode."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "doc_id": [], "width": [], "height": [],
+                "mean_r": [], "mean_g": [], "mean_b": [],
+            }
+            for doc_id in pdf["doc_id"]:
+                w, h = 8 + doc_id % 9, 8 + doc_id % 5
+                p = np.arange(w * h, dtype=np.int64)
+                rgb = np.stack(
+                    [
+                        (doc_id + p) % 256,
+                        (doc_id * 2 + 3 * p) % 256,
+                        (doc_id * 3 + 7 * p) % 256,
+                    ],
+                    axis=1,
+                ).reshape(h, w, 3)
+                payload = encode_ppm(rgb)
+                dec = decode_ppm(payload).astype(np.float64)
+                out["doc_id"].append(doc_id)
+                out["height"].append(dec.shape[0])
+                out["width"].append(dec.shape[1])
+                out["mean_r"].append(round(float(dec[:, :, 0].mean()), 6))
+                out["mean_g"].append(round(float(dec[:, :, 1].mean()), 6))
+                out["mean_b"].append(round(float(dec[:, :, 2].mean()), 6))
+            yield pd.DataFrame(out)
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.repartition(16).mapInPandas(
+        kernel,
+        schema=(
+            "doc_id long, width long, height long, "
+            "mean_r double, mean_g double, mean_b double"
+        ),
+    )
 
 
 @register(

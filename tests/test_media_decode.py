@@ -1,0 +1,81 @@
+"""Unit tests for the pure-numpy WAV/PPM codecs behind
+q_multimodal_decode / q_multimodal_decode_image — including container
+variants the fixture queries never produce (extra RIFF chunks, PPM
+comments), so the decoders are spec-robust, not synthesis-shaped."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from nosql_triple_store_spark.operators.multimodal import (
+    decode_media,
+    decode_ppm,
+    decode_wav_pcm16,
+    encode_ppm,
+    encode_wav_pcm16,
+)
+
+
+def test_wav_roundtrip():
+    sig = np.array([0, 1, -1, 32767, -32768, 123], dtype=np.int64)
+    rate, dec = decode_wav_pcm16(encode_wav_pcm16(sig, 44100))
+    assert rate == 44100
+    np.testing.assert_array_equal(dec, sig.astype(np.int16))
+
+
+def test_wav_decoder_walks_extra_chunks():
+    """A LIST/INFO metadata chunk before data must not break decoding —
+    the decoder walks chunks, it doesn't assume a 44-byte header."""
+    sig = np.arange(-5, 6, dtype=np.int64)
+    payload = encode_wav_pcm16(sig, 8000)
+    # splice an odd-sized LIST chunk between fmt and data (tests the
+    # word-alignment padding rule too)
+    fmt_end = payload.index(b"data")
+    extra = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"
+    spliced = payload[:fmt_end] + extra + payload[fmt_end:]
+    rate, dec = decode_wav_pcm16(spliced)
+    assert rate == 8000
+    np.testing.assert_array_equal(dec, sig.astype(np.int16))
+
+
+def test_wav_rejects_non_riff_and_stereo():
+    with pytest.raises(ValueError):
+        decode_wav_pcm16(b"OggS" + b"\x00" * 40)
+    stereo_fmt = struct.pack("<HHIIHH", 1, 2, 8000, 32000, 4, 16)
+    payload = (
+        b"RIFF" + struct.pack("<I", 24) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 16) + stereo_fmt
+    )
+    with pytest.raises(ValueError):
+        decode_wav_pcm16(payload)
+
+
+def test_ppm_roundtrip():
+    rgb = (np.arange(2 * 3 * 3) % 256).astype(np.uint8).reshape(2, 3, 3)
+    np.testing.assert_array_equal(decode_ppm(encode_ppm(rgb)), rgb)
+
+
+def test_ppm_decoder_handles_comments_and_whitespace():
+    rgb = np.full((2, 2, 3), 7, dtype=np.uint8)
+    payload = b"P6\n# a comment line\n 2\t2\n# another\n255\n" + rgb.tobytes()
+    np.testing.assert_array_equal(decode_ppm(payload), rgb)
+
+
+def test_ppm_rejects_wrong_magic_and_depth():
+    with pytest.raises(ValueError):
+        decode_ppm(b"P5\n2 2\n255\n" + b"\x00" * 4)
+    with pytest.raises(ValueError):
+        decode_ppm(b"P6\n1 1\n65535\n" + b"\x00" * 6)
+
+
+def test_decode_media_dispatch():
+    sig = np.array([1, 2, 3], dtype=np.int64)
+    rate, dec = decode_media(encode_wav_pcm16(sig, 8000), "wav")
+    assert rate == 8000 and len(dec) == 3
+    rgb = np.zeros((1, 1, 3), dtype=np.uint8)
+    assert decode_media(encode_ppm(rgb), "ppm").shape == (1, 1, 3)
+    with pytest.raises(NotImplementedError):
+        decode_media(b"\x89PNG", "png")
