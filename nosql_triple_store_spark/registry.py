@@ -74,6 +74,8 @@ _OPERATOR_MODULES = (
     "operators.relational_ext25",
     "operators.relational_ext26",
     "operators.relational_ext27",
+    "operators.relational_ext28",
+    "operators.graph_ext4",
     "operators.vector_ext4",
     "streaming.queries",
     "streaming.transform_state",
