@@ -98,3 +98,29 @@ def test_tpch_q6_q19_predicates_push_to_scan(spark):
         p = _plan(spark, q)
         assert "PushedFilters: [" in p, q
         assert "PushedFilters: []" not in p.split("Scan parquet")[1], q
+
+
+def test_pack_and_twa_reuse_window_partitioning(spark):
+    """The batch-28 single-shuffle claims: the post-window aggregate's
+    grouping keys are a superset of the window partition key, so
+    hashpartitioning(partition key) already clusters the groups and the
+    plan must contain exactly ONE hash exchange."""
+    for q in ("q_pack_sequences", "q_time_weighted_avg"):
+        p = _plan(spark, q)
+        assert p.count("Exchange hashpartitioning") == 1, q
+        assert "partial_" in p, q  # map-side combine still present
+
+
+def test_lww_asof_broadcast_cutoff_and_group_limit(spark):
+    """Time travel must broadcast the 1-row cutoff (no driver
+    round-trip) and push the rank-1 filter below the shuffle
+    (WindowGroupLimit) like every other LWW window."""
+    p = _plan(spark, "q_lww_asof")
+    assert "BroadcastExchange" in p
+    assert "WindowGroupLimit" in p
+
+
+def test_mixture_weights_broadcasts_totals(spark):
+    p = _plan(spark, "q_mixture_weights")
+    assert "BroadcastExchange" in p
+    assert p.count("Exchange hashpartitioning") <= 2
