@@ -1,0 +1,217 @@
+"""Twenty-ninth extension batch: distribution moments, EWMA, register
+vacuum.
+
+- q_agg_moments: per-type skewness / excess kurtosis via explicit
+  two-pass central moments. Spark's builtin skewness()/kurtosis() and
+  DuckDB's disagree on bias correction, so both sides compute the SAME
+  textbook formula (m3/m2^1.5, m4/m2²−3) — the check then verifies the
+  engine's aggregation pipeline, not a library convention.
+- q_window_ewma: exponentially weighted moving average per user, final
+  smoothed value. The recurrence e_t = αx_t + (1−α)e_{t−1} looks
+  inherently sequential, but its closed form is a weighted sum
+  (weight α(1−α)^{n−t}, and (1−α)^{n−1} for the first sample), which is
+  one window + one aggregate — fully JVM-side, partial-aggregable, and
+  SQL-oracle-able. The classic trick for turning scan recurrences into
+  parallel aggregations.
+- q_maintenance_vacuum: retention cleanup of the versioned LWW register
+  (sources/compaction.py) — drop all but the newest K versions, report
+  files/bytes reclaimed. The VACUUM/expire-snapshots twin of
+  q_maintenance_compact.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..operators.triple import E_CTE
+from ..registry import register
+
+# --- q_agg_moments --------------------------------------------------------
+
+
+@register(
+    "q_agg_moments",
+    oracle=f"""
+{E_CTE},
+m AS (
+  SELECT event_type, AVG(value) AS mu,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM e GROUP BY event_type),
+c AS (
+  SELECT e.event_type, m.n,
+         SUM((value - mu) * (value - mu)) / m.n AS m2,
+         SUM((value - mu) * (value - mu) * (value - mu)) / m.n AS m3,
+         SUM((value - mu) * (value - mu) * (value - mu) * (value - mu))
+           / m.n AS m4
+  FROM e JOIN m USING (event_type) GROUP BY e.event_type, m.n)
+SELECT event_type, n,
+       ROUND(sqrt(m2), 6) AS stddev_pop,
+       ROUND(m3 / pow(m2, 1.5), 6) AS skewness,
+       ROUND(m4 / (m2 * m2) - 3, 6) AS excess_kurtosis
+FROM c
+""",
+)
+def q_agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population skewness and excess kurtosis per event type via
+    explicit two-pass central moments (mean broadcast back, then one
+    partial-aggregable power-sum pass). Two-pass beats the one-pass
+    raw-moment expansion at scale: centering first avoids the
+    catastrophic cancellation that raw Σx⁴ − … suffers when |mean| is
+    large relative to the spread."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    m = ev.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.count(F.lit(1)).alias("n")
+    )
+    d = F.col("value") - F.col("mu")
+    c = (
+        ev.join(F.broadcast(m), "event_type")
+        .groupBy("event_type", "n")
+        .agg(
+            (F.sum(d * d) / F.col("n")).alias("m2"),
+            (F.sum(d * d * d) / F.col("n")).alias("m3"),
+            (F.sum(d * d * d * d) / F.col("n")).alias("m4"),
+        )
+    )
+    return c.select(
+        "event_type",
+        "n",
+        F.round(F.sqrt("m2"), 6).alias("stddev_pop"),
+        F.round(F.col("m3") / F.pow("m2", F.lit(1.5)), 6).alias("skewness"),
+        F.round(F.col("m4") / (F.col("m2") * F.col("m2")) - 3, 6).alias(
+            "excess_kurtosis"
+        ),
+    )
+
+
+# --- q_window_ewma --------------------------------------------------------
+
+_EWMA_ALPHA = 0.3
+
+
+@register(
+    "q_window_ewma",
+    oracle=f"""
+{E_CTE},
+s AS (
+  SELECT user_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS t,
+         CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT) AS n
+  FROM e)
+SELECT user_id, n AS n_obs,
+       ROUND(SUM(value * CASE WHEN t = 1
+                  THEN pow(1 - {_EWMA_ALPHA}, n - 1)
+                  ELSE {_EWMA_ALPHA} * pow(1 - {_EWMA_ALPHA}, n - t)
+             END), 6) AS ewma
+FROM s GROUP BY user_id, n
+""",
+)
+def q_window_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Final EWMA (α=0.3) of `value` per user in event-time order. The
+    sequential recurrence is evaluated through its closed form — each
+    sample's weight is α(1−α)^(n−t) (the first keeps (1−α)^(n−1)) — so
+    the whole thing is one window (rank + count) and one sum: no UDF,
+    no per-key sequential scan, partial-aggregable, and the aggregate
+    reuses the window's user_id partitioning (single shuffle, same
+    shape as q_time_weighted_avg)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wp = Window.partitionBy("user_id")
+    s = ev.select(
+        "user_id",
+        "value",
+        F.row_number().over(w).alias("t"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+    )
+    a = _EWMA_ALPHA
+    weight = F.when(
+        F.col("t") == 1, F.pow(F.lit(1 - a), F.col("n") - 1)
+    ).otherwise(F.lit(a) * F.pow(F.lit(1 - a), F.col("n") - F.col("t")))
+    return (
+        s.groupBy("user_id", F.col("n").alias("n_obs"))
+        .agg(F.round(F.sum(F.col("value") * weight), 6).alias("ewma"))
+        .select("user_id", "n_obs", "ewma")
+    )
+
+
+# --- q_maintenance_vacuum -------------------------------------------------
+
+_VACUUM_KEEP = 2
+_VACUUM_BATCHES = 4
+# memoized dispositions per sf_dir: vacuuming is destructive, so a
+# repeat invocation must report the ORIGINAL run (idempotent result),
+# not re-vacuum an already-trimmed register
+_VACUUM_RESULTS: dict[str, list[tuple]] = {}
+
+
+@register("q_maintenance_vacuum", oracle=None)  # rows-only: fs maintenance
+def q_maintenance_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Register retention cleanup — the VACUUM / expire-snapshots twin
+    of q_maintenance_compact: build a versioned LWW register from
+    {batches} event-time batches, then drop all but the newest
+    {keep} versions and report what was reclaimed. Returns one row per
+    original version with its disposition — deterministic because batch
+    boundaries are event-time quarters, not arrival order.
+
+    Scale: version dirs are independent prefixes; the delete is a
+    metadata/manifest operation (here: local fs walk), never a data
+    shuffle. The read-back correctness invariant (latest version
+    survives untouched) is pinned in tests/test_ext29.py."""
+    from ..scratch import scratch_dir
+    from ..sources.compaction import compact, read_register
+
+    schema = (
+        "version string, disposition string, n_files int, "
+        "had_bytes boolean, live_rows int"
+    )
+    if sf_dir in _VACUUM_RESULTS:
+        return spark.createDataFrame(_VACUUM_RESULTS[sf_dir], schema)
+
+    base = os.path.join(scratch_dir("vacuum", sf_dir), "register")
+    keys, order = ["user_id", "event_type"], ["ts", "event_id"]
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id", "ts", "value"
+    )
+    if not os.path.isdir(base):
+        # residue-class batches by event_id keep the build deterministic
+        for q in range(_VACUUM_BATCHES):
+            delta = ev.filter(
+                F.pmod(F.col("event_id"), F.lit(_VACUUM_BATCHES)) == q
+            )
+            compact(spark, base, delta, keys, order)
+
+    versions = sorted(
+        d for d in os.listdir(base) if d.startswith("v")
+    )
+    keep = set(versions[-_VACUUM_KEEP:])
+    rows = []
+    for v in versions:
+        vdir = os.path.join(base, v)
+        files = [
+            os.path.join(vdir, f)
+            for f in os.listdir(vdir)
+            if not f.startswith("_") and not f.startswith(".")
+        ]
+        nbytes = sum(os.path.getsize(f) for f in files)
+        disposition = "kept" if v in keep else "removed"
+        rows.append((v, disposition, len(files), nbytes > 0))
+        if v not in keep:
+            import shutil
+
+            shutil.rmtree(vdir, ignore_errors=True)
+    # latest version must still read back after the vacuum
+    n_live = read_register(spark, base).count()
+    result = [(v, d, nf, hb, int(n_live)) for v, d, nf, hb in rows]
+    _VACUUM_RESULTS[sf_dir] = result
+    return spark.createDataFrame(result, schema)
+
+
+q_maintenance_vacuum.__doc__ = q_maintenance_vacuum.__doc__.format(
+    batches=_VACUUM_BATCHES, keep=_VACUUM_KEEP
+)
