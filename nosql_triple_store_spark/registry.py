@@ -76,6 +76,7 @@ _OPERATOR_MODULES = (
     "operators.relational_ext27",
     "operators.relational_ext28",
     "operators.relational_ext29",
+    "operators.relational_ext30",
     "operators.graph_ext4",
     "operators.vector_ext4",
     "streaming.queries",

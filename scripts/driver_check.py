@@ -3,9 +3,11 @@ confs), import __spark_entry__, run every query, compare against its
 DuckDB oracle — the same check the verification driver performs at
 sf0.01. Usage:
 
-    python scripts/driver_check.py [sf_dir] [query ...]
+    python scripts/driver_check.py [--json OUT.json] [sf_dir] [query ...]
 
-Exit code 0 iff everything matches.
+Exit code 0 iff everything matches. With --json, per-query results
+(mode, rows, match/determinism, seconds) are written as the
+full-surface correctness artifact (e.g. CORRECTNESS_FULL_r03.json).
 """
 
 from __future__ import annotations
@@ -36,8 +38,13 @@ def _norm(v):
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    json_out = None
+    if args and args[0] == "--json":
+        json_out = args[1]
+        args = args[2:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     import duckdb
     from pyspark.sql import SparkSession
@@ -67,6 +74,7 @@ def main() -> int:
         )
 
     failed = []
+    results: dict[str, dict] = {}
     for name in sorted(qs):
         if only and name not in only:
             continue
@@ -81,6 +89,12 @@ def main() -> int:
                 f"{time.time() - t0:5.1f}s",
                 flush=True,
             )
+            results[name] = {
+                "mode": "rows_only",
+                "rows": n1,
+                "deterministic": ok,
+                "sec": round(time.time() - t0, 2),
+            }
             if not ok:
                 failed.append(name)
             continue
@@ -92,6 +106,8 @@ def main() -> int:
         names = list(rel.columns)
         if sorted(names) != cols:
             print(f"{name:28s} SCHEMA MISMATCH {cols} vs {sorted(names)}")
+            results[name] = {"mode": "oracle", "match": False,
+                             "why": "schema"}
             failed.append(name)
             continue
         idx = [names.index(c) for c in cols]
@@ -104,10 +120,42 @@ def main() -> int:
             f"{name:28s} rows={len(s):6d} match={ok} {time.time() - t0:5.1f}s",
             flush=True,
         )
+        results[name] = {
+            "mode": "oracle",
+            "rows": len(s),
+            "match": ok,
+            "sec": round(time.time() - t0, 2),
+        }
         if not ok:
             bad = [(a, b) for a, b in zip(s, d) if a != b][:3]
             print(f"  first diffs: {bad}")
             failed.append(name)
+
+    if json_out:
+        import json
+
+        oracle_r = [r for r in results.values() if r["mode"] == "oracle"]
+        ro_r = [r for r in results.values() if r["mode"] == "rows_only"]
+        with open(json_out, "w") as f:
+            json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "n_queries": len(results),
+                    "n_oracle": len(oracle_r),
+                    "n_oracle_pass": sum(
+                        1 for r in oracle_r if r.get("match")
+                    ),
+                    "n_rows_only": len(ro_r),
+                    "n_rows_only_det": sum(
+                        1 for r in ro_r if r.get("deterministic")
+                    ),
+                    "failed": failed,
+                    "queries": results,
+                },
+                f,
+                indent=1,
+                sort_keys=True,
+            )
 
     print(f"{'ALL OK' if not failed else 'FAILED: ' + ', '.join(failed)}")
     return 0 if not failed else 1
