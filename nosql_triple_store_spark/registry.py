@@ -77,6 +77,7 @@ _OPERATOR_MODULES = (
     "operators.relational_ext28",
     "operators.relational_ext29",
     "operators.relational_ext30",
+    "operators.relational_ext31",
     "operators.graph_ext4",
     "operators.vector_ext4",
     "streaming.queries",
