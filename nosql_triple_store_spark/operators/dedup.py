@@ -78,8 +78,10 @@ def _shingle_pairs(
     # in the single input-file partition. repartition spreads the explode
     # across cores and localCheckpoint pins the result (measured at sf0.1:
     # 8-12 s -> ~4 s). At 100 TB the same role is played by persisting the
-    # shingle table (or writing it once) before the self-join.
-    sh = sh.repartition(16).localCheckpoint()
+    # shingle table (or writing it once) before the self-join. Width 32
+    # matches the bench core count (re-measured r3: 16 -> 32 saves ~1 s
+    # at sf0.1 by keeping the explode+checkpoint fully parallel).
+    sh = sh.repartition(32).localCheckpoint()
     # sizes come from the UNCAPPED stream so Jaccard denominators stay
     # exact; the cap only prunes the candidate-generating index below
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
