@@ -585,3 +585,101 @@ def q_stream_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = _run_to_memory(agg, "update")
     return out.withColumn("day", F.col("day").cast("timestamp_ntz"))
+
+
+# --- q_stream_incr_view ---------------------------------------------------
+
+_INCR_FILES = 8
+_INCR_DIRS: dict[str, str] = {}
+
+
+def _events_multifile_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Events rewritten as 8 parquet files so maxFilesPerTrigger yields
+    genuinely multiple micro-batches (the fixture is one file)."""
+    if sf_dir not in _INCR_DIRS:
+        from ..catalog import load_table
+        from ..scratch import scratch_dir
+
+        out = scratch_dir("incrsrc", sf_dir)
+        (
+            load_table(spark, sf_dir, "events")
+            .select("event_id", "event_type", "value")
+            .repartition(_INCR_FILES)
+            .write.mode("overwrite")
+            .parquet(out)
+        )
+        _INCR_DIRS[sf_dir] = out
+    return _INCR_DIRS[sf_dir]
+
+
+@register(
+    "q_stream_incr_view",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+FROM events GROUP BY event_type
+""",
+)
+def q_stream_incr_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MATERIALIZED-VIEW maintenance — the streaming
+    lakehouse pattern q_stream_compact's LWW register doesn't cover:
+    each micro-batch folds its ADDITIVE partial aggregate into a
+    versioned on-disk view (old view ∪ batch partial → re-aggregate →
+    new version), i.e. what Delta Live Tables / Materialize do for
+    `SELECT event_type, count(*), sum(cents) GROUP BY event_type`.
+    maxFilesPerTrigger=2 over an 8-file copy forces 4 real micro-batch
+    merges, so the fold path is actually exercised; the oracle is the
+    batch census, which the final view version must equal exactly
+    (integer-cent sums — associativity is exact, so arrival order
+    can't change the result).
+
+    Scale: the view is aggregate-sized (|distinct keys|), so each merge
+    shuffles the batch partial + a tiny table; the source is never
+    re-scanned (contrast a full-refresh MV, which re-reads everything
+    every trigger — the whole point of incremental maintenance)."""
+    src = _events_multifile_dir(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="incr_view_")
+    version = [0]
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        partial = batch_df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.round(F.col("value") * 100).cast("long")
+            ).alias("cents"),
+        )
+        s = batch_df.sparkSession
+        if version[0] > 0:
+            cur = s.read.parquet(f"{base}/v{version[0]:04d}")
+            partial = (
+                cur.unionByName(partial)
+                .groupBy("event_type")
+                .agg(
+                    F.sum("n_events").alias("n_events"),
+                    F.sum("cents").alias("cents"),
+                )
+            )
+        version[0] += 1
+        partial.coalesce(1).write.mode("errorifexists").parquet(
+            f"{base}/v{version[0]:04d}"
+        )
+
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            spark.readStream.schema(
+                "event_id long, event_type string, value double"
+            )
+            .option("maxFilesPerTrigger", "2")
+            .parquet(src)
+            .writeStream.foreachBatch(fold)
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    return spark.read.parquet(f"{base}/v{version[0]:04d}")
