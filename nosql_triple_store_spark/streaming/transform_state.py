@@ -221,3 +221,110 @@ if _protobuf_available():  # pragma: no cover - container lacks protobuf
     register("q_stream_transform_state", oracle=_LWW_STATE_ORACLE)(
         q_stream_transform_state
     )
+
+
+# --- q_stream_tombstone ---------------------------------------------------
+
+_TOMB_STATE_SCHEMA = "ts_us long, event_id long, value double, deleted long"
+_TOMB_OUT_SCHEMA = (
+    "user_id long, event_type string, event_id long, ts_us long, "
+    "value double, deleted long"
+)
+
+_STREAM_TOMB_ORACLE = f"""
+{E_CTE},
+writes AS (
+  SELECT user_id, event_type, event_id, ts, value, FALSE AS deleted
+  FROM e
+  UNION ALL
+  SELECT user_id, event_type, event_id, ts + INTERVAL 30 MINUTE,
+         CAST(NULL AS DOUBLE), TRUE
+  FROM e WHERE event_id % 7 = 0),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                               ORDER BY ts DESC, event_id DESC) AS rn
+  FROM writes)
+SELECT user_id, event_type, event_id, ts, value
+FROM ranked WHERE rn = 1 AND NOT deleted
+"""
+
+
+def _tomb_state_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Stateful LWW where a tombstone is just another timestamped write:
+    the register keeps the lexicographic-max (ts_us, event_id) row
+    INCLUDING deletes — dropping tombstones before the merge would let
+    an older concurrent update resurrect the key (same invariant as the
+    batch twin, property-tested in tests/test_ext30.py)."""
+    user_id, event_type = key
+    best = tuple(state.get) if state.exists else None
+    for pdf in pdfs:
+        top = pdf.sort_values(["ts_us", "event_id"]).iloc[-1]
+        cand = (
+            int(top["ts_us"]),
+            int(top["event_id"]),
+            float(top["value"]),
+            int(top["deleted"]),
+        )
+        if best is None or (cand[0], cand[1]) > (best[0], best[1]):
+            best = cand
+    state.update(best)
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id],
+            "event_type": [event_type],
+            "event_id": [best[1]],
+            "ts_us": [best[0]],
+            "value": [best[2]],
+            "deleted": [best[3]],
+        }
+    )
+
+
+@register("q_stream_tombstone", oracle=_STREAM_TOMB_ORACLE)
+def q_stream_tombstone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of q_lww_tombstone: the stateful register merges
+    updates AND tombstones (deletes for event_id % 7 == 0, stamped 30
+    minutes after the deleted write — same synthesis as the batch twin)
+    through one applyInPandasWithState operator; the read view filters
+    deleted keys only AFTER the final state compaction. State stays
+    O(distinct keys) with one extra flag column."""
+    ev = _lww_inputs(spark, sf_dir)
+    writes = ev.withColumn("deleted", F.lit(0).cast("long")).unionByName(
+        ev.filter(F.col("event_id") % 7 == 0).select(
+            "user_id",
+            "event_type",
+            "event_id",
+            (F.col("ts_us") + F.lit(1_800_000_000)).alias("ts_us"),
+            F.lit(None).cast("double").alias("value"),
+            F.lit(1).cast("long").alias("deleted"),
+        )
+    )
+    out = writes.groupBy("user_id", "event_type").applyInPandasWithState(
+        _tomb_state_fn,
+        outputStructType=_TOMB_OUT_SCHEMA,
+        stateStructType=_TOMB_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    sink = _run_to_memory(out, "update")
+    ordering = F.struct(F.col("ts_us"), F.col("event_id"))
+    payload = F.struct(
+        F.col("event_id"), F.col("ts_us"), F.col("value"), F.col("deleted")
+    )
+    final = (
+        sink.groupBy("user_id", "event_type")
+        .agg(F.max_by(payload, ordering).alias("__r"))
+        .filter(F.col("__r.deleted") == 0)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("__r.event_id").alias("event_id"),
+            F.timestamp_micros(F.col("__r.ts_us"))
+            .cast("timestamp_ntz")
+            .alias("ts"),
+            F.col("__r.value").alias("value"),
+        )
+    )
+    return final
