@@ -337,6 +337,13 @@ _EMBED_TAU = 0.4
 _EMBED_BLOCK_ROWS = 4096  # target rows per GEMM block
 
 
+def _embed_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared exact cosine-pair generator (cos ≥ τ) — the
+    triangle-blocked GEMM documented on q_dedup_embed; consumed by both
+    the pair query and the keep-one-per-cluster query."""
+    return q_dedup_embed(spark, sf_dir)
+
+
 @register("q_dedup_embed", oracle=_EMBED_ORACLE)
 def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (cos ≥ 0.4), exact, via a
@@ -413,4 +420,71 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return tasks.groupBy("t_lo", "t_hi").applyInPandas(
         gemm_task, schema="vec_a long, vec_b long, cos_sim double"
+    )
+
+
+_EMBED_CLUSTER_ORACLE = """
+WITH RECURSIVE
+pairs AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+                               b.embedding::DOUBLE[]) >= 0.4),
+und AS (SELECT va AS s, vb AS o FROM pairs
+        UNION SELECT vb, va FROM pairs),
+reach AS (
+  SELECT s, o FROM und
+  UNION
+  SELECT r.s, u.o FROM reach r JOIN und u ON r.o = u.s),
+cl AS (
+  SELECT v.vec_id,
+         LEAST(v.vec_id, COALESCE(MIN(r.o), v.vec_id)) AS cluster_id
+  FROM embeddings v LEFT JOIN reach r ON r.s = v.vec_id
+  GROUP BY v.vec_id)
+SELECT vec_id, cluster_id FROM cl
+"""
+
+
+@register("q_dedup_embed_clusters", oracle=_EMBED_CLUSTER_ORACLE)
+def q_dedup_embed_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-dedup CLUSTERING: connected components over the
+    cos ≥ 0.4 pair graph — cluster_id = min vec_id reachable, the
+    representative a keep-one-per-cluster semantic dedup retains. The
+    same closure step q_dedup_clusters applies to the shingle-pair
+    graph, here over the triangle-blocked GEMM's exact pairs: pairs
+    alone over-delete (A~B, B~C must keep ONE of {A,B,C}), so every
+    production embedding dedup runs this after pair generation.
+
+    Engine side: star-contraction CC (graph_ext2 helpers, O(log n)
+    rounds) on the pair edges; oracle: DuckDB recursive closure —
+    different fixpoint engines, same partition. The τ=0.4 threshold
+    compares BLAS-dot vs DuckDB list_cosine_similarity with margin
+    1.3e-4 vs noise 1e-15 (probed at q_dedup_embed)."""
+    from .graph_ext2 import _edge_digest, _large_star, _oriented, _small_star
+
+    emb_ids = load_table(spark, sf_dir, "embeddings").select("vec_id")
+    edges = _embed_pairs(spark, sf_dir).select(
+        F.col("vec_a").alias("src"), F.col("vec_b").alias("dst")
+    )
+    e = _oriented(edges).localCheckpoint()
+    prev = _edge_digest(e)
+    converged = e.isEmpty()
+    for _ in range(12):
+        if converged:
+            break
+        e = _oriented(_small_star(_large_star(e))).localCheckpoint()
+        cur = _edge_digest(e)
+        if cur == prev:
+            converged = True
+            break
+        prev = cur
+    if not converged:
+        raise RuntimeError("embed clustering did not converge in 12 rounds")
+    star = e.select(F.col("src").alias("vec_id"), F.col("dst").alias("cluster_id"))
+    return (
+        emb_ids.join(star, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce("cluster_id", "vec_id").alias("cluster_id"),
+        )
     )
