@@ -357,3 +357,68 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.col("text"), F.lit(":"), F.col("frame_idx").cast("string"))
         ).alias("frame_hash"),
     )
+
+
+@register(
+    "q_multimodal_resample",
+    oracle="""
+WITH p AS (
+  SELECT doc_id, 160 + doc_id % 96 AS n FROM documents),
+s AS (
+  SELECT doc_id, n,
+         ((doc_id * 31 + 7 * unnest(range(0, n, 2))) % 2001) - 1000 AS v
+  FROM p)
+SELECT doc_id,
+       CAST(4000 AS BIGINT) AS out_rate,
+       CAST((n + 1) // 2 AS BIGINT) AS n_out,
+       ROUND(AVG(v), 6) AS mean_amp,
+       CAST(MAX(ABS(v)) AS BIGINT) AS peak_amp
+FROM s GROUP BY doc_id, n
+""",
+)
+def q_multimodal_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio RESAMPLE inside the decode kernel — the brief's
+    media-transform step (decode / feature-extract / resize /
+    frame-sample) for the audio modality: decode the real WAV container
+    (same synthesis as q_multimodal_decode), 2:1 decimate to 4 kHz,
+    RE-ENCODE the result as a new WAV, then decode THAT and derive
+    stats from the re-decoded samples — so the oracle (analytic stats
+    of the even-index subsequence) catches a bug in either codec
+    direction or in the transform. This is the full
+    read→decode→transform→encode→write kernel shape a media pipeline
+    runs per shard, minus only the storage I/O."""
+    import numpy as np
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "doc_id": [], "out_rate": [], "n_out": [],
+                "mean_amp": [], "peak_amp": [],
+            }
+            for doc_id in pdf["doc_id"]:
+                n = 160 + doc_id % 96
+                i = np.arange(n, dtype=np.int64)
+                sig = ((doc_id * 31 + 7 * i) % 2001) - 1000
+                _, dec = decode_wav_pcm16(encode_wav_pcm16(sig, _WAV_RATE))
+                resampled = dec[::2]  # 2:1 decimation -> 4 kHz
+                rate2, dec2 = decode_wav_pcm16(
+                    encode_wav_pcm16(
+                        resampled.astype(np.int64), _WAV_RATE // 2
+                    )
+                )
+                dec2 = dec2.astype(np.int64)
+                out["doc_id"].append(doc_id)
+                out["out_rate"].append(rate2)
+                out["n_out"].append(len(dec2))
+                out["mean_amp"].append(round(float(dec2.mean()), 6))
+                out["peak_amp"].append(int(np.abs(dec2).max()))
+            yield pd.DataFrame(out)
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.repartition(16).mapInPandas(
+        kernel,
+        schema=(
+            "doc_id long, out_rate long, n_out long, "
+            "mean_amp double, peak_amp long"
+        ),
+    )
