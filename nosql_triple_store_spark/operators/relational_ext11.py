@@ -7,6 +7,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..functions.prefix import bucketed_running_sum
 from ..functions.textfns import TOKS_SQL, shingles_sql
 from ..registry import register
 from .dedup import _shingle_pairs
@@ -190,47 +191,53 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_orders_abc",
     oracle="""
 WITH per_cust AS (
-  SELECT o_custkey, ROUND(SUM(o_totalprice), 2) AS revenue
+  SELECT o_custkey,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
   FROM orders GROUP BY o_custkey),
-tot AS (SELECT SUM(revenue) AS t FROM per_cust),
+tot AS (SELECT CAST(SUM(cents) AS BIGINT) AS t FROM per_cust),
 ranked AS (
-  SELECT o_custkey, revenue,
-         SUM(revenue) OVER (ORDER BY revenue DESC, o_custkey
-                            ROWS UNBOUNDED PRECEDING) AS cum
+  SELECT o_custkey, cents,
+         CAST(SUM(cents) OVER (ORDER BY cents DESC, o_custkey
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
   FROM per_cust)
-SELECT o_custkey, revenue,
-       CASE WHEN cum <= 0.80 * tot.t THEN 'A'
-            WHEN cum <= 0.95 * tot.t THEN 'B'
+SELECT o_custkey, ROUND(cents / 100.0, 2) AS revenue,
+       CASE WHEN 20 * cum <= 16 * tot.t THEN 'A'
+            WHEN 20 * cum <= 19 * tot.t THEN 'B'
             ELSE 'C' END AS abc_class
 FROM ranked, tot
 """,
 )
 def q_orders_abc(spark, sf_dir):
     """ABC / Pareto classification: customers ranked by revenue, class A
-    while the running share stays under 80%, B to 95%, C beyond. The
-    running sum uses an explicit ROWS frame with (revenue desc,
-    custkey) tiebreak, so both engines accumulate the SAME rounded
-    2dp revenues in the SAME order — cum and total are bit-identical
-    doubles and the threshold comparisons cannot diverge. Scale note:
-    the window input is the per-customer aggregate; for customer counts
-    where even that overflows one partition, swap the global frame for
-    the bucketed prefix-sum pattern used by q_skyline."""
-    from pyspark.sql import Window
-
+    while the running share stays under 80%, B to 95%, C beyond.
+    Revenue accumulates in exact integer CENTS and the 80/95% cuts are
+    the integer inequalities 20·cum ≤ 16·t / 19·t, so the running sum
+    is fully associative — which lets the global frame run through
+    functions/prefix.bucketed_running_sum (bucket-parallel + 32-row
+    broadcast carry) instead of a single-partition window, with
+    bit-identical results to the oracle's sequential frame. Ordering is
+    (cents desc, custkey): the bucket key is -cents, monotone in the
+    sort."""
     orders = load_table(spark, sf_dir, "orders")
     per_cust = orders.groupBy("o_custkey").agg(
-        F.round(F.sum("o_totalprice"), 2).alias("revenue")
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "cents"
+        )
     )
-    tot = per_cust.agg(F.sum("revenue").alias("t"))
-    w = Window.orderBy(F.desc("revenue"), F.asc("o_custkey")).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    tot = per_cust.agg(F.sum("cents").alias("t"))
+    ranked = bucketed_running_sum(
+        per_cust,
+        "cents",
+        -F.col("cents"),
+        tiebreaks=("o_custkey",),
+        out_col="cum",
     )
-    ranked = per_cust.withColumn("cum", F.sum("revenue").over(w))
     return ranked.crossJoin(F.broadcast(tot)).select(
         "o_custkey",
-        "revenue",
-        F.when(F.col("cum") <= 0.80 * F.col("t"), "A")
-        .when(F.col("cum") <= 0.95 * F.col("t"), "B")
+        F.round(F.col("cents") / 100.0, 2).alias("revenue"),
+        F.when(20 * F.col("cum") <= 16 * F.col("t"), "A")
+        .when(20 * F.col("cum") <= 19 * F.col("t"), "B")
         .otherwise("C")
         .alias("abc_class"),
     )

@@ -11,10 +11,11 @@ ulp, so it alone rounds (6dp) — see its docstring."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..functions.prefix import bucketed_row_number
 from ..registry import register
 from .triple import E_CTE
 
@@ -100,24 +101,18 @@ def q_agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     Revenue lands in exact integer cents, the rank index comes from a
     (cents, custkey)-ordered row_number, and Σ(2i−n−1)·xᵢ stays in
     exact int64 (< 2^53, lossless double cast) — ONE final division is
-    the only float op, bit-identical cross-engine. The global ordered
-    window runs over per-customer aggregates (thousands of rows), not
-    orders; at a customer cardinality where that matters, swap in the
-    bucketed prefix-sum pattern (q_skyline)."""
+    the only float op, bit-identical cross-engine. The (cents, custkey)
+    rank comes from functions/prefix.bucketed_row_number — bucket-
+    parallel, no single-partition window over the per-customer rows —
+    and n is a broadcast scalar count, not a count-over-window."""
     orders = load_table(spark, sf_dir, "orders")
     per_cust = orders.groupBy("o_custkey").agg(
         F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
     )
-    w = Window.orderBy("cents", "o_custkey")
-    ranked = per_cust.select(
-        "cents",
-        F.row_number().over(w).alias("i"),
-        F.count(F.lit(1)).over(
-            Window.rowsBetween(
-                Window.unboundedPreceding, Window.unboundedFollowing
-            )
-        ).alias("n"),
-    )
+    n_tot = per_cust.agg(F.count(F.lit(1)).alias("n"))
+    ranked = bucketed_row_number(
+        per_cust, "cents", tiebreaks=("o_custkey",), out_col="i"
+    ).crossJoin(F.broadcast(n_tot)).select("cents", "i", "n")
     s = ranked.agg(
         F.max("n").alias("n"),
         F.sum((2 * F.col("i") - F.col("n") - 1) * F.col("cents")).alias("num"),

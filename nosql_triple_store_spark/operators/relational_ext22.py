@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..functions.prefix import bucketed_running_sum
 from ..registry import register
 from .triple import E_CTE
 
@@ -136,10 +137,12 @@ def q_events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     (capacity planning's first question). Ordering ties break by
     (delta, event_id) with closes (−1) BEFORE opens at the same
     instant — pinned identically in both engines. All integer-µs
-    arithmetic. The global ordered window runs over 2·|events| boundary
-    rows; at 100 TB, pre-aggregate deltas per time bucket first (the
-    q_skyline bucketed prefix-sum pattern) — the per-bucket partial
-    sums then compose."""
+    arithmetic. The sweep runs over 2·|events| boundary rows, but NOT
+    through one task: functions/prefix.bucketed_running_sum buckets the
+    timeline into 32 contiguous ranges, runs the running sum per bucket
+    in parallel, and composes the per-bucket totals with a broadcast
+    32-row prefix — deltas are exact ints, so the re-association is
+    bit-identical to the oracle's sequential window."""
     ev = load_table(spark, sf_dir, "events")
     t = F.unix_micros(F.col("ts").cast("timestamp"))
     opens = ev.select(
@@ -149,10 +152,9 @@ def q_events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         (t + _SESSION_US).alias("t"), F.lit(-1).alias("d"), F.col("event_id")
     )
     deltas = opens.unionByName(closes)
-    w = Window.orderBy("t", "d", "event_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    swept = deltas.select("t", F.sum("d").over(w).alias("conc"))
+    swept = bucketed_running_sum(
+        deltas, "d", "t", tiebreaks=("d", "event_id"), out_col="conc"
+    ).select("t", "conc")
     peak = swept.agg(F.max("conc").alias("peak"))
     return (
         swept.crossJoin(F.broadcast(peak))
