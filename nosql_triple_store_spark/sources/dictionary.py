@@ -4,10 +4,14 @@ and storage width for the self-join-heavy BGP workload — joins on 8-byte
 longs instead of variable-width strings.
 
 Two id schemes:
-- 'dense': contiguous ids by sorted term (row_number over a global sort).
-  Best compression + range-joinable; the global sort is fine while the
-  dictionary (distinct terms) is orders of magnitude smaller than the
-  triples — YAGO: 2.4M subjects vs 10.2M triples (SURVEY §6).
+- 'dense': contiguous ids 1..N by sorted term. Scale-safe two-pass
+  assignment (no global-sort single-partition window): range-partition
+  the distinct terms by term, count per partition, prefix-compose the
+  counts into broadcast offsets (a P-row aggregate, P = number of
+  partitions), then id = per-partition row_number + partition offset.
+  Range-partitioner boundary placement only moves WHERE a term sits,
+  never its global rank, so ids are identical to the naive
+  row_number-over-global-sort regardless of sampling.
 - 'hash': xxhash64(term) — embarrassingly parallel, no sort, stable under
   dictionary growth; 64-bit collisions are checked and rejected loudly
   (birthday bound: ~50% at 5e9 terms, so verification is mandatory, not
@@ -20,7 +24,9 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def build_dictionary(triples: DataFrame, ids: str = "dense") -> DataFrame:
+def build_dictionary(
+    triples: DataFrame, ids: str = "dense", n_parts: int | None = None
+) -> DataFrame:
     """(term_id long, term string) over all distinct s/p/o terms."""
     terms = (
         triples.select(F.col("s").alias("term"))
@@ -29,9 +35,36 @@ def build_dictionary(triples: DataFrame, ids: str = "dense") -> DataFrame:
         .distinct()
     )
     if ids == "dense":
-        w = Window.orderBy("term")
-        return terms.select(
-            F.row_number().over(w).cast("long").alias("term_id"), "term"
+        if n_parts is None:
+            n_parts = int(
+                triples.sparkSession.conf.get("spark.sql.shuffle.partitions")
+            )
+        # pass 1: range-partition by term; the partitioner guarantees
+        # partition i's terms all sort before partition i+1's, so
+        # spark_partition_id is monotone in term order
+        t = terms.repartitionByRange(n_parts, "term").withColumn(
+            "__pid", F.spark_partition_id()
+        )
+        counts = t.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n"))
+        # strictly-before prefix over the P-row count aggregate (the only
+        # single-partition window left — P rows, not N terms)
+        w_off = Window.orderBy("__pid").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        offsets = counts.select(
+            "__pid",
+            F.coalesce(F.sum("__n").over(w_off), F.lit(0)).alias("__off"),
+        )
+        # pass 2: per-partition rank + broadcast offset = global dense id
+        w_local = Window.partitionBy("__pid").orderBy("term")
+        return (
+            t.join(F.broadcast(offsets), "__pid")
+            .select(
+                (F.row_number().over(w_local) + F.col("__off"))
+                .cast("long")
+                .alias("term_id"),
+                "term",
+            )
         )
     if ids == "hash":
         d = terms.select(F.xxhash64("term").alias("term_id"), "term")

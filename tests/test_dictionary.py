@@ -46,6 +46,21 @@ def test_hash_roundtrip_no_collisions(spark):
     assert _rows(dec) == _rows(t.select("s", "p", "o"))
 
 
+def test_dense_rank_window_is_partitioned(spark):
+    # scale-safety: the row_number over terms must be per-range-partition
+    # (__pid); the only global-order window is over the P-row count agg
+    t = triples_view(spark, SF_DIR)
+    plan = (
+        build_dictionary(t, ids="dense")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    for ln in plan.splitlines():
+        if "windowspecdefinition(" in ln and "term#" in ln:
+            assert "__pid" in ln, f"raw-term window not partitioned: {ln}"
+
+
 def test_unknown_scheme_rejected(spark):
     t = triples_view(spark, SF_DIR)
     with pytest.raises(ValueError):
