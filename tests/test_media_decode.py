@@ -12,8 +12,10 @@ import pytest
 
 from nosql_triple_store_spark.operators.multimodal import (
     decode_media,
+    decode_png,
     decode_ppm,
     decode_wav_pcm16,
+    encode_png,
     encode_ppm,
     encode_wav_pcm16,
 )
@@ -71,11 +73,78 @@ def test_ppm_rejects_wrong_magic_and_depth():
         decode_ppm(b"P6\n1 1\n65535\n" + b"\x00" * 6)
 
 
+def test_png_roundtrip_all_filters():
+    # h >= 5 cycles every filter type (encoder uses row % 5); shapes
+    # cover 1-pixel rows/cols and non-square rasters
+    rng = np.random.default_rng(7)
+    for h, w in [(1, 1), (5, 3), (13, 11), (8, 16), (6, 1)]:
+        rgb = rng.integers(0, 256, size=(h, w, 3)).astype(np.uint8)
+        np.testing.assert_array_equal(decode_png(encode_png(rgb)), rgb)
+
+
+def test_png_byte_exact_fixture():
+    # hand-constructed 2x1 RGB PNG (filter 0) — catches a symmetric
+    # encoder+decoder bug (e.g. both swapping width/height) that a
+    # round-trip alone cannot see
+    import zlib as _zlib
+
+    def chunk(ctype, body):
+        crc = _zlib.crc32(ctype + body) & 0xFFFFFFFF
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", crc)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", 2, 1, 8, 2, 0, 0, 0)  # w=2 h=1 RGB8
+    scan = b"\x00" + bytes([10, 20, 30, 40, 50, 60])  # filter 0 + 2 px
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", _zlib.compress(scan))
+        + chunk(b"IEND", b"")
+    )
+    want = np.array([[[10, 20, 30], [40, 50, 60]]], dtype=np.uint8)
+    np.testing.assert_array_equal(decode_png(payload), want)
+
+
+def test_png_rejects_bad_crc_and_unsupported():
+    rgb = np.full((3, 3, 3), 9, dtype=np.uint8)
+    good = bytearray(encode_png(rgb))
+    good[-5] ^= 0xFF  # corrupt IEND CRC
+    with pytest.raises(ValueError):
+        decode_png(bytes(good))
+    with pytest.raises(ValueError):
+        decode_png(b"GIF89a not a png")
+    # grayscale IHDR must be rejected, not mis-decoded
+    import zlib as _zlib
+
+    def chunk(ctype, body):
+        crc = _zlib.crc32(ctype + body) & 0xFFFFFFFF
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", crc)
+        )
+
+    gray = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", _zlib.compress(b"\x00\x07"))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError):
+        decode_png(gray)
+
+
 def test_decode_media_dispatch():
     sig = np.array([1, 2, 3], dtype=np.int64)
     rate, dec = decode_media(encode_wav_pcm16(sig, 8000), "wav")
     assert rate == 8000 and len(dec) == 3
     rgb = np.zeros((1, 1, 3), dtype=np.uint8)
     assert decode_media(encode_ppm(rgb), "ppm").shape == (1, 1, 3)
+    assert decode_media(encode_png(rgb), "png").shape == (1, 1, 3)
     with pytest.raises(NotImplementedError):
-        decode_media(b"\x89PNG", "png")
+        decode_media(b"\xff\xd8\xff", "jpg")
