@@ -80,6 +80,7 @@ _OPERATOR_MODULES = (
     "operators.relational_ext31",
     "operators.graph_ext4",
     "operators.vector_ext4",
+    "operators.dedup_pipeline",
     "streaming.queries",
     "streaming.transform_state",
 )
@@ -93,6 +94,7 @@ class QuerySpec:
 
 
 _REGISTRY: dict[str, QuerySpec] = {}
+_SKIPPED: dict[str, str] = {}
 _LOADED = False
 
 
@@ -106,6 +108,20 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
         return fn
 
     return deco
+
+
+def register_skip(name: str, reason: str) -> None:
+    """Record a query this runtime cannot register (missing optional
+    dependency / API). The full-surface correctness artifact then shows
+    an explicit `skipped` entry with the probe reason instead of the
+    query silently vanishing from the surface."""
+    _SKIPPED[name] = reason
+
+
+def skipped_queries() -> dict[str, str]:
+    """name -> skip reason for queries probed-out of this runtime."""
+    _load_operators()
+    return dict(_SKIPPED)
 
 
 def _load_operators() -> None:
