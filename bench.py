@@ -83,23 +83,35 @@ def main() -> None:
         "q_graph_sssp",
     }
 
-    timings: dict[str, float] = {}
-    for name in sorted(specs):
-        if name in heap_sensitive:
-            spark._jvm.System.gc()
+    def _run_once(name: str) -> float:
         # time plan construction + full execution: some operators run
         # eagerly inside the query fn (streaming drains, iterative graph
         # algorithms), so t0 must precede the fn call
         t0 = time.perf_counter()
         df = specs[name].fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        elapsed = time.perf_counter() - t0
         # drop python refs to checkpointed/iterative plans so the JVM
         # ContextCleaner can free their blocks before the next query —
         # otherwise graph-query checkpoint blocks linger and skew later
         # timings (measured: q_grouping_sets 0.2s -> 6.6s when starved)
         del df
         gc.collect()
+        return elapsed
+
+    timings: dict[str, float] = {}
+    for name in sorted(specs):
+        if name in heap_sensitive:
+            spark._jvm.System.gc()
+        t = _run_once(name)
+        # sub-second queries are GC/JIT-noise-dominated (round-3 headline
+        # "regressions" q_topk +18% / q_tpch_q5 +4% were ~30 ms deltas
+        # with no plan change): take the median of 3 runs so cross-round
+        # deltas reflect plans, not noise. Re-running costs <2 s each by
+        # construction, so the sweep total barely moves.
+        if t < 1.0:
+            t = sorted([t, _run_once(name), _run_once(name)])[1]
+        timings[name] = round(t, 4)
 
     total = round(sum(timings.values()), 4)
     # Full per-query timings go to a side file; the stdout JSON line keeps

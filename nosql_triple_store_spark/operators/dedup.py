@@ -355,12 +355,16 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     (lo, hi), and applyInPandas computes that task's A_lo @ A_hi^T in one
     BLAS call, emitting pairs ≥ τ. Every unordered vector pair lands in
     exactly one task, so the result is EXACT (recall 1.0 vs the all-pairs
-    oracle) while the shuffle carries n·B rows and no single task ever
-    holds more than ~2·_EMBED_BLOCK_ROWS vectors — this survives 100 TB
-    where the previous whole-table collect()+broadcast was a driver OOM.
-    Exact all-pairs is inherently O(n²·d) flops; the sub-quadratic
-    *approximate* paths (SRP-LSH bands, IVF cells) are
-    vector_ext2.q_vector_lsh_cosine and vector.q_vector_ivf.
+    oracle) while no single task ever holds more than
+    ~2·_EMBED_BLOCK_ROWS vectors. Scale honesty: the driver OOM is gone,
+    but each row replicates to its B = ⌈n/block⌉ partner tasks, so
+    SHUFFLE volume is O(n²/block) rows — quadratic in n like the flops
+    (exact all-pairs is inherently O(n²·d)). This is the exact BASELINE,
+    fit for corpus slices; at full 100 TB corpus scale it must be
+    preceded by blocking/LSH candidate pruning — the sub-quadratic
+    approximate paths (SRP-LSH bands, IVF cells) are
+    vector_ext2.q_vector_lsh_cosine and vector.q_vector_ivf, and
+    q_dedup_pipeline composes candidate-prune → exact-verify.
 
     Implementation note (measured): the pure higher-order-function
     formulation (crossJoin + zip_with/aggregate cosine) took 63 s at

@@ -20,7 +20,6 @@ event count.
 from __future__ import annotations
 
 import os
-import tempfile
 import uuid
 from collections.abc import Iterator
 
@@ -30,6 +29,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from ..registry import register
+from ..scratch import scratch_tmp
 from ..session import ensure_runtime_confs
 from ..operators.eventtime import _SLIDING_ORACLE as _BATCH_SLIDING_ORACLE
 from ..operators.triple import E_CTE
@@ -85,7 +85,7 @@ def _events_stream_dir(sf_dir: str) -> str:
     how new micro-batch files would arrive in production: atomic moves
     into a watched directory)."""
     if sf_dir not in _STREAM_DIRS:
-        d = tempfile.mkdtemp(prefix="events_stream_")
+        d = scratch_tmp("events_stream_")
         os.symlink(f"{sf_dir}/events.parquet", f"{d}/events.parquet")
         _STREAM_DIRS[sf_dir] = d
     return _STREAM_DIRS[sf_dir]
@@ -123,7 +123,7 @@ def _run_to_memory(stream_df: DataFrame, output_mode: str) -> DataFrame:
             stream_df.writeStream.format("memory")
             .queryName(name)
             .outputMode(output_mode)
-            .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+            .option("checkpointLocation", scratch_tmp("ckpt_"))
             .trigger(availableNow=True)
             .start()
         )
@@ -435,7 +435,7 @@ def q_stream_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.compaction import compact, read_register
 
     base = os.path.join(
-        tempfile.mkdtemp(prefix="stream_register_"), "register"
+        scratch_tmp("stream_register_"), "register"
     )
     keys, order = ["user_id", "event_type"], ["ts", "event_id"]
 
@@ -450,18 +450,19 @@ def q_stream_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         q = (
             ev.writeStream.foreachBatch(sink)
-            .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+            .option("checkpointLocation", scratch_tmp("ckpt_"))
             .trigger(availableNow=True)
             .start()
         )
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
-    # return the lazy read over the final version: the register dir is a
-    # per-run mkdtemp that outlives the query (no rmtree), so no
-    # localCheckpoint double-materialization is needed — round 2 paid an
-    # extra full pass (checkpoint compute+store, then reread) just to
-    # allow an eager cleanup of a few MB of /tmp
+    # return the lazy read over the final version: the register dir
+    # outlives the query fn (scratch_tmp removes it only at process
+    # exit, after any driver-side collect), so no localCheckpoint
+    # double-materialization is needed — round 2 paid an extra full pass
+    # (checkpoint compute+store, then reread) just to allow an eager
+    # cleanup of a few MB of /tmp
     out = read_register(spark, base).withColumn(
         "ts", F.col("ts").cast("timestamp_ntz")
     )
@@ -522,7 +523,7 @@ def _late_stream_dir(spark: SparkSession, sf_dir: str) -> str:
     first)."""
     if sf_dir not in _LATE_DIRS:
         ensure_runtime_confs(spark)
-        d = tempfile.mkdtemp(prefix="events_late_")
+        d = scratch_tmp("events_late_")
         raw = spark.read.schema(_events_ddl(spark, sf_dir)).parquet(
             f"{sf_dir}/events.parquet"
         )
@@ -534,7 +535,7 @@ def _late_stream_dir(spark: SparkSession, sf_dir: str) -> str:
         raw.filter(ts < split).coalesce(1).write.parquet(f"{d}/b")
         import glob as _glob
 
-        out = tempfile.mkdtemp(prefix="events_late_stream_")
+        out = scratch_tmp("events_late_stream_")
         for sub, mtime in (("a1", 1_000_000), ("a2", 2_000_000), ("b", 3_000_000)):
             (src,) = _glob.glob(f"{d}/{sub}/part-*.parquet")
             dst = f"{out}/{sub}.parquet"
@@ -639,10 +640,25 @@ def q_stream_incr_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-scanned (contrast a full-refresh MV, which re-reads everything
     every trigger — the whole point of incremental maintenance)."""
     src = _events_multifile_dir(spark, sf_dir)
-    base = tempfile.mkdtemp(prefix="incr_view_")
-    version = [0]
+    base = scratch_tmp("incr_view_")
+
+    def _versions() -> list[str]:
+        return sorted(
+            d
+            for d in os.listdir(base)
+            if d.startswith("v") and d[1:].isdigit()
+        )
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
+        # foreachBatch contract: a failed micro-batch is RE-EXECUTED with
+        # the same batch_id, so the sink must be idempotent by batch_id.
+        # The version path derives from batch_id (not a closure counter);
+        # a retry whose version dir already landed is a no-op, and the
+        # write is staged + atomically renamed so a mid-write crash never
+        # leaves a half-version that a retry would mistake for complete.
+        vpath = f"{base}/v{batch_id:06d}"
+        if os.path.isdir(vpath):
+            return
         partial = batch_df.groupBy("event_type").agg(
             F.count(F.lit(1)).alias("n_events"),
             F.sum(
@@ -650,8 +666,9 @@ def q_stream_incr_view(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cents"),
         )
         s = batch_df.sparkSession
-        if version[0] > 0:
-            cur = s.read.parquet(f"{base}/v{version[0]:04d}")
+        prior = _versions()
+        if prior:
+            cur = s.read.parquet(f"{base}/{prior[-1]}")
             partial = (
                 cur.unionByName(partial)
                 .groupBy("event_type")
@@ -660,10 +677,9 @@ def q_stream_incr_view(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.sum("cents").alias("cents"),
                 )
             )
-        version[0] += 1
-        partial.coalesce(1).write.mode("errorifexists").parquet(
-            f"{base}/v{version[0]:04d}"
-        )
+        stage = f"{base}/_stage_v{batch_id:06d}"
+        partial.coalesce(1).write.mode("overwrite").parquet(stage)
+        os.rename(stage, vpath)
 
     old = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
@@ -675,11 +691,11 @@ def q_stream_incr_view(spark: SparkSession, sf_dir: str) -> DataFrame:
             .option("maxFilesPerTrigger", "2")
             .parquet(src)
             .writeStream.foreachBatch(fold)
-            .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+            .option("checkpointLocation", scratch_tmp("ckpt_"))
             .trigger(availableNow=True)
             .start()
         )
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
-    return spark.read.parquet(f"{base}/v{version[0]:04d}")
+    return spark.read.parquet(f"{base}/{_versions()[-1]}")

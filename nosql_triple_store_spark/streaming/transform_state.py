@@ -37,7 +37,7 @@ from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from ..operators.triple import E_CTE
-from ..registry import register
+from ..registry import register, register_skip
 from .queries import _run_to_memory, _stream_events
 
 _STATE_SCHEMA = "ts_us long, event_id long, value double"
@@ -220,6 +220,15 @@ def q_stream_transform_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 if _protobuf_available():  # pragma: no cover - container lacks protobuf
     register("q_stream_transform_state", oracle=_LWW_STATE_ORACLE)(
         q_stream_transform_state
+    )
+else:
+    # surface the probe result: the correctness artifact shows an
+    # explicit skipped entry (with reason) instead of silence
+    register_skip(
+        "q_stream_transform_state",
+        "transformWithStateInPandas state-server protocol requires "
+        "google.protobuf, not importable in this runtime; semantics "
+        "covered by the applyInPandasWithState twin q_stream_lww_state",
     )
 
 

@@ -131,11 +131,22 @@ def main() -> int:
             print(f"  first diffs: {bad}")
             failed.append(name)
 
+    # queries probed-out of this runtime (missing optional deps) appear
+    # as explicit skipped entries, never silence
+    from nosql_triple_store_spark.registry import skipped_queries
+
+    for name, reason in sorted(skipped_queries().items()):
+        if only and name not in only:
+            continue
+        print(f"{name:28s} SKIPPED: {reason}", flush=True)
+        results[name] = {"mode": "skipped", "reason": reason}
+
     if json_out:
         import json
 
         oracle_r = [r for r in results.values() if r["mode"] == "oracle"]
         ro_r = [r for r in results.values() if r["mode"] == "rows_only"]
+        skip_r = [r for r in results.values() if r["mode"] == "skipped"]
         with open(json_out, "w") as f:
             json.dump(
                 {
@@ -149,6 +160,7 @@ def main() -> int:
                     "n_rows_only_det": sum(
                         1 for r in ro_r if r.get("deterministic")
                     ),
+                    "n_skipped": len(skip_r),
                     "failed": failed,
                     "queries": results,
                 },
