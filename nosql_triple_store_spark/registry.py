@@ -81,6 +81,7 @@ _OPERATOR_MODULES = (
     "operators.graph_ext4",
     "operators.vector_ext4",
     "operators.dedup_pipeline",
+    "operators.register_ext",
     "streaming.queries",
     "streaming.transform_state",
 )

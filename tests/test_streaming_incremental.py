@@ -94,3 +94,47 @@ def test_compaction_converges_to_batch_state(spark, tmp_path):
     compact(spark, base_dir, d2, KEYS, ORDER)
     again = read_register(spark, base_dir).select(*COLS)
     assert _rows(again) == _rows(want)
+
+
+def test_asof_read_reconstructs_past_state(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from nosql_triple_store_spark.sources.compaction import (
+        read_register_asof,
+    )
+
+    events = load_table(spark, SF_DIR, "events").select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "value",
+    )
+    base = os.path.join(str(tmp_path), "reg")
+    order = ["ts_us", "event_id"]
+    payload = ["event_id", "ts_us", "value"]
+    init_register(events.filter(F.col("event_id") % 2 == 0), base, KEYS, order)
+    compact(spark, base, events.filter(F.col("event_id") % 2 == 1), KEYS, order)
+
+    lo, mid, hi = (
+        events.agg(
+            F.min("ts_us"),
+            F.expr("percentile_approx(ts_us, 0.5)"),
+            F.max("ts_us"),
+        ).collect()[0]
+    )
+    cols = ["user_id", "event_type", "event_id", "ts_us", "value"]
+
+    def rows(df):
+        return sorted((tuple(r[c] for c in cols) for r in df.collect()), key=repr)
+
+    # as-of the max timestamp == current full state
+    full = latest_by_key(events, KEYS, order, payload).select(*cols)
+    assert rows(read_register_asof(spark, base, KEYS, order, hi).select(*cols)) == rows(full)
+    # as-of a mid cut == LWW over the time-filtered changelog
+    want_mid = latest_by_key(
+        events.filter(F.col("ts_us") <= mid), KEYS, order, payload
+    ).select(*cols)
+    assert rows(read_register_asof(spark, base, KEYS, order, mid).select(*cols)) == rows(want_mid)
+    # as-of before history begins == empty register
+    assert read_register_asof(spark, base, KEYS, order, lo - 1).count() == 0
