@@ -43,7 +43,10 @@ def _key(col: ColumnOrName) -> Column:
 
 
 def with_buckets(
-    df: DataFrame, order_key: ColumnOrName, n_buckets: int = 32
+    df: DataFrame,
+    order_key: ColumnOrName,
+    n_buckets: int = 32,
+    materialize: bool = True,
 ) -> DataFrame:
     """Add a `__b` bucket id, monotone non-decreasing in `order_key`.
 
@@ -51,13 +54,22 @@ def with_buckets(
     (partial-aggregable, broadcast as a 1-row cross join); the bucket id
     is the count of boundaries strictly below the key, so equal keys
     always share a bucket.
+
+    ``materialize`` localCheckpoints the bucketed rows: the downstream
+    pattern consumes them twice (per-bucket window + per-bucket totals)
+    and chained helper calls would otherwise re-derive the whole
+    upstream plan per consumer — measured 3-9× wall-clock on chained
+    ntiles. At a scale where materializing the input is worse than
+    re-scanning it (raw-row inputs in the PB range), pass False to keep
+    pure lineage.
     """
     key = _key(order_key)
     if n_buckets <= 1:
-        return df.withColumn(_B, F.lit(0))
+        out = df.withColumn(_B, F.lit(0))
+        return out.localCheckpoint() if materialize else out
     probs = [i / n_buckets for i in range(1, n_buckets)]
     bnd = df.agg(F.percentile_approx(key, probs, 10_000).alias("__bnd"))
-    return (
+    out = (
         df.crossJoin(F.broadcast(bnd))
         .withColumn(
             _B,
@@ -69,6 +81,7 @@ def with_buckets(
         )
         .drop("__bnd")
     )
+    return out.localCheckpoint() if materialize else out
 
 
 def _prefix_join(
@@ -91,13 +104,14 @@ def bucketed_running_sum(
     tiebreaks: Sequence[ColumnOrName] = (),
     n_buckets: int = 32,
     out_col: str = "cum",
+    materialize: bool = True,
 ) -> DataFrame:
     """SUM(value) OVER (ORDER BY order_key, *tiebreaks ROWS UNBOUNDED
     PRECEDING AND CURRENT ROW), bucket-parallel. `value` should be
     exactly associative (integer) for bit-stable results — the carry
     re-associates the sum across buckets."""
     val = _key(value)
-    b = with_buckets(df, order_key, n_buckets)
+    b = with_buckets(df, order_key, n_buckets, materialize)
     w_local = (
         Window.partitionBy(_B)
         .orderBy(_key(order_key), *[_key(t) for t in tiebreaks])
@@ -120,11 +134,12 @@ def bucketed_row_number(
     tiebreaks: Sequence[ColumnOrName] = (),
     n_buckets: int = 32,
     out_col: str = "i",
+    materialize: bool = True,
 ) -> DataFrame:
     """row_number() OVER (ORDER BY order_key, *tiebreaks), bucket-
     parallel: per-bucket row_number + running count of prior buckets.
     (order_key, *tiebreaks) must be a total order for determinism."""
-    b = with_buckets(df, order_key, n_buckets)
+    b = with_buckets(df, order_key, n_buckets, materialize)
     w_local = Window.partitionBy(_B).orderBy(
         _key(order_key), *[_key(t) for t in tiebreaks]
     )
@@ -147,15 +162,25 @@ def bucketed_ntile(
     tiebreaks: Sequence[ColumnOrName] = (),
     n_buckets: int = 32,
     out_col: str = "tile",
+    materialize: bool = True,
 ) -> DataFrame:
     """ntile(k) OVER (ORDER BY order_key, *tiebreaks) from the closed
     form: with n rows, the first n % k tiles hold ceil(n/k) rows and the
     rest floor(n/k) — so tile(i) is computable from the bucketed global
     row_number i and the total count n, no global window at all."""
-    rn = bucketed_row_number(
-        df, order_key, tiebreaks, n_buckets, out_col="__i"
+    b = with_buckets(df, order_key, n_buckets, materialize)
+    w_local = Window.partitionBy(_B).orderBy(
+        _key(order_key), *[_key(t) for t in tiebreaks]
     )
-    tot = df.agg(F.count(F.lit(1)).alias("__n"))
+    counts = b.groupBy(_B).agg(F.count(F.lit(1)).alias("__bn"))
+    rn = _prefix_join(b, counts, "__bn").withColumn(
+        "__i",
+        (F.row_number().over(w_local) + F.coalesce("__prefix", F.lit(0)))
+        .cast("long"),
+    ).drop(_B, "__prefix")
+    # total row count from the B-row bucket counts — no extra pass over
+    # the (possibly expensive) upstream plan
+    tot = counts.agg(F.sum("__bn").alias("__n"))
     i, n = F.col("__i"), F.col("__n")
     q = F.floor(n / n_tiles)  # small-tile size
     r = n % n_tiles  # number of (q+1)-sized tiles

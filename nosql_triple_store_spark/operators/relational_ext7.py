@@ -154,11 +154,14 @@ def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-customer aggregate through a single-partition window (judge
     round-3 ask); scores are rank-exact, no float accumulation."""
     orders = load_table(spark, sf_dir, "orders")
+    # checkpoint the per-customer aggregate ONCE: the three chained
+    # ntiles each consume their input several times (boundaries, window,
+    # counts) and would otherwise re-derive the whole chain per consumer
     per_cust = orders.groupBy("o_custkey").agg(
         F.max("o_orderdate").alias("last_order"),
         F.count(F.lit(1)).alias("frequency"),
         F.round(F.sum("o_totalprice"), 2).alias("monetary"),
-    )
+    ).localCheckpoint()
     # numeric bucket key monotone in last_order, robust to the fixture's
     # DATE-vs-TIMESTAMP_NTZ representation (driver-owned, has changed)
     out = bucketed_ntile(
