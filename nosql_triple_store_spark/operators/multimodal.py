@@ -571,6 +571,72 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_multimodal_audio_features",
+    oracle="""
+WITH p AS (
+  SELECT doc_id, 160 + doc_id % 96 AS n FROM documents),
+s AS (
+  SELECT doc_id, n, unnest(range(n)) AS i,
+         ((doc_id * 31 + 7 * unnest(range(n))) % 2001) - 1000 AS v
+  FROM p),
+w AS (
+  SELECT doc_id, n, v,
+         lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+  FROM s)
+SELECT doc_id,
+       CAST(COUNT(*) FILTER (WHERE pv IS NOT NULL AND pv * v < 0)
+            AS BIGINT) AS zero_crossings,
+       CAST(SUM(v * v) AS BIGINT) AS energy,
+       ROUND(SQRT(CAST(SUM(v * v) AS DOUBLE) / n), 6) AS rms,
+       CAST(MAX(ABS(v)) AS BIGINT) AS peak
+FROM w GROUP BY doc_id, n
+""",
+)
+def q_multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio FEATURE EXTRACTION from decoded samples — the step after
+    decode in a speech-curation pipeline (silence/clipping/quality
+    gates): zero-crossing rate numerator, signal energy, RMS, and peak,
+    all derived from the real WAV round-trip (decode of the synthesized
+    container, as q_multimodal_decode). Exact-int design: crossings and
+    energy are integer counts/sums (|v| ≤ 1000 ⇒ Σv² < 2^53), RMS is
+    the single float op from exact ints. Oracle recomputes the same
+    features analytically with a lag window — so a decoder byte slip or
+    an off-by-one in the crossing definition (strict sign product < 0)
+    breaks the match."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "doc_id": [], "zero_crossings": [], "energy": [],
+                "rms": [], "peak": [],
+            }
+            for doc_id in pdf["doc_id"]:
+                n = 160 + doc_id % 96
+                i = np.arange(n, dtype=np.int64)
+                sig = ((doc_id * 31 + 7 * i) % 2001) - 1000
+                _, dec = decode_wav_pcm16(encode_wav_pcm16(sig, _WAV_RATE))
+                dec = dec.astype(np.int64)
+                energy = int((dec * dec).sum())
+                out["doc_id"].append(doc_id)
+                out["zero_crossings"].append(
+                    int(((dec[:-1] * dec[1:]) < 0).sum())
+                )
+                out["energy"].append(energy)
+                out["rms"].append(round(float(np.sqrt(energy / n)), 6))
+                out["peak"].append(int(np.abs(dec).max()))
+            yield pd.DataFrame(out)
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.repartition(16).mapInPandas(
+        kernel,
+        schema=(
+            "doc_id long, zero_crossings long, energy long, "
+            "rms double, peak long"
+        ),
+    )
+
+
+@register(
     "q_multimodal_resample",
     oracle="""
 WITH p AS (

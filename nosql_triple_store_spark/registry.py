@@ -82,6 +82,8 @@ _OPERATOR_MODULES = (
     "operators.vector_ext4",
     "operators.dedup_pipeline",
     "operators.register_ext",
+    "operators.quality_ext",
+    "operators.graph_ext5",
     "streaming.queries",
     "streaming.transform_state",
 )
