@@ -10,7 +10,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..registry import register
+from ..registry import register, register_skip
 from .triple import E_CTE
 
 
@@ -117,4 +117,59 @@ def q_source_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.groupBy("o_orderstatus", "o_orderpriority").agg(
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+def _spark_avro_available() -> bool:
+    """The avro DataSource is an external Spark module (spark-avro jar);
+    the core avro-*.jar libraries alone are not enough. Classpath probe
+    so the registry never advertises a query this runtime cannot run."""
+    import glob
+
+    home = os.environ.get("SPARK_HOME", "/opt/spark")
+    return bool(glob.glob(os.path.join(home, "jars", "spark-avro*.jar")))
+
+
+_AVRO_DIRS: dict[str, str] = {}
+
+
+def q_source_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro source roundtrip (row-oriented interchange format — the
+    Kafka/schema-registry ecosystem's default): orders written to Avro,
+    read back, aggregated; oracle reads the original parquet, proving
+    losslessness. Registered only where the spark-avro module jar is
+    deployed; elsewhere the registry records an explicit skip."""
+    if sf_dir not in _AVRO_DIRS:
+        out = os.path.join(
+            tempfile.gettempdir(),
+            "spark_graft_avro",
+            os.path.basename(os.path.normpath(sf_dir)),
+        )
+        load_table(spark, sf_dir, "orders").write.mode("overwrite").format(
+            "avro"
+        ).save(out)
+        _AVRO_DIRS[sf_dir] = out
+    orders = spark.read.format("avro").load(_AVRO_DIRS[sf_dir])
+    return orders.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+if _spark_avro_available():  # pragma: no cover - jar absent here
+    register(
+        "q_source_avro",
+        oracle="""
+SELECT o_orderstatus, o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(o_totalprice), 2) AS total
+FROM orders GROUP BY o_orderstatus, o_orderpriority
+""",
+    )(q_source_avro)
+else:
+    register_skip(
+        "q_source_avro",
+        "spark-avro module jar not on this runtime's classpath (avro is "
+        "an external Spark data source); the write/read roundtrip "
+        "registers and is oracle-checked wherever the jar is deployed",
     )

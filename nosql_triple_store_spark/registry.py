@@ -84,6 +84,7 @@ _OPERATOR_MODULES = (
     "operators.register_ext",
     "operators.quality_ext",
     "operators.graph_ext5",
+    "operators.vector_ext5",
     "streaming.queries",
     "streaming.transform_state",
 )
