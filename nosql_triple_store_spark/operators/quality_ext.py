@@ -12,6 +12,7 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import StringType
 
 from ..catalog import load_table
 from ..registry import register
@@ -108,8 +109,8 @@ def q_validate_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-@F.pandas_udf("string")
-def _nfc_normalize(s: pd.Series) -> pd.Series:
+@F.pandas_udf(StringType())  # DataType object: a DDL string here would
+def _nfc_normalize(s: pd.Series) -> pd.Series:  # need a live SparkContext
     """Arrow-batched NFC normalization (no row-at-a-time Python UDF);
     unicodedata is stdlib, so executors need no extra packages."""
     import unicodedata
