@@ -85,6 +85,7 @@ _OPERATOR_MODULES = (
     "operators.quality_ext",
     "operators.graph_ext5",
     "operators.vector_ext5",
+    "operators.dedup_pipeline2",
     "streaming.queries",
     "streaming.transform_state",
 )
