@@ -247,6 +247,44 @@ def decode_png(payload: bytes) -> "np.ndarray":
     return out.astype(np.uint8)
 
 
+def decode_ppm_stream(payload: bytes) -> list["np.ndarray"]:
+    """Walk a concatenated-P6 stream — the 'ppmpipe' container ffmpeg's
+    image2pipe emits for `-c:v ppm` — parsing each frame's header to
+    find its raster length, slicing the frame, and advancing to the
+    next magic. Returns the list of (h, w, 3) uint8 frames. Frames may
+    differ in size; truncated rasters raise rather than yielding a
+    short frame."""
+    frames, pos = [], 0
+    n = len(payload)
+    while pos < n:
+        if payload[pos : pos + 2] != b"P6":
+            raise ValueError(f"bad frame magic at byte {pos}")
+        fields, p2 = [], pos + 2
+        while len(fields) < 3:
+            while p2 < n and payload[p2 : p2 + 1].isspace():
+                p2 += 1
+            if payload[p2 : p2 + 1] == b"#":
+                while payload[p2 : p2 + 1] not in (b"\n", b""):
+                    p2 += 1
+                continue
+            start = p2
+            while p2 < n and not payload[p2 : p2 + 1].isspace():
+                p2 += 1
+            fields.append(int(payload[start:p2]))
+        p2 += 1  # single whitespace after maxval
+        w, h, maxval = fields
+        if maxval != 255:
+            raise ValueError("only 8-bit PPM supported")
+        end = p2 + w * h * 3
+        if end > n:
+            raise ValueError(f"truncated raster at byte {pos}")
+        frames.append(
+            np.frombuffer(payload, np.uint8, w * h * 3, p2).reshape(h, w, 3)
+        )
+        pos = end
+    return frames
+
+
 def decode_media(payload: bytes, fmt: str):
     """Decode an image/audio payload. Real pure-numpy/stdlib decoders for
     the public container formats wav, ppm, and png (DEFLATE via stdlib
@@ -567,6 +605,86 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(
             F.concat(F.col("text"), F.lit(":"), F.col("frame_idx").cast("string"))
         ).alias("frame_hash"),
+    )
+
+
+@register(
+    "q_multimodal_video_decode",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, 8 + doc_id % 5 AS w, 6 + doc_id % 3 AS h,
+         3 + doc_id % 4 AS n_frames
+  FROM documents),
+f AS (
+  SELECT doc_id, w, h, unnest(range(0, n_frames, 2)) AS frame_idx FROM d),
+px AS (
+  SELECT doc_id, w, h, frame_idx, unnest(range(w * h)) AS p FROM f)
+SELECT doc_id,
+       CAST(frame_idx AS BIGINT) AS frame_idx,
+       CAST(w AS BIGINT) AS width,
+       CAST(h AS BIGINT) AS height,
+       ROUND(AVG((doc_id + 17 * frame_idx + p) % 256), 6) AS mean_r,
+       ROUND(AVG((2 * doc_id + 23 * frame_idx + 3 * p) % 256), 6) AS mean_g,
+       ROUND(AVG((3 * doc_id + 29 * frame_idx + 7 * p) % 256), 6) AS mean_b
+FROM px GROUP BY doc_id, frame_idx, w, h
+""",
+)
+def q_multimodal_video_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video decode + frame sampling end-to-end: per doc, render
+    3-6 RGB frames, container them as an actual concatenated-P6 stream
+    (ffmpeg's image2pipe `-c:v ppm` format), then decode the bytes back
+    by walking frame headers (`decode_ppm_stream`), keep every 2nd
+    frame, and derive per-frame channel means from the decoded rasters
+    only. The oracle recomputes the sampled frames' stats analytically,
+    so a header-walk off-by-one, a wrong stride, or sampling the wrong
+    frames breaks the hash match. This upgrades the video leg
+    (`q_multimodal_frames` samples a stub hash) to the same real-codec
+    standard as the WAV/PPM/PNG paths. Same Arrow mapInPandas shape; at
+    100 TB the payload column comes off parquet and the per-doc work is
+    embarrassingly parallel — no shuffle until the (tiny) stats rows."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "doc_id": [], "frame_idx": [], "width": [], "height": [],
+                "mean_r": [], "mean_g": [], "mean_b": [],
+            }
+            for doc_id in pdf["doc_id"]:
+                w, h = 8 + doc_id % 5, 6 + doc_id % 3
+                n_frames = 3 + doc_id % 4
+                p = np.arange(w * h, dtype=np.int64)
+                video = b"".join(
+                    encode_ppm(
+                        np.stack(
+                            [
+                                (doc_id + 17 * f + p) % 256,
+                                (2 * doc_id + 23 * f + 3 * p) % 256,
+                                (3 * doc_id + 29 * f + 7 * p) % 256,
+                            ],
+                            axis=1,
+                        ).reshape(h, w, 3)
+                    )
+                    for f in range(n_frames)
+                )
+                frames = decode_ppm_stream(video)
+                for idx in range(0, len(frames), 2):
+                    dec = frames[idx].astype(np.float64)
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(idx)
+                    out["height"].append(dec.shape[0])
+                    out["width"].append(dec.shape[1])
+                    out["mean_r"].append(round(float(dec[:, :, 0].mean()), 6))
+                    out["mean_g"].append(round(float(dec[:, :, 1].mean()), 6))
+                    out["mean_b"].append(round(float(dec[:, :, 2].mean()), 6))
+            yield pd.DataFrame(out)
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.repartition(16).mapInPandas(
+        kernel,
+        schema=(
+            "doc_id long, frame_idx long, width long, height long, "
+            "mean_r double, mean_g double, mean_b double"
+        ),
     )
 
 

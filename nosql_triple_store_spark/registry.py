@@ -86,6 +86,7 @@ _OPERATOR_MODULES = (
     "operators.graph_ext5",
     "operators.vector_ext5",
     "operators.dedup_pipeline2",
+    "operators.text_ext",
     "streaming.queries",
     "streaming.transform_state",
 )

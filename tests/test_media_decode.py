@@ -14,6 +14,7 @@ from nosql_triple_store_spark.operators.multimodal import (
     decode_media,
     decode_png,
     decode_ppm,
+    decode_ppm_stream,
     decode_wav_pcm16,
     encode_png,
     encode_ppm,
@@ -148,3 +149,26 @@ def test_decode_media_dispatch():
     assert decode_media(encode_png(rgb), "png").shape == (1, 1, 3)
     with pytest.raises(NotImplementedError):
         decode_media(b"\xff\xd8\xff", "jpg")
+
+
+def test_ppm_stream_roundtrip_mixed_sizes():
+    rng = np.random.default_rng(7)
+    frames = [
+        rng.integers(0, 256, size=(3, 5, 3), dtype=np.uint8),
+        rng.integers(0, 256, size=(1, 1, 3), dtype=np.uint8),
+        rng.integers(0, 256, size=(4, 2, 3), dtype=np.uint8),
+    ]
+    stream = b"".join(encode_ppm(f) for f in frames)
+    dec = decode_ppm_stream(stream)
+    assert len(dec) == 3
+    for a, b in zip(frames, dec):
+        assert np.array_equal(a, b)
+
+
+def test_ppm_stream_empty_and_errors():
+    assert decode_ppm_stream(b"") == []
+    one = encode_ppm(np.zeros((2, 2, 3), dtype=np.uint8))
+    with pytest.raises(ValueError, match="bad frame magic"):
+        decode_ppm_stream(one + b"JUNK")
+    with pytest.raises(ValueError, match="truncated raster"):
+        decode_ppm_stream(one[:-1])
