@@ -87,6 +87,8 @@ _OPERATOR_MODULES = (
     "operators.vector_ext5",
     "operators.dedup_pipeline2",
     "operators.text_ext",
+    "operators.vector_ext6",
+    "operators.relational_ext32",
     "streaming.queries",
     "streaming.transform_state",
 )
