@@ -1,9 +1,13 @@
-"""Thirty-second extension batch: exponentially time-decayed counters.
+"""Thirty-second extension batch: exponentially time-decayed counters
+and the bucketed range join.
 
 Lineage: decayed counts are the streaming-analytics freshness primitive
 (trending topics, recency-weighted popularity, decayed CTR) — the
 register semantics the reference's LWW store cannot express because it
-keeps only the last write, not a recency-weighted history.
+keeps only the last write, not a recency-weighted history. The bucketed
+range join is the scale-safe form of point-in-interval matching
+(incident attribution, ad-to-impression windows, sensor-to-maintenance
+correlation) that a naive engine executes as a nested loop.
 """
 
 from __future__ import annotations
@@ -69,3 +73,103 @@ def q_events_decayed_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("k").alias("k_max"),
         )
     )
+
+
+_HOUR_US = 3600 * 1_000_000
+_INCIDENT_VALUE = 4.5
+
+_RANGE_JOIN_ORACLE = f"""
+{E_CTE},
+x AS (SELECT event_id, event_type, CAST(epoch_us(ts) AS BIGINT) AS t, value
+      FROM e),
+inc AS (SELECT event_type, t AS s, t + {_HOUR_US} AS en
+        FROM x WHERE value >= {_INCIDENT_VALUE}),
+cov AS (
+  SELECT DISTINCT p.event_type, p.event_id
+  FROM x p JOIN inc i
+    ON p.event_type = i.event_type AND p.t >= i.s AND p.t < i.en),
+tot AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_points
+        FROM x GROUP BY event_type),
+ni AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_incidents
+       FROM inc GROUP BY event_type),
+nc AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_covered
+       FROM cov GROUP BY event_type)
+SELECT t.event_type,
+       COALESCE(ni.n_incidents, 0) AS n_incidents,
+       COALESCE(nc.n_covered, 0) AS n_covered,
+       t.n_points,
+       ROUND(COALESCE(nc.n_covered, 0) * 1.0 / t.n_points, 4)
+         AS covered_ratio
+FROM tot t
+LEFT JOIN ni ON t.event_type = ni.event_type
+LEFT JOIN nc ON t.event_type = nc.event_type
+"""
+
+
+@register("q_join_range_bucketed", oracle=_RANGE_JOIN_ORACLE)
+def q_join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval join, bucketed: high-value events (value ≥
+    4.5) open 1-hour incident windows; count how many same-type events
+    fall inside ≥1 window. The interval predicate `s <= t < s+1h` is
+    NOT executed as an inequality join (a BroadcastNestedLoop at scale)
+    — each incident explodes into the 1-2 hour-buckets it covers, the
+    join is an EQUI-join on (event_type, bucket) with the containment
+    check as a residual filter, and a distinct collapses points matched
+    by overlapping windows or bucket seams. tests/test_plans.py asserts
+    the physical plan has no nested-loop/cartesian node. At 100 TB this
+    is the range-join recipe: bucket width ≈ interval length bounds the
+    expansion factor at 2× while keeping bucket keys selective; skew =
+    hot (type, hour) cells, bounded because both sides pre-filter
+    before the explode. All-integer µs arithmetic; ratios are exact
+    ints rounded at 4 dp."""
+    ev = load_table(spark, sf_dir, "events")
+    x = ev.select(
+        "event_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t"),
+        "value",
+    )
+    inc = x.filter(F.col("value") >= _INCIDENT_VALUE).select(
+        "event_type", F.col("t").alias("s"), (F.col("t") + _HOUR_US).alias("en")
+    )
+    # interval [s, en) covers buckets floor(s/H) .. floor((en-1)/H)
+    inc_b = inc.select(
+        "event_type",
+        "s",
+        "en",
+        F.explode(
+            F.sequence(
+                F.expr(f"s div {_HOUR_US}"), F.expr(f"(en - 1) div {_HOUR_US}")
+            )
+        ).alias("b"),
+    )
+    pts = x.select(
+        "event_type", "event_id", "t", F.expr(f"t div {_HOUR_US}").alias("b")
+    )
+    cov = (
+        pts.join(inc_b, ["event_type", "b"])
+        .filter((F.col("t") >= F.col("s")) & (F.col("t") < F.col("en")))
+        .select("event_type", "event_id")
+        .distinct()
+    )
+    tot = x.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_points"))
+    ni = inc.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_incidents")
+    )
+    nc = cov.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_covered"))
+    out = (
+        tot.join(ni, "event_type", "left")
+        .join(nc, "event_type", "left")
+        .select(
+            "event_type",
+            F.coalesce("n_incidents", F.lit(0)).alias("n_incidents"),
+            F.coalesce("n_covered", F.lit(0)).alias("n_covered"),
+            "n_points",
+            F.round(
+                F.coalesce("n_covered", F.lit(0)) * F.lit(1.0)
+                / F.col("n_points"),
+                4,
+            ).alias("covered_ratio"),
+        )
+    )
+    return out

@@ -124,3 +124,13 @@ def test_mixture_weights_broadcasts_totals(spark):
     p = _plan(spark, "q_mixture_weights")
     assert "BroadcastExchange" in p
     assert p.count("Exchange hashpartitioning") <= 2
+
+
+def test_range_join_bucketed_is_equi_join(spark):
+    """The point-in-interval join must compile to an equi-join on the
+    bucket key with a residual filter — never a nested-loop/cartesian
+    over the inequality predicate."""
+    p = _plan(spark, "q_join_range_bucketed")
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    assert "Join" in p  # the equi-join on (event_type, bucket) exists
