@@ -173,3 +173,4 @@ def q_join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out
+

@@ -84,11 +84,14 @@ def q_text_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate, then per-doc score — both partial-aggregable."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", tokens_col().alias("t"))
-    bi = toks.select(
+    # size >= 2 guard: sequence(1, 0) is DESCENDING in Spark ([1, 0]),
+    # so a 1-token doc would index t[1] and error; DuckDB's
+    # generate_series(1, 0) is empty, so filtering matches the oracle
+    bi = toks.filter(F.size("t") >= 2).select(
         "doc_id",
         F.explode(
             F.expr(
-                "transform(sequence(1, greatest(size(t) - 1, 0)),"
+                "transform(sequence(1, size(t) - 1),"
                 " i -> concat(t[i-1], ' ', t[i]))"
             )
         ).alias("bg"),

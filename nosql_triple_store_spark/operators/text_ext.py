@@ -65,14 +65,20 @@ def q_text_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("c"))
     )
     total = uni.agg(F.sum("c").alias("n"))
-    bi = toks.select(
-        F.explode(
-            F.expr(
-                "transform(sequence(1, greatest(size(t) - 1, 0)),"
-                " i -> struct(t[i-1] AS w1, t[i] AS w2))"
-            )
-        ).alias("bg")
-    ).select("bg.w1", "bg.w2")
+    # size >= 2 guard: sequence(1, 0) is DESCENDING in Spark, which
+    # would index t[1] on a 1-token doc (shingles_col's pitfall)
+    bi = (
+        toks.filter(F.size("t") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 1),"
+                    " i -> struct(t[i-1] AS w1, t[i] AS w2))"
+                )
+            ).alias("bg")
+        )
+        .select("bg.w1", "bg.w2")
+    )
     bic = (
         bi.groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("c_xy"))
@@ -96,3 +102,104 @@ def q_text_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(50)
         .select("w1", "w2", "c_xy", "c_x", "c_y", "pmi_ratio")
     )
+
+
+BPE_MERGES = 8
+
+
+def bpe_fit(
+    spark: SparkSession, sf_dir: str, k: int = BPE_MERGES
+) -> list[tuple[int, str, str, str, int]]:
+    """Distributed BPE tokenizer training: k rounds of merge the
+    most-frequent adjacent symbol pair. Returns the merge table
+    [(round, left, right, merged, pair_count)]. Exposed for the
+    pure-Python differential test (tests/test_bpe.py).
+
+    The real BPE economics: training runs on the WORD-FREQUENCY table,
+    not the raw corpus — a 100 TB corpus reduces to |distinct words|
+    rows in one partial-aggregable pass, and every round after that
+    touches only that table. Per round: adjacent pairs explode JVM-side
+    weighted by word freq (one partial-aggregable aggregate), the
+    argmax collects ONE row (ties broken max-count → lexicographic so
+    reruns and engines agree), and the merge rewrite is a JVM
+    higher-order left fold (non-overlapping left-to-right, the
+    canonical BPE merge order) — no Python in any row path.
+    localCheckpoint per round truncates the 8-deep lineage."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(tokens_col()).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    cur = words.select(
+        "freq", F.expr("filter(split(w, ''), s -> s <> '')").alias("syms")
+    ).localCheckpoint()
+    merges: list[tuple[int, str, str, str, int]] = []
+    for r in range(k):
+        # pre-filter: a 1-symbol word has no pairs, and sequence(1, 0)
+        # is DESCENDING in Spark ([1, 0] → index error), so the guard
+        # is correctness, not just economy (shingles_col's pitfall)
+        pairs = (
+            cur.filter(F.size("syms") >= 2)
+            .select(
+                "freq",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(syms) - 1),"
+                        " i -> struct(syms[i-1] AS a, syms[i] AS b))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("freq").alias("cnt"))
+        )
+        top = pairs.orderBy(
+            F.desc("cnt"), F.asc("a"), F.asc("b")
+        ).limit(1).collect()
+        if not top:
+            break
+        a, b, cnt = top[0].a, top[0].b, int(top[0].cnt)
+        merged = a + b
+        merges.append((r, a, b, merged, cnt))
+        # Left-to-right non-overlapping merge as a JVM fold: append x,
+        # unless the accumulated tail is `a` and x is `b` — then replace
+        # the tail with the merged symbol. ("aaa" + rule (a,a) -> [aa, a].)
+        cur = cur.select(
+            "freq",
+            F.aggregate(
+                "syms",
+                F.array().cast("array<string>"),
+                lambda acc, x: F.when(
+                    (F.size(acc) > 0)
+                    & (F.element_at(acc, -1) == F.lit(a))
+                    & (x == F.lit(b)),
+                    F.concat(
+                        F.slice(acc, 1, F.size(acc) - 1),
+                        F.array(F.lit(merged)),
+                    ),
+                ).otherwise(F.concat(acc, F.array(x))),
+            ).alias("syms"),
+        ).localCheckpoint()
+    return merges
+
+
+@register("q_text_bpe_merges", oracle=None)  # iterative argmax fixpoint
+def q_text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The learned BPE merge table after {k} rounds: (round, left,
+    right, merged, pair_count) — tokenizer training as a first-class
+    corpus operator. All counts are exact ints and every argmax is
+    deterministically tie-broken, so the output is engine-stable;
+    rows-only because SQL can't express the iterative argmax (the
+    differential check against an independent pure-Python BPE is
+    tests/test_bpe.py). No end-of-word marker: merges are intra-word
+    only by construction (pairs never span words), which is the
+    training-relevant behavior; a production vocab would add the
+    marker symbol before export."""
+    rows = bpe_fit(spark, sf_dir)
+    return spark.createDataFrame(
+        rows, "round int, left string, right string, merged string,"
+        " pair_count long"
+    )
+
+
+q_text_bpe_merges.__doc__ = q_text_bpe_merges.__doc__.format(k=BPE_MERGES)
