@@ -178,12 +178,8 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     via the canonical e1(a,b)⋈e2(b,c)⋈e3(a,c) double join — the classic
     distributed formulation; degree-based orientation keeps the path
     explosion bounded by heavy-hitter degree."""
-    from .graph_ext3 import _copurchase_edges
+    from .graph_ext3 import triangle_list
 
-    # Shared materialized edge relation: the three wedge-join branches
-    # below each scan the small 2-column parquet instead of re-running
-    # the lineitem self-join + distinct per branch.
-    pairs = _copurchase_edges(spark, sf_dir)
     # Orientation note (measured): id-ordered orientation (a<b) does the
     # canonical wedge join in ~13 s at sf0.1. A degree-based orientation
     # (orient toward higher degree — the O(sqrt m) heavy-hitter bound)
@@ -193,20 +189,13 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # switch to degree-orientation only for power-law edge sets.
     # The wedge join materializes ~50M intermediate rows at sf0.1; at the
     # session default of 32 shuffle partitions that's ~1.5M rows/task and
-    # the tasks GC-thrash (measured 48 s; 10 s at 96+). Pin a wide
-    # partitioning for BOTH wedge-building joins explicitly — plan-local,
-    # unlike a session-wide initialPartitionNum (which regressed other
-    # queries; see session.py note). AQE still coalesces the tiny final
-    # count stage.
-    wide = 96
-    e1 = pairs.select(F.col("pa").alias("x"), F.col("pb").alias("y"))
-    e2 = pairs.select(F.col("pa").alias("y"), F.col("pb").alias("z"))
-    e3 = pairs.select(F.col("pa").alias("x"), F.col("pb").alias("z"))
-    wedges = e1.repartition(wide, "y").join(e2.repartition(wide, "y"), "y")
-    tri = wedges.repartition(wide, "x", "z").join(
-        e3.repartition(wide, "x", "z"), ["x", "z"]
+    # the tasks GC-thrash (measured 48 s; 10 s at 96+). The wedge joins
+    # (with their plan-local width-96 partitioning) live in
+    # graph_ext3.triangle_list, materialized once per process and shared
+    # with q_graph_clustering_coeff.
+    return triangle_list(spark, sf_dir).agg(
+        F.count(F.lit(1)).alias("n_triangles")
     )
-    return tri.agg(F.count(F.lit(1)).alias("n_triangles"))
 
 
 _PR_MAX_ROUNDS = 8

@@ -52,6 +52,35 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(_COPURCHASE_DIRS[sf_dir])
 
 
+_TRIANGLE_DIRS: dict[str, str] = {}
+
+
+def triangle_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All id-oriented triangles (x < y < z) of the co-purchase graph,
+    materialized ONCE per process and shared by q_graph_triangles and
+    q_graph_clustering_coeff — the wedge double-join is the graph
+    family's second expensive shared intermediate after the edge list
+    itself (~1.9M triangle rows / ~50M wedge intermediates at sf0.1),
+    so enumerating it once halves the cost of every triangle consumer.
+    Same plan-local width-96 note as q_graph_triangles (SCALE.md)."""
+    if sf_dir not in _TRIANGLE_DIRS:
+        out = scratch_dir("triangles", sf_dir)
+        pairs = _copurchase_edges(spark, sf_dir)
+        wide = 96
+        e1 = pairs.select(F.col("pa").alias("x"), F.col("pb").alias("y"))
+        e2 = pairs.select(F.col("pa").alias("y"), F.col("pb").alias("z"))
+        e3 = pairs.select(F.col("pa").alias("x"), F.col("pb").alias("z"))
+        wedges = e1.repartition(wide, "y").join(
+            e2.repartition(wide, "y"), "y"
+        )
+        tri = wedges.repartition(wide, "x", "z").join(
+            e3.repartition(wide, "x", "z"), ["x", "z"]
+        )
+        tri.select("x", "y", "z").write.mode("overwrite").parquet(out)
+        _TRIANGLE_DIRS[sf_dir] = out
+    return spark.read.parquet(_TRIANGLE_DIRS[sf_dir])
+
+
 @register("q_graph_kcore", oracle=None)  # rows-only: iterative fixpoint
 def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-core decomposition (k=4): repeatedly peel nodes with degree < k

@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..registry import register
-from .graph_ext3 import _copurchase_edges
+from .graph_ext3 import _copurchase_edges, triangle_list
 
 _EDGES_SQL = """
 edges AS (
@@ -94,4 +94,77 @@ def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             (4 * F.col("m") * F.col("lw") - F.col("d2")).cast("double")
             / (4.0 * F.col("m") * F.col("m"))
         ).alias("modularity"),
+    )
+
+
+_CLUSTCOEFF_ORACLE = f"""
+WITH {_EDGES_SQL},
+tri AS (
+  SELECT e1.pa AS x, e1.pb AS y, e2.pb AS z
+  FROM edges e1
+  JOIN edges e2 ON e1.pb = e2.pa
+  JOIN edges e3 ON e3.pa = e1.pa AND e3.pb = e2.pb),
+tnode AS (
+  SELECT v, CAST(COUNT(*) AS BIGINT) AS t
+  FROM (SELECT unnest([x, y, z]) AS v FROM tri) GROUP BY v),
+deg AS (
+  SELECT v, CAST(COUNT(*) AS BIGINT) AS d
+  FROM (SELECT pa AS v FROM edges UNION ALL SELECT pb FROM edges)
+  GROUP BY v)
+SELECT d.v AS part, d.d AS degree,
+       COALESCE(t.t, 0) AS n_triangles,
+       ROUND(2.0 * COALESCE(t.t, 0) / (d.d * (d.d - 1)), 4)
+         AS clustering_coeff
+FROM deg d LEFT JOIN tnode t ON d.v = t.v
+WHERE d.d >= 2
+ORDER BY 2.0 * COALESCE(t.t, 0) / (d.d * (d.d - 1)) DESC, d.v
+LIMIT 100
+"""
+
+
+@register("q_graph_clustering_coeff", oracle=_CLUSTCOEFF_ORACLE)
+def q_graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient: top-100 parts by 2·T(v) /
+    (deg(v)·(deg(v)−1)) with min degree 2 — the per-node version of the
+    global triangle count (community tightness, link-prediction
+    feature). Triangles come from the shared
+    materialized triangle_list parquet (graph_ext3; same id-oriented
+    x<y<z wedge join as q_graph_triangles, enumerated once), then each
+    triangle credits its three corners via one posexplode-free
+    explode+aggregate; degrees come from the symmetrized edge list.
+    Exact ints throughout; the coefficient is one IEEE division ordered
+    exactly, so ranking and the 4-dp rounding agree cross-engine."""
+    pairs = _copurchase_edges(spark, sf_dir)
+    tri = triangle_list(spark, sf_dir)
+    tnode = (
+        tri.select(
+            F.explode(F.array("x", "y", "z")).alias("v")
+        )
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+    deg = (
+        pairs.select(F.col("pa").alias("v"))
+        .unionByName(pairs.select(F.col("pb").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .filter(F.col("d") >= 2)
+    )
+    coeff = (
+        F.lit(2.0)
+        * F.coalesce("t", F.lit(0))
+        / (F.col("d") * (F.col("d") - 1))
+    )
+    return (
+        deg.join(tnode, "v", "left")
+        .select(
+            F.col("v").alias("part"),
+            F.col("d").alias("degree"),
+            F.coalesce("t", F.lit(0)).alias("n_triangles"),
+            coeff.alias("_c"),
+            F.round(coeff, 4).alias("clustering_coeff"),
+        )
+        .orderBy(F.desc("_c"), F.asc("part"))
+        .limit(100)
+        .select("part", "degree", "n_triangles", "clustering_coeff")
     )
