@@ -106,6 +106,19 @@ def q_text_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 BPE_MERGES = 8
 
+_BPE_CACHE: dict[str, list[tuple[int, str, str, str, int]]] = {}
+
+
+def bpe_fit_cached(
+    spark: SparkSession, sf_dir: str
+) -> list[tuple[int, str, str, str, int]]:
+    """Train once per (process, sf_dir); q_text_bpe_merges and
+    q_text_bpe_encode share the merge table like production tokenizers
+    (train once, apply everywhere)."""
+    if sf_dir not in _BPE_CACHE:
+        _BPE_CACHE[sf_dir] = bpe_fit(spark, sf_dir)
+    return _BPE_CACHE[sf_dir]
+
 
 def bpe_fit(
     spark: SparkSession, sf_dir: str, k: int = BPE_MERGES
@@ -195,7 +208,7 @@ def q_text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     only by construction (pairs never span words), which is the
     training-relevant behavior; a production vocab would add the
     marker symbol before export."""
-    rows = bpe_fit(spark, sf_dir)
+    rows = bpe_fit_cached(spark, sf_dir)
     return spark.createDataFrame(
         rows, "round int, left string, right string, merged string,"
         " pair_count long"
@@ -203,3 +216,69 @@ def q_text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 q_text_bpe_merges.__doc__ = q_text_bpe_merges.__doc__.format(k=BPE_MERGES)
+
+
+def bpe_apply_col(merges: list[tuple[int, str, str, str, int]]):
+    """Symbol array after applying the merge table to column `w`, as
+    ONE nested JVM expression (k folds, no per-round job): the plan-side
+    twin of a tokenizer's encode step."""
+    def merge_fold(a: str, b: str, merged: str):
+        # factory: PySpark validates HOF lambda arity, so the closure
+        # must capture a/b/merged, not take them as defaulted params
+        def fold(acc, x):
+            return F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(a))
+                & (x == F.lit(b)),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+                ),
+            ).otherwise(F.concat(acc, F.array(x)))
+
+        return fold
+
+    col = F.expr("filter(split(w, ''), s -> s <> '')")
+    for _, a, b, merged, _ in merges:
+        col = F.aggregate(
+            col, F.array().cast("array<string>"), merge_fold(a, b, merged)
+        )
+    return col
+
+
+@register("q_text_bpe_encode", oracle=None)  # merges are data-derived
+def q_text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide BPE encode with the learned merge table: per-lang
+    word occurrences, character volume, post-BPE token volume, and the
+    chars-per-token compression ratio — the statistic a tokenizer
+    training run reports to judge vocab quality. The k merges apply as
+    one nested JVM fold expression over the DISTINCT word table (apply
+    cost scales with |vocab|, not corpus size), then per-occurrence
+    stats come from one join of the exploded corpus against that tiny
+    encoded vocab. Exact ints; ratio is one division rounded at 4 dp.
+    Rows-only because the merge table is data-derived (SQL cannot
+    reproduce the training loop); the encode step is differentially
+    tested against a pure-Python apply in tests/test_bpe.py."""
+    merges = bpe_fit_cached(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    occ = docs.select("lang", F.explode(tokens_col()).alias("w"))
+    vocab = (
+        occ.select("w")
+        .distinct()
+        .select(
+            "w",
+            F.length("w").alias("n_chars"),
+            F.size(bpe_apply_col(merges)).alias("n_tokens"),
+        )
+    )
+    return (
+        occ.join(F.broadcast(vocab), "w")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum("n_tokens").alias("total_bpe_tokens"),
+            F.round(
+                F.sum("n_chars") * F.lit(1.0) / F.sum("n_tokens"), 4
+            ).alias("chars_per_token"),
+        )
+    )

@@ -68,3 +68,50 @@ def test_query_shape_and_determinism(spark):
     assert rounds == list(range(BPE_MERGES))
     for r in a:
         assert r.merged == r.left + r.right and r.pair_count > 0
+
+
+def test_encode_matches_python_apply(spark):
+    from nosql_triple_store_spark.operators.text_ext import q_text_bpe_encode
+
+    docs = (
+        load_table(spark, SF_DIR, "documents")
+        .select("lang", "text")
+        .collect()
+    )
+    freq: Counter = Counter()
+    for r in docs:
+        for w in r.text.lower().split(" "):
+            if w:
+                freq[w] += 1
+    merges = _python_bpe(dict(freq), BPE_MERGES)
+    rules = [(m[1], m[2]) for m in merges]
+
+    def encode(w: str) -> int:
+        syms = list(w)
+        for a, b in rules:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return len(syms)
+
+    want: dict[str, list[int]] = {}
+    for r in docs:
+        for w in r.text.lower().split(" "):
+            if w:
+                st = want.setdefault(r.lang, [0, 0, 0])
+                st[0] += 1
+                st[1] += len(w)
+                st[2] += encode(w)
+
+    got = {r.lang: r for r in q_text_bpe_encode(spark, SF_DIR).collect()}
+    assert set(got) == set(want)
+    for lang, (nw, nc, nt) in want.items():
+        g = got[lang]
+        assert (g.n_words, g.total_chars, g.total_bpe_tokens) == (nw, nc, nt)
+        assert g.chars_per_token == round(nc / nt, 4)
