@@ -817,3 +817,63 @@ def q_multimodal_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_amp double, peak_amp long"
         ),
     )
+
+
+_DEDUP_CLASSES = 40
+
+
+@register(
+    "q_multimodal_image_dedup",
+    oracle=f"""
+SELECT MIN(doc_id) AS keeper,
+       CAST(COUNT(*) AS BIGINT) AS n_copies
+FROM documents GROUP BY doc_id % {_DEDUP_CLASSES}
+""",
+)
+def q_multimodal_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact image dedup by DECODED-pixel content hash: per doc,
+    rasterize a pattern keyed by doc_id % 40 (so docs in the same class
+    produce byte-identical images), container as real PPM, decode, and
+    hash the decoded raster; identical hashes collapse to one keeper
+    (min doc_id) — the image-level twin of q_dedup_exact, run on pixel
+    CONTENT rather than file bytes (a re-encoded/renamed copy still
+    collapses). The oracle knows the analytic class structure, so a
+    codec bug that corrupts any raster byte, or a hash over the wrong
+    buffer, splits/merges clusters and fails the match. Arrow
+    mapInPandas decode + one hash-groupBy: at 100 TB the shuffle
+    carries (hash, doc_id), never pixels."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            out = {"doc_id": [], "px_hash": []}
+            for doc_id in pdf["doc_id"]:
+                g = doc_id % _DEDUP_CLASSES
+                w, h = 8 + g % 5, 6 + g % 3
+                p = np.arange(w * h, dtype=np.int64)
+                rgb = np.stack(
+                    [
+                        (g * 7 + p) % 256,
+                        (g * 11 + 3 * p) % 256,
+                        (g * 13 + 5 * p) % 256,
+                    ],
+                    axis=1,
+                ).reshape(h, w, 3)
+                dec = decode_ppm(encode_ppm(rgb))
+                digest = hashlib.md5(
+                    f"{dec.shape[1]}x{dec.shape[0]}:".encode()
+                    + dec.tobytes()
+                ).hexdigest()
+                out["doc_id"].append(doc_id)
+                out["px_hash"].append(digest)
+            yield pd.DataFrame(out)
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    hashed = docs.repartition(16).mapInPandas(
+        kernel, schema="doc_id long, px_hash string"
+    )
+    return hashed.groupBy("px_hash").agg(
+        F.min("doc_id").alias("keeper"),
+        F.count(F.lit(1)).alias("n_copies"),
+    ).select("keeper", "n_copies")

@@ -12,7 +12,7 @@ correlation) that a naive engine executes as a nested loop.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -174,3 +174,91 @@ def q_join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out
 
+
+
+_MAD_K = 3  # flag |x - median| > 3 * MAD
+
+_ANOMALY_ORACLE = f"""
+{E_CTE},
+x AS (SELECT event_id, event_type, value FROM e),
+med AS (
+  SELECT event_type, MIN(value) AS med FROM (
+    SELECT event_type, value,
+           ROW_NUMBER() OVER (PARTITION BY event_type
+                              ORDER BY value, event_id) AS rn,
+           COUNT(*) OVER (PARTITION BY event_type) AS n
+    FROM x)
+  WHERE rn * 2 >= n GROUP BY event_type),
+dev AS (
+  SELECT x.event_id, x.event_type, x.value, ABS(x.value - med.med) AS d,
+         med.med
+  FROM x JOIN med USING (event_type)),
+mad AS (
+  SELECT event_type, MIN(d) AS mad FROM (
+    SELECT event_type, d,
+           ROW_NUMBER() OVER (PARTITION BY event_type
+                              ORDER BY d, event_id) AS rn,
+           COUNT(*) OVER (PARTITION BY event_type) AS n
+    FROM dev)
+  WHERE rn * 2 >= n GROUP BY event_type)
+SELECT dev.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       MIN(dev.med) AS median_value,
+       MIN(mad.mad) AS mad,
+       CAST(COUNT(*) FILTER (WHERE dev.d > {_MAD_K} * mad.mad) AS BIGINT)
+         AS n_outliers,
+       MAX(dev.d) AS max_abs_dev
+FROM dev JOIN mad USING (event_type)
+GROUP BY dev.event_type
+"""
+
+
+@register("q_events_anomaly_mad", oracle=_ANOMALY_ORACLE)
+def q_events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly detection per event type: median/MAD outlier
+    census (|x − median| > 3·MAD) — the heavy-tail-safe alternative to
+    mean/stddev z-scores. Both medians are EXACT lower medians via the
+    rank-crossing trick (rn·2 ≥ n over a (value, event_id)-ordered
+    window — integer comparison, no n/2 float); the median and MAD are
+    then actual data values / one IEEE subtraction, so every comparison
+    is bit-identical cross-engine with no rounding anywhere. Windows
+    partition by event_type (parallel across types); at 100 TB swap the
+    exact in-type sort for approx_percentile or the bucketed-quantile
+    helper (functions/prefix.py) — the exact variant here is the
+    correctness oracle for that swap."""
+    ev = load_table(spark, sf_dir, "events")
+    x = ev.select("event_id", "event_type", "value")
+
+    def lower_median(df: DataFrame, val: str, out: str) -> DataFrame:
+        w = Window.partitionBy("event_type").orderBy(val, "event_id")
+        wn = Window.partitionBy("event_type")
+        return (
+            df.withColumn("__rn", F.row_number().over(w))
+            .withColumn("__n", F.count(F.lit(1)).over(wn))
+            .filter(F.col("__rn") * 2 >= F.col("__n"))
+            .groupBy("event_type")
+            .agg(F.min(val).alias(out))
+        )
+
+    med = lower_median(x, "value", "med")
+    dev = x.join(med, "event_type").withColumn(
+        "d", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = lower_median(
+        dev.select("event_type", "event_id", F.col("d").alias("value")),
+        "value",
+        "mad",
+    )
+    return (
+        dev.join(mad, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("med").alias("median_value"),
+            F.min("mad").alias("mad"),
+            F.count_if(F.col("d") > _MAD_K * F.col("mad")).alias(
+                "n_outliers"
+            ),
+            F.max("d").alias("max_abs_dev"),
+        )
+    )
