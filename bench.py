@@ -59,7 +59,10 @@ def main() -> None:
     # builds (like CREATE TABLE ... CLUSTERED BY); counting them inside
     # the first consuming query polluted cross-round comparability.
     from nosql_triple_store_spark.operators.bucketed import bucketed_tables
-    from nosql_triple_store_spark.operators.graph_ext3 import _copurchase_edges
+    from nosql_triple_store_spark.operators.graph_ext3 import (
+        _copurchase_edges,
+        triangle_list,
+    )
 
     layout: dict[str, float] = {}
     t0 = time.perf_counter()
@@ -68,6 +71,9 @@ def main() -> None:
     t0 = time.perf_counter()
     _copurchase_edges(spark, sf_dir).count()
     layout["copurchase_edges"] = round(time.perf_counter() - t0, 4)
+    t0 = time.perf_counter()
+    triangle_list(spark, sf_dir).count()
+    layout["triangle_list"] = round(time.perf_counter() - t0, 4)
 
     # Heap-sensitive heavy queries get a JVM full-GC immediately before
     # they run (outside their timed region): the wedge joins are
