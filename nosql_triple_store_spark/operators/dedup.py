@@ -65,23 +65,49 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 SHINGLE_DF_CAP = 5000
 
 
+_SHINGLE_DIRS: dict[str, str] = {}
+
+
+def _shingle_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingle) exploded stream, materialized once per process
+    as scratch parquet (written 32-wide so the explode parallelizes)."""
+    if sf_dir not in _SHINGLE_DIRS:
+        from ..scratch import scratch_dir
+
+        out = scratch_dir("shingles", sf_dir)
+        docs = load_table(spark, sf_dir, "documents")
+        (
+            docs.select(
+                "doc_id",
+                F.explode(shingles_col(tokens_col())).alias("shingle"),
+            )
+            .repartition(32)
+            .write.mode("overwrite")
+            .parquet(out)
+        )
+        _SHINGLE_DIRS[sf_dir] = out
+    return spark.read.parquet(_SHINGLE_DIRS[sf_dir])
+
+
 def _shingle_pairs(
     spark: SparkSession, sf_dir: str, df_cap: int = SHINGLE_DF_CAP
 ) -> DataFrame:
     """(doc_a, doc_b, common, na, nb) via inverted-index self-join."""
-    docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select(
-        "doc_id", F.explode(shingles_col(tokens_col())).alias("shingle")
-    )
-    # The shingle stream fans out THREE ways (sizes, join-left, join-right);
-    # without materialization Spark re-runs the scan+explode for each, all
-    # in the single input-file partition. repartition spreads the explode
-    # across cores and localCheckpoint pins the result (measured at sf0.1:
-    # 8-12 s -> ~4 s). At 100 TB the same role is played by persisting the
-    # shingle table (or writing it once) before the self-join. Width 32
-    # matches the bench core count (re-measured r3: 16 -> 32 saves ~1 s
-    # at sf0.1 by keeping the explode+checkpoint fully parallel).
-    sh = sh.repartition(32).localCheckpoint()
+    # The shingle stream fans out THREE ways (sizes, join-left, join-right)
+    # and is consumed by THREE queries (q_dedup_near, q_text_containment,
+    # q_dedup_clusters); without materialization Spark re-runs the
+    # scan+explode for every branch of every consumer, all in the single
+    # input-file partition. Round 3 pinned it per-call with
+    # repartition(32).localCheckpoint() (8-12 s -> ~4 s at sf0.1), but the
+    # cached blocks made later queries storage-pressure-sensitive
+    # (q_text_containment measured 5 -> 10 s in the r4 full sweep while
+    # BPE-training checkpoint blocks awaited async cleanup). Scratch
+    # parquet written ONCE per process removes both problems: every
+    # consumer reads a 2-column columnar file, and nothing lingers in
+    # executor storage memory. At 100 TB this is "write the shingle table
+    # once before the self-join" — the same fan-out rule as the
+    # co-purchase edge list.
+    sh = _shingle_stream(spark, sf_dir)
     # sizes come from the UNCAPPED stream so Jaccard denominators stay
     # exact; the cap only prunes the candidate-generating index below
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
