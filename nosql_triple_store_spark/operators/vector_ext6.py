@@ -51,12 +51,10 @@ def _scatter_cells(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         )
 
 
-def pca_scatter_fit(
+def _scatter_stats(
     spark: SparkSession, sf_dir: str
-) -> tuple[list[float], list[float], float]:
-    """Returns (mean vector μ, unit top component v — sign-pinned,
-    top eigenvalue of the centered scatter). Exposed for the
-    numpy-differential tests."""
+) -> tuple[float, "np.ndarray", "np.ndarray"]:
+    """One distributed pass → (n, Σx, Σxx^T) as driver-side numpy."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         F.col("embedding").cast("array<double>").alias("x")
     )
@@ -71,7 +69,16 @@ def pca_scatter_fit(
         flat[r.idx] = r.v
     # solve d from d² + d + 1 = n_cells
     d = round((-1 + (4 * len(flat) - 3) ** 0.5) / 2)
-    n, sx, sxx = flat[0], flat[1 : d + 1], flat[d + 1 :].reshape(d, d)
+    return flat[0], flat[1 : d + 1], flat[d + 1 :].reshape(d, d)
+
+
+def pca_scatter_fit(
+    spark: SparkSession, sf_dir: str
+) -> tuple[list[float], list[float], float]:
+    """Returns (mean vector μ, unit top component v — sign-pinned,
+    top eigenvalue of the centered scatter). Exposed for the
+    numpy-differential tests."""
+    n, sx, sxx = _scatter_stats(spark, sf_dir)
     mu = sx / n
     scatter = sxx - n * np.outer(mu, mu)  # Σ(x-μ)(x-μ)^T
     evals, evecs = np.linalg.eigh(scatter)
@@ -110,5 +117,69 @@ def q_vector_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("score"), 4).alias("mean_score"),
             F.round(F.min("score"), 4).alias("min_score"),
             F.round(F.max("score"), 4).alias("max_score"),
+        )
+    )
+
+
+def pca_whiten_fit(
+    spark: SparkSession, sf_dir: str, eps: float = 1e-9
+) -> tuple[list[float], list[list[float]]]:
+    """(μ, W) where W = Λ^{-1/2}·Uᵀ whitens centered embeddings to unit
+    covariance — from the same one-pass scatter statistic as
+    pca_scatter_fit (no extra data pass; the driver-side eigh is reused
+    conceptually but solved on the full spectrum). eps guards
+    rank-deficient directions."""
+    n, sx, sxx = _scatter_stats(spark, sf_dir)
+    mu = sx / n
+    cov = (sxx - n * np.outer(mu, mu)) / (n - 1)
+    evals, evecs = np.linalg.eigh(cov)
+    w = (evecs / np.sqrt(np.maximum(evals, eps))).T  # rows scale U columns
+    return mu.tolist(), w.tolist()
+
+
+@register("q_vector_whiten", oracle=None)  # rows-only: float eigensolve
+def q_vector_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitened-embedding census: apply the PCA whitening transform
+    W(x−μ) (unit covariance by construction) and report per-label
+    vector count plus mean/max whitened norm² (4 dp). Whitening is the
+    standard preprocessing before cosine-based dedup/retrieval on
+    anisotropic embedding spaces; E[‖Wx‖²] = d for the fitted
+    distribution, so the mean column doubles as a self-check. The
+    transform applies JVM-side: W rides in as a nested array literal
+    and each output coordinate is a zip_with dot product — one Python
+    round for the fit statistic, zero in the transform path.
+    tests/test_vector_pca.py asserts the whitened sample covariance is
+    the identity."""
+    mu, w = pca_whiten_fit(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "label", F.col("embedding").cast("array<double>").alias("x")
+    )
+    mu_lit = F.array(*[F.lit(float(m)) for m in mu]).cast("array<double>")
+    w_lit = F.array(
+        *[
+            F.array(*[F.lit(float(v)) for v in row]).cast("array<double>")
+            for row in w
+        ]
+    )
+    centered = F.zip_with(F.col("x"), mu_lit, lambda a, b: a - b)
+    norm2 = F.aggregate(
+        F.transform(
+            w_lit,
+            lambda row: F.aggregate(
+                F.zip_with(centered, row, lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, t: acc + t,
+            ),
+        ),
+        F.lit(0.0),
+        lambda acc, y: acc + y * y,
+    )
+    return (
+        emb.select("label", norm2.alias("wn2"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.round(F.avg("wn2"), 4).alias("mean_whitened_norm2"),
+            F.round(F.max("wn2"), 4).alias("max_whitened_norm2"),
         )
     )

@@ -51,3 +51,27 @@ def test_census_deterministic_and_consistent(spark):
     total = sum(r.n_vectors for r in a.values())
     n_emb = load_table(spark, SF_DIR, "embeddings").count()
     assert total == n_emb
+
+
+def test_whitening_gives_identity_covariance(spark):
+    from nosql_triple_store_spark.operators.vector_ext6 import (
+        pca_whiten_fit,
+        q_vector_whiten,
+    )
+
+    rows = (
+        load_table(spark, SF_DIR, "embeddings").select("embedding").collect()
+    )
+    X = np.array([r.embedding for r in rows], dtype=np.float64)
+    mu, w = pca_whiten_fit(spark, SF_DIR)
+    W = np.array(w)
+    Y = (X - np.array(mu)) @ W.T
+    cov = np.cov(Y, rowvar=False)
+    np.testing.assert_allclose(cov, np.eye(X.shape[1]), atol=1e-6)
+    # census self-check: E[||Wx||^2] = d for the fitted sample
+    out = q_vector_whiten(spark, SF_DIR).collect()
+    n = sum(r.n_vectors for r in out)
+    mean_all = sum(r.n_vectors * r.mean_whitened_norm2 for r in out) / n
+    d = X.shape[1]
+    # sample identity: sum ||y_i||^2 = (n-1) * d exactly (trace of cov)
+    assert abs(mean_all - (n - 1) * d / n) < 0.05
