@@ -107,8 +107,11 @@ def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     disagree in ulps, so neither is used. The window input is the tiny
     daily aggregate, partitioned by event_type."""
     events = load_table(spark, sf_dir, "events")
+    # ntz -> date -> ntz, not date_trunc: date_trunc would return a
+    # session-TZ timestamp that shifts on non-UTC hosts (TZ probe)
     daily = events.groupBy(
-        "event_type", F.date_trunc("day", "ts").alias("day")
+        "event_type",
+        F.col("ts").cast("date").cast("timestamp_ntz").alias("day"),
     ).agg(F.count(F.lit(1)).alias("n"))
     tw = (
         Window.partitionBy("event_type")

@@ -156,19 +156,32 @@ def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     an exact integer division of day differences (no tz involved:
     timestamps are ntz)."""
     events = load_table(spark, sf_dir, "events")
+
+    # Monday-anchored week start in the DATE domain: date_trunc('week')
+    # on a timestamp_ntz returns a session-TZ timestamp that shifts on
+    # a non-UTC driver host (found by the TZ=America/New_York probe);
+    # dayofweek arithmetic is wall-clock on any host. Sunday=1..Sat=7,
+    # so (dow+5)%7 is days-since-Monday.
+    def monday(ts):
+        d = ts.cast("date")
+        return F.date_sub(d, (F.dayofweek(d) + 5) % 7)
+
     first = events.groupBy("user_id").agg(
-        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+        monday(F.min("ts")).alias("cohort_day")
     )
     active = events.select(
-        "user_id", F.date_trunc("week", F.col("ts")).alias("week")
+        "user_id", monday(F.col("ts")).alias("week")
     ).distinct()
     joined = first.join(active, "user_id")
     return (
         joined.withColumn(
             "week_offset",
-            (F.datediff(F.col("week"), F.col("cohort_week")) / 7).cast("long"),
+            (F.datediff(F.col("week"), F.col("cohort_day")) / 7).cast("long"),
         )
-        .groupBy("cohort_week", "week_offset")
+        .groupBy(
+            F.col("cohort_day").cast("timestamp_ntz").alias("cohort_week"),
+            "week_offset",
+        )
         .agg(F.count_distinct("user_id").alias("n_users"))
     )
 

@@ -106,9 +106,14 @@ def q_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     contrast with session windows is that islands are calendar-aligned,
     not gap-threshold sessions."""
     events = load_table(spark, sf_dir, "events")
+    # date-domain truncation, NOT date_trunc: date_trunc on a
+    # timestamp_ntz returns a session-TZ-typed timestamp, which shifts
+    # on a non-UTC driver host (found by the TZ=America/New_York probe);
+    # ntz -> date -> ntz is wall-clock arithmetic on any host
     days = (
         events.select(
-            "user_id", F.date_trunc("day", "ts").alias("day")
+            "user_id",
+            F.col("ts").cast("date").cast("timestamp_ntz").alias("day"),
         ).distinct()
     )
     w = Window.partitionBy("user_id").orderBy("day")
