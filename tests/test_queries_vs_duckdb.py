@@ -18,6 +18,19 @@ SPECS = all_specs()
 def test_query_matches_oracle(name, spark, ddb):
     spec = SPECS[name]
     df = spec.fn(spark, SF_DIR)
+    # TZ-robustness invariant: a session-TZ-typed timestamp column in a
+    # query's output shifts on a non-UTC vanilla driver host (e.g.
+    # date_trunc on timestamp_ntz). Found live by a TZ=America/New_York
+    # probe; every output timestamp must be timestamp_ntz or date.
+    from pyspark.sql.types import TimestampType
+
+    tz_cols = [
+        f.name for f in df.schema.fields if isinstance(f.dataType, TimestampType)
+    ]
+    assert not tz_cols, (
+        f"{name} outputs session-TZ timestamp column(s) {tz_cols}; use "
+        "date-domain truncation and cast back to timestamp_ntz"
+    )
     if spec.oracle is None:
         # rows-only contract: runs, stable schema, deterministic row count
         n1 = df.count()
