@@ -196,10 +196,7 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     hence rows-only; tests/test_dedup.py cross-checks candidate recall
     against the exact Jaccard pairs of q_dedup_near.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    sh = docs.repartition(16).select(
-        "doc_id", F.explode(shingles_col(tokens_col())).alias("shingle")
-    )
+    sh = _shingle_stream(spark, sf_dir)
     # All 16 permutations as parallel min-aggregates in ONE pass over the
     # shingle rows (no 16x row explosion — measured 11.3 s -> ~2 s at
     # sf0.1); each min() is partial-aggregable so the shuffle carries one

@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from ..catalog import load_table
 from ..functions.textfns import TOKS_SQL, shingles_col, shingles_sql, tokens_col
 from ..registry import register
+from .dedup import _shingle_stream
 from .graph_ext2 import _edge_digest, _large_star, _oriented, _small_star
 
 N_PERM = 64
@@ -187,12 +188,10 @@ def q_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     differential evidence the approximate path loses nothing it
     shouldn't."""
     docs = load_table(spark, sf_dir, "documents")
-    # single materialized shingle stream feeds signatures, sizes, and
-    # both verify sides (4 consumers — same checkpoint rationale as
-    # dedup._shingle_pairs, measured there at 2-3× on sf0.1)
-    sh = docs.select(
-        "doc_id", F.explode(shingles_col(tokens_col())).alias("shingle")
-    ).repartition(32).localCheckpoint()
+    # shared scratch-parquet shingle stream (dedup._shingle_stream):
+    # feeds signatures, sizes, and both verify sides here, and is the
+    # same materialization q_dedup_near/q_text_containment read
+    sh = _shingle_stream(spark, sf_dir)
     cand = _minhash_candidates(sh)
     edges = _verified_edges(sh, cand)
     labels = _cluster_labels(docs, edges)

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from ..catalog import load_table
 from ..functions.textfns import TOKS_SQL, shingles_col, shingles_sql, tokens_col
 from ..registry import register
+from .dedup import _shingle_stream
 from .dedup_pipeline import THRESHOLD, _minhash_candidates
 
 _INCR_ORACLE = f"""
@@ -61,9 +62,7 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     stored index — the one-shot pipeline's all-corpus pairing never
     reappears at ingest time."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select(
-        "doc_id", F.explode(shingles_col(tokens_col())).alias("shingle")
-    ).repartition(32).localCheckpoint()
+    sh = _shingle_stream(spark, sf_dir)
     is_batch = F.col("doc_id") % 5 == 0
     # candidate pairs over the whole corpus, then keep directional
     # batch->corpus ones (reuses the shared band machinery; a stored
