@@ -36,18 +36,20 @@ N_BANDS = N_PERM // BAND_ROWS
 THRESHOLD = 0.5
 
 
-def _minhash_candidates(sh: DataFrame) -> DataFrame:
-    """(doc_a, doc_b) LSH candidate pairs from a (doc_id, shingle)
+def _band_keys(sh: DataFrame) -> DataFrame:
+    """(doc_id, band, bkey) LSH band index rows from a (doc_id, shingle)
     stream. All 64 permutation minima aggregate in ONE pass (each min is
     partial-aggregable: the shuffle carries one 64-long signature per
-    doc per input partition, not 64× exploded rows); bands self-join on
-    the hashed 2-row band key only."""
+    doc per input partition, not 64× exploded rows). This is the stored
+    band index a production deployment materializes; the one-shot
+    pipeline self-joins it, the streaming admission operator
+    (streaming/dedup_stream.py) probes it batch-by-batch."""
     sig = sh.groupBy("doc_id").agg(
         F.array(
             *[F.min(F.xxhash64("shingle", F.lit(i))) for i in range(N_PERM)]
         ).alias("sig")
     )
-    bands = sig.select(
+    return sig.select(
         "doc_id",
         F.explode(
             F.array(
@@ -75,6 +77,37 @@ def _minhash_candidates(sh: DataFrame) -> DataFrame:
         F.col("bb.band").alias("band"),
         F.col("bb.bkey").alias("bkey"),
     )
+
+
+_BAND_DIRS: dict[str, str] = {}
+
+
+def band_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus band index (doc_id, band, bkey) as scratch parquet,
+    built once per process from the shared shingle stream — the stored
+    table a production deployment keys by (band, bkey). Consumers:
+    q_dedup_pipeline (self-join), q_dedup_incremental (directional
+    probe), q_stream_dedup_admission (per-batch probe + append)."""
+    if sf_dir not in _BAND_DIRS:
+        from ..scratch import scratch_dir
+
+        out = scratch_dir("bandindex", sf_dir)
+        (
+            _band_keys(_shingle_stream(spark, sf_dir))
+            .repartition(8)
+            .write.mode("overwrite")
+            .parquet(out)
+        )
+        _BAND_DIRS[sf_dir] = out
+    return spark.read.parquet(_BAND_DIRS[sf_dir])
+
+
+def _minhash_candidates(sh: DataFrame, bands: DataFrame | None = None) -> DataFrame:
+    """(doc_a, doc_b) LSH candidate pairs: the band index self-joined on
+    the hashed 2-row band key only. Pass ``bands`` to reuse a stored
+    index instead of recomputing signatures from ``sh``."""
+    if bands is None:
+        bands = _band_keys(sh)
     lhs = bands.select(F.col("doc_id").alias("doc_a"), "band", "bkey")
     rhs = bands.select(F.col("doc_id").alias("doc_b"), "band", "bkey")
     return (
@@ -192,7 +225,7 @@ def q_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # feeds signatures, sizes, and both verify sides here, and is the
     # same materialization q_dedup_near/q_text_containment read
     sh = _shingle_stream(spark, sf_dir)
-    cand = _minhash_candidates(sh)
+    cand = _minhash_candidates(sh, bands=band_index(spark, sf_dir))
     edges = _verified_edges(sh, cand)
     labels = _cluster_labels(docs, edges)
     return labels.select(

@@ -18,7 +18,7 @@ from ..catalog import load_table
 from ..functions.textfns import TOKS_SQL, shingles_col, shingles_sql, tokens_col
 from ..registry import register
 from .dedup import _shingle_stream
-from .dedup_pipeline import THRESHOLD, _minhash_candidates
+from .dedup_pipeline import THRESHOLD, _minhash_candidates, band_index
 
 _INCR_ORACLE = f"""
 WITH toks AS (SELECT doc_id, {TOKS_SQL} AS t FROM documents),
@@ -67,7 +67,7 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # candidate pairs over the whole corpus, then keep directional
     # batch->corpus ones (reuses the shared band machinery; a stored
     # deployment materializes the band index instead)
-    cand = _minhash_candidates(sh)
+    cand = _minhash_candidates(sh, bands=band_index(spark, sf_dir))
     directional = (
         cand.select(
             F.when(F.col("doc_a") % 5 == 0, F.col("doc_a"))

@@ -91,6 +91,7 @@ _OPERATOR_MODULES = (
     "operators.relational_ext32",
     "streaming.queries",
     "streaming.transform_state",
+    "streaming.dedup_stream",
 )
 
 
