@@ -79,6 +79,11 @@ def main() -> None:
     t0 = time.perf_counter()
     _shingle_stream(spark, sf_dir).count()
     layout["shingle_stream"] = round(time.perf_counter() - t0, 4)
+    from nosql_triple_store_spark.operators.dedup_pipeline import band_index
+
+    t0 = time.perf_counter()
+    band_index(spark, sf_dir).count()
+    layout["band_index"] = round(time.perf_counter() - t0, 4)
 
     # Heap-sensitive heavy queries get a JVM full-GC immediately before
     # they run (outside their timed region): the wedge joins are

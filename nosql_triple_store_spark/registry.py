@@ -89,6 +89,7 @@ _OPERATOR_MODULES = (
     "operators.text_ext",
     "operators.vector_ext6",
     "operators.relational_ext32",
+    "operators.relational_ext33",
     "streaming.queries",
     "streaming.transform_state",
     "streaming.dedup_stream",
