@@ -198,3 +198,83 @@ def q_events_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rel_dev"),
         )
     )
+
+
+_SRM_ORACLE = f"""
+{E_CTE},
+assign AS (
+  SELECT DISTINCT user_id, user_id % 2 AS variant FROM e),
+counts AS (
+  SELECT CAST(COUNT(*) FILTER (WHERE variant = 0) AS BIGINT) AS a,
+         CAST(COUNT(*) FILTER (WHERE variant = 1) AS BIGINT) AS b
+  FROM assign)
+SELECT a AS n_control, b AS n_treatment,
+       CAST(a - b AS BIGINT) AS diff,
+       ROUND((a - b) * (a - b) * 1.0 / (a + b), 6) AS chi2
+FROM counts
+"""
+
+
+@register("q_events_srm", oracle=_SRM_ORACLE)
+def q_events_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio mismatch for the 50/50 split behind q_events_abtest
+    (variant = user_id parity): the χ² statistic for observed variant
+    counts vs the expected even split. For a two-cell 50/50 design
+    χ² = Σ(O−E)²/E collapses to (a−b)²/(a+b) — all exact ints except
+    the single final division (rounded 6 dp). SRM is the guardrail
+    every experimentation platform runs BEFORE reading treatment
+    effects: a skewed split means broken assignment, not a real
+    effect. One distinct + one count — fully partial-aggregable."""
+    ev = load_table(spark, sf_dir, "events")
+    assign = ev.select(
+        "user_id", (F.col("user_id") % 2).alias("variant")
+    ).distinct()
+    counts = assign.agg(
+        F.count_if(F.col("variant") == 0).alias("a"),
+        F.count_if(F.col("variant") == 1).alias("b"),
+    )
+    return counts.select(
+        F.col("a").alias("n_control"),
+        F.col("b").alias("n_treatment"),
+        (F.col("a") - F.col("b")).alias("diff"),
+        F.round(
+            (F.col("a") - F.col("b"))
+            * (F.col("a") - F.col("b"))
+            * F.lit(1.0)
+            / (F.col("a") + F.col("b")),
+            6,
+        ).alias("chi2"),
+    )
+
+
+# The SAME SQL text runs on Spark SQL and DuckDB: the common-ANSI-subset
+# entry path (a reference user who writes SQL, not DataFrames, can hand
+# this engine the identical query string they run today).
+_COMMON_SQL = """
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty,
+       CAST(MIN(l_orderkey) AS BIGINT) AS min_order,
+       CAST(MAX(l_orderkey) AS BIGINT) AS max_order
+FROM lineitem
+WHERE l_shipdate >= DATE '1995-01-01'
+  AND l_shipdate < DATE '1996-01-01'
+GROUP BY l_returnflag
+"""
+
+
+@register("q_sql_common_dialect", oracle=_COMMON_SQL)
+def q_sql_common_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-SQL entry path: the registered oracle STRING ITSELF is
+    executed by spark.sql() over a temp view — zero translation, one
+    shared ANSI-subset text for both engines (exact-int aggregates,
+    DATE literals, explicit CASTs; nothing dialect-specific). This is
+    the API-surface guarantee that a SQL-first user of the reference
+    can paste their query into this engine unchanged; every other
+    query in the registry states the oracle separately because it
+    exercises Spark-specific physical strategy, not because the SQL
+    front door is missing."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "lineitem"
+    )
+    return spark.sql(_COMMON_SQL)
