@@ -90,6 +90,7 @@ _OPERATOR_MODULES = (
     "operators.vector_ext6",
     "operators.relational_ext32",
     "operators.relational_ext33",
+    "operators.relational_ext34",
     "streaming.queries",
     "streaming.transform_state",
     "streaming.dedup_stream",
