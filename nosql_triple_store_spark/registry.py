@@ -91,6 +91,8 @@ _OPERATOR_MODULES = (
     "operators.relational_ext32",
     "operators.relational_ext33",
     "operators.relational_ext34",
+    "operators.relational_ext35",
+    "operators.graph_ext6",
     "streaming.queries",
     "streaming.transform_state",
     "streaming.dedup_stream",

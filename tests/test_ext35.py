@@ -1,0 +1,108 @@
+"""Tests for the thirty-fifth batch: bottom-k quantile error bounds,
+shard-manifest invariants, and a numpy differential for HITS."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from nosql_triple_store_spark.catalog import load_table
+from nosql_triple_store_spark.registry import all_specs
+
+from .conftest import SF_DIR
+
+SPECS = all_specs()
+
+
+def test_shard_manifest_partitions_corpus(spark):
+    """Shards partition the corpus: doc/token/char totals across shards
+    equal the corpus totals, and every doc's shard is recomputable from
+    its id (the manifest is a pure function of the data)."""
+    m = SPECS["q_train_shard_manifest"].fn(spark, SF_DIR).collect()
+    docs = load_table(spark, SF_DIR, "documents")
+    n_docs = docs.count()
+    n_chars = docs.agg(F.sum(F.length("text"))).first()[0]
+    assert sum(r.n_docs for r in m) == n_docs
+    assert sum(r.n_chars for r in m) == n_chars
+    assert len({r.shard_id for r in m}) == len(m)
+    # hash ranges: min_h <= max_h and first_doc reproduces min_h
+    for r in m:
+        assert r.min_h <= r.max_h
+        h = ((r.first_doc_id % 2147483648) * 2654435761 + 12345) % 4294967296
+        assert h == r.min_h
+        assert h % 16 == r.shard_id
+
+
+def test_bottomk_quantile_error_bound(spark):
+    """Sample-rank error vs exact percentiles is O(1/sqrt(k)): with
+    k=1000 the rank of each estimate in the TRUE distribution must be
+    within 5 percentage points of the target (≈3.2 σ)."""
+    est = {
+        r.pct: r.estimate
+        for r in SPECS["q_agg_bottomk_quantile"].fn(spark, SF_DIR).collect()
+    }
+    prices = np.array(
+        [
+            r.p
+            for r in load_table(spark, SF_DIR, "lineitem")
+            .select(F.col("l_extendedprice").alias("p"))
+            .collect()
+        ]
+    )
+    n = len(prices)
+    for pct, v in est.items():
+        true_rank = float((prices <= v).sum()) / n * 100
+        assert abs(true_rank - pct) < 5.0, (pct, v, true_rank)
+
+
+def test_hits_matches_numpy_power_iteration(spark):
+    """The distributed HITS fixpoint equals dense power iteration on
+    the same adjacency matrix (top hub/authority sets and scores)."""
+    from nosql_triple_store_spark.operators.graph import _edges
+    from nosql_triple_store_spark.operators.graph_ext6 import hits_scores
+
+    edges = [(r.src, r.dst) for r in _edges(spark, SF_DIR).collect()]
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    idx = {n: i for i, n in enumerate(nodes)}
+    A = np.zeros((len(nodes), len(nodes)))
+    for u, v in edges:
+        A[idx[u], idx[v]] = 1.0
+    # mirror the engine's exact schedule (init on src nodes, a-step then
+    # h-step with L2 norms, delta exit) so agreement is ~float-exact;
+    # a free-running 50-iteration reference differs at ~1e-2 because the
+    # second singular value of this near-uniform hierarchy is close to
+    # the first (slow power-method convergence) — that gap is a property
+    # of the graph, not an implementation bug.
+    from nosql_triple_store_spark.operators.graph_ext6 import (
+        _HITS_MAX_ROUNDS,
+        _HITS_TOL,
+    )
+
+    h = np.array([1.0 if A[i].any() else 0.0 for i in range(len(nodes))])
+    for _ in range(_HITS_MAX_ROUNDS):
+        a = A.T @ h
+        a /= np.linalg.norm(a)
+        h_new = A @ a
+        h_new /= np.linalg.norm(h_new)
+        delta = np.max(np.abs(h_new - h))
+        h = h_new
+        if delta < _HITS_TOL:
+            break
+    hubs_df, auth_df = hits_scores(spark, SF_DIR)
+    hubs = {r.node_id: r.h for r in hubs_df.collect()}
+    auth = {r.node_id: r.a for r in auth_df.collect()}
+    # compare on the support of the spark result (nodes with degree>0)
+    for n_, s in hubs.items():
+        assert s == pytest.approx(h[idx[n_]], abs=1e-4)
+    for n_, s in auth.items():
+        assert s == pytest.approx(a[idx[n_]], abs=1e-4)
+
+
+def test_hits_query_shape(spark):
+    rows = SPECS["q_graph_hits"].fn(spark, SF_DIR).collect()
+    roles = {r.role for r in rows}
+    assert roles == {"hub", "authority"}
+    # deterministic across reruns
+    rows2 = SPECS["q_graph_hits"].fn(spark, SF_DIR).collect()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in rows2]
