@@ -93,6 +93,8 @@ _OPERATOR_MODULES = (
     "operators.relational_ext34",
     "operators.relational_ext35",
     "operators.graph_ext6",
+    "operators.relational_ext36",
+    "operators.multimodal_ext",
     "streaming.queries",
     "streaming.transform_state",
     "streaming.dedup_stream",
