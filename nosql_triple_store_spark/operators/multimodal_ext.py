@@ -121,3 +121,132 @@ def q_multimodal_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_segments long, longest_run_frames long, voiced_ms long"
         ),
     )
+
+
+_CUT_MAD_MILLI = 60_000  # mean |pixel delta| >= 60 between frames = cut
+
+# Per-channel pixel value: base(p) in [0,64) + a_k*(f mod 3) + 120*(scene
+# parity). Values stay < 256 for every doc/frame/pixel, so frame deltas
+# never wrap: within-scene |delta| = a_k (5/7/9), scene-boundary |delta| =
+# |120 - 2*a_k| >= 102 — the detector threshold sits in a guaranteed gap.
+_PIX_SQL = (
+    "((({c} * doc_id + {m} * p) % 64)"
+    " + {a} * (({f}) % 3) + 120 * ((({f}) // 3) % 2))"
+)
+_CH = ((1, 1, 5), (2, 3, 7), (3, 7, 9))  # (c, m, a) per channel
+
+
+def _delta_sql(f2: str, f1: str) -> str:
+    return " + ".join(
+        "ABS("
+        + _PIX_SQL.format(c=c, m=m, a=a, f=f2)
+        + " - "
+        + _PIX_SQL.format(c=c, m=m, a=a, f=f1)
+        + ")"
+        for c, m, a in _CH
+    )
+
+
+@register(
+    "q_multimodal_scene_cut",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, 8 + doc_id % 5 AS w, 6 + doc_id % 3 AS h,
+         6 + doc_id % 4 AS n_frames
+  FROM documents),
+tr AS (
+  SELECT doc_id, w, h, unnest(range(n_frames - 1)) AS f FROM d),
+px AS (
+  SELECT doc_id, w, h, f, unnest(range(w * h)) AS p FROM tr),
+dl AS (
+  SELECT doc_id, w, h, f,
+         {_delta_sql("f + 1", "f")} AS s
+  FROM px),
+mad AS (
+  SELECT doc_id, f, (SUM(s) * 1000) // (w * h * 3) AS mad_milli
+  FROM dl GROUP BY doc_id, f, w, h)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_transitions,
+       CAST(SUM(CASE WHEN mad_milli >= {_CUT_MAD_MILLI} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_cuts,
+       CAST(SUM(CASE WHEN mad_milli >= {_CUT_MAD_MILLI} THEN 1 ELSE 0 END)
+            + 1 AS BIGINT) AS n_scenes,
+       CAST(MAX(mad_milli) AS BIGINT) AS max_mad_milli,
+       CAST(MIN(mad_milli) AS BIGINT) AS min_mad_milli
+FROM mad GROUP BY doc_id
+""",
+)
+def q_multimodal_scene_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shot-boundary (scene cut) detection over REAL decoded video: per
+    doc, render 6-9 RGB frames where every 3rd frame starts a new
+    "scene" (a large deterministic color shift), container them as an
+    actual concatenated-P6 stream, decode the bytes back with the
+    header-walking parser, and threshold the mean absolute pixel delta
+    between consecutive DECODED frames (exact integer milli-units —
+    (sum|Δ|*1000) div n_px). Within-scene deltas are exactly 5/7/9 per
+    channel; scene boundaries jump past 100 (the fixture's pixel values
+    never wrap mod 256, so the gap is guaranteed for every doc) — the
+    classic
+    intensity-difference cut detector every video curriculum pipeline
+    runs before frame sampling. The oracle recomputes each transition's
+    delta analytically from the pixel formulas, so a decode stride bug
+    or off-by-one in the frame pairing breaks the hash match.
+
+    Scale: mapInPandas over Arrow batches, numpy per task, zero
+    shuffle; per-doc work is linear in payload bytes.
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .multimodal import decode_ppm_stream, encode_ppm
+
+        for pdf in batches:
+            out = {
+                "doc_id": [], "n_transitions": [], "n_cuts": [],
+                "n_scenes": [], "max_mad_milli": [], "min_mad_milli": [],
+            }
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                w, h = 8 + doc_id % 5, 6 + doc_id % 3
+                n_frames = 6 + doc_id % 4
+                p = np.arange(w * h, dtype=np.int64)
+                video = b"".join(
+                    encode_ppm(
+                        np.stack(
+                            [
+                                (c * doc_id + m * p) % 64
+                                + a * (f % 3)
+                                + 120 * ((f // 3) % 2)
+                                for c, m, a in _CH
+                            ],
+                            axis=1,
+                        ).reshape(h, w, 3)
+                    )
+                    for f in range(n_frames)
+                )
+                frames = [
+                    fr.astype(np.int64) for fr in decode_ppm_stream(video)
+                ]
+                mads = [
+                    int(
+                        np.abs(frames[f + 1] - frames[f]).sum() * 1000
+                        // (w * h * 3)
+                    )
+                    for f in range(len(frames) - 1)
+                ]
+                cuts = sum(1 for m in mads if m >= _CUT_MAD_MILLI)
+                out["doc_id"].append(doc_id)
+                out["n_transitions"].append(len(mads))
+                out["n_cuts"].append(cuts)
+                out["n_scenes"].append(cuts + 1)
+                out["max_mad_milli"].append(max(mads))
+                out["min_mad_milli"].append(min(mads))
+            yield pd.DataFrame(out)
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.repartition(16).mapInPandas(
+        kernel,
+        schema=(
+            "doc_id long, n_transitions long, n_cuts long, "
+            "n_scenes long, max_mad_milli long, min_mad_milli long"
+        ),
+    )

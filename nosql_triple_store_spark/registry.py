@@ -94,6 +94,8 @@ _OPERATOR_MODULES = (
     "operators.relational_ext35",
     "operators.graph_ext6",
     "operators.relational_ext36",
+    "operators.relational_ext37",
+    "operators.graph_ext7",
     "operators.multimodal_ext",
     "streaming.queries",
     "streaming.transform_state",
