@@ -95,6 +95,7 @@ _OPERATOR_MODULES = (
     "operators.graph_ext6",
     "operators.relational_ext36",
     "operators.relational_ext37",
+    "operators.relational_ext38",
     "operators.graph_ext7",
     "operators.multimodal_ext",
     "streaming.queries",
