@@ -251,3 +251,125 @@ def q_graph_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_nodes"),
         F.max("node").alias("max_node"),
     )
+
+
+_WALK_STEPS = 4
+_WALKS_PER_NODE = 2
+_AFFINE = "((({key}) % 2147483648) * 2654435761 + 12345) % 4294967296"
+
+
+def _walk_step_sql(prev: str, t: int) -> str:
+    key = f"nid.id * 8191 + {t} * 131 + p.walk_id"
+    return f"""
+  SELECT p.start, p.walk_id,
+         COALESCE(adj.b, p.node) AS node,
+         p.path || '>' || COALESCE(adj.b, p.node) AS path
+  FROM {prev} p
+  JOIN nid ON nid.v = p.node
+  LEFT JOIN deg ON deg.a = p.node
+  LEFT JOIN adj ON adj.a = p.node
+   AND adj.idx = ({_AFFINE.format(key=key)}) % deg.d"""
+
+
+@register(
+    "q_graph_random_walk",
+    oracle=f"""
+WITH {_DIGRAPH_SQL},
+vs AS (SELECT a AS v FROM ed UNION SELECT b FROM ed),
+nid AS (SELECT v, row_number() OVER (ORDER BY v) - 1 AS id FROM vs),
+adj AS (
+  SELECT a, b, row_number() OVER (PARTITION BY a ORDER BY b) - 1 AS idx
+  FROM ed),
+deg AS (SELECT a, CAST(COUNT(*) AS BIGINT) AS d FROM ed GROUP BY a),
+w0 AS (
+  SELECT v AS start, CAST(w AS BIGINT) AS walk_id, v AS node, v AS path
+  FROM vs CROSS JOIN (SELECT unnest(range({_WALKS_PER_NODE})) AS w) ws),
+w1 AS ({_walk_step_sql("w0", 0)}),
+w2 AS ({_walk_step_sql("w1", 1)}),
+w3 AS ({_walk_step_sql("w2", 2)}),
+w4 AS ({_walk_step_sql("w3", 3)})
+SELECT start, walk_id, node AS end_node, path FROM w4
+""",
+)
+def q_graph_random_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic pseudo-random walks ({_WALKS_PER_NODE} per node,
+    {_WALK_STEPS} steps) over the transition digraph — the sampling
+    stage of DeepWalk/node2vec-style graph embedding pipelines, made
+    REPRODUCIBLE: at each step the walker picks neighbor index
+    affine_hash(node_id*8191 + step*131 + walk_id) mod out-degree, so
+    every engine and every rerun produces byte-identical walks (the
+    same property q_train_shard_manifest gives corpus shuffles).
+    Dead-end nodes self-absorb.
+
+    Scale: the adjacency index (neighbor rank within each source node)
+    is a per-node window bounded by out-degree; node ids come from a
+    rank over the VERTEX set (here |V| is domain-bounded; at billions
+    of vertices swap in sources/dictionary.build_dictionary's
+    range-partitioned id assignment — same contract). Each step is one
+    equi-join frontier × adjacency, the Pregel iteration shape; K
+    steps = K joins, no driver-side state.
+    """
+    ed = _digraph(spark, sf_dir).localCheckpoint()
+    vs = (
+        ed.select(F.col("a").alias("v"))
+        .union(ed.select("b"))
+        .distinct()
+    )
+    nid = vs.select(
+        "v", (F.row_number().over(Window.orderBy("v")) - 1).alias("id")
+    )
+    adj = ed.select(
+        "a",
+        "b",
+        (
+            F.row_number().over(Window.partitionBy("a").orderBy("b")) - 1
+        ).alias("idx"),
+    )
+    deg = ed.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
+    walks = spark.range(_WALKS_PER_NODE).select(
+        F.col("id").alias("walk_id")
+    )
+    cur = vs.crossJoin(F.broadcast(walks)).select(
+        F.col("v").alias("start"),
+        "walk_id",
+        F.col("v").alias("node"),
+        F.col("v").alias("path"),
+    )
+    for t in range(_WALK_STEPS):
+        key = f"__nid * 8191 + {t} * 131 + walk_id"
+        nid_t = nid.select(
+            F.col("v").alias("__nv"), F.col("id").alias("__nid")
+        )
+        deg_t = deg.select(
+            F.col("a").alias("__da"), F.col("d").alias("__d")
+        )
+        adj_t = adj.select(
+            F.col("a").alias("__aa"),
+            F.col("b").alias("__ab"),
+            F.col("idx").alias("__aidx"),
+        )
+        nxt = F.coalesce(F.col("__ab"), F.col("node"))
+        cur = (
+            cur.join(nid_t, F.col("node") == F.col("__nv"))
+            .join(deg_t, F.col("node") == F.col("__da"), "left")
+            .withColumn(
+                "pick",
+                F.expr(f"({_AFFINE.format(key=key)}) % __d"),
+            )
+            .join(
+                adj_t,
+                (F.col("node") == F.col("__aa"))
+                & (F.col("pick") == F.col("__aidx")),
+                "left",
+            )
+            .select(
+                "start",
+                "walk_id",
+                nxt.alias("__next"),
+                F.concat_ws(">", "path", nxt).alias("path"),
+            )
+            .withColumnRenamed("__next", "node")
+        )
+    return cur.select(
+        "start", "walk_id", F.col("node").alias("end_node"), "path"
+    )

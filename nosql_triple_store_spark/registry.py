@@ -96,6 +96,7 @@ _OPERATOR_MODULES = (
     "operators.relational_ext36",
     "operators.relational_ext37",
     "operators.relational_ext38",
+    "operators.relational_ext39",
     "operators.graph_ext7",
     "operators.multimodal_ext",
     "streaming.queries",
