@@ -144,7 +144,9 @@ _SCC_INNER = 15
     "q_graph_scc",
     oracle=f"""
 WITH RECURSIVE {_DIGRAPH_SQL},
-vs AS (SELECT a AS v FROM ed UNION SELECT b FROM ed),
+vs AS (
+  SELECT DISTINCT v
+  FROM (SELECT a AS v FROM ed UNION ALL SELECT b FROM ed) u),
 reach(s, d) AS (
   SELECT a, b FROM ed
   UNION

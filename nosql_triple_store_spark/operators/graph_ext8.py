@@ -1,0 +1,114 @@
+"""Eighth graph batch: eccentricity census via simultaneous
+multi-source BFS on the session-transition digraph.
+
+Lineage: the distance-distribution analysis (how far is every state
+from every other state?) that complements the engine's single-source
+walks (q_graph_bfs, q_graph_sssp). All sources run AT ONCE as one
+(source, node) frontier relation — the DataFrame-native way to get
+all-pairs shortest distances on a domain-bounded graph without |V|
+sequential BFS jobs. The oracle is an independent recursive-CTE
+walk with a length cap + MIN fold.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from .graph_ext7 import _DIGRAPH_SQL, _digraph
+
+_ECC_MAX_ROUNDS = 12
+
+
+@register(
+    "q_graph_eccentricity",
+    oracle=f"""
+WITH RECURSIVE {_DIGRAPH_SQL},
+vs AS (
+  SELECT DISTINCT v
+  FROM (SELECT a AS v FROM ed UNION ALL SELECT b FROM ed) u),
+walk(s, d, l) AS (
+  SELECT a, b, 1 FROM ed
+  UNION
+  SELECT w.s, e2.b, w.l + 1
+  FROM walk w JOIN ed e2 ON e2.a = w.d
+  WHERE w.l < {_ECC_MAX_ROUNDS}),
+sp AS (
+  SELECT s, d, CAST(MIN(l) AS BIGINT) AS dist
+  FROM walk WHERE s <> d GROUP BY s, d)
+SELECT vs.v AS node,
+       CAST(MAX(sp.dist) AS BIGINT) AS ecc,
+       CAST(COUNT(sp.d) AS BIGINT) AS n_reachable
+FROM vs LEFT JOIN sp ON sp.s = vs.v
+GROUP BY vs.v
+""",
+)
+def q_graph_eccentricity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eccentricity census: for every state node, the longest shortest
+    path to any other reachable state (its eccentricity) and how many
+    states it reaches — MAX over rows gives the graph diameter, MIN
+    the radius, and sinks report NULL/0. Computed as a simultaneous
+    multi-source BFS: the frontier is a (source, node) PAIR relation
+    expanded one hop per round against the edge list, with first
+    discovery = shortest distance (BFS layer order), known-pair
+    anti-join preventing re-expansion, and a raise if the cap of
+    {_ECC_MAX_ROUNDS} rounds still yields new pairs (silent truncation
+    would under-report eccentricities).
+
+    Scale: each round is one equi-join + anti-join + distinct, all
+    hash-partitioned on the pair key; the pair relation is bounded by
+    |V|² of the DOMAIN-bounded state graph (event_type x hour). For
+    billion-node graphs all-pairs is the wrong question — sample
+    sources instead (the same code runs unchanged on a sampled source
+    set, which is how q_graph_bfs scales).
+    """
+    ed = _digraph(spark, sf_dir).localCheckpoint()
+    vs = (
+        ed.select(F.col("a").alias("v")).union(ed.select("b")).distinct()
+    )
+    known = ed.select(
+        F.col("a").alias("s"), F.col("b").alias("d"), F.lit(1).alias("l")
+    ).localCheckpoint()
+    frontier = known
+    exhausted = False
+    for r in range(2, _ECC_MAX_ROUNDS + 1):
+        nxt = (
+            frontier.join(ed, frontier.d == ed.a)
+            .select("s", F.col("b").alias("d"))
+            .distinct()
+            .join(known.select("s", "d"), ["s", "d"], "left_anti")
+            .withColumn("l", F.lit(r))
+            .localCheckpoint()
+        )
+        if nxt.limit(1).count() == 0:
+            exhausted = True
+            break
+        known = known.unionByName(nxt).localCheckpoint()
+        frontier = nxt
+    if not exhausted:
+        # the cap is a correctness guard, not a budget: one more probe
+        probe = (
+            frontier.join(ed, frontier.d == ed.a)
+            .select("s", F.col("b").alias("d"))
+            .distinct()
+            .join(known.select("s", "d"), ["s", "d"], "left_anti")
+        )
+        if probe.limit(1).count() != 0:
+            raise RuntimeError(
+                f"multi-source BFS exceeded {_ECC_MAX_ROUNDS} rounds; "
+                "raise the cap (graph has longer shortest paths)"
+            )
+    sp = known.filter(F.col("s") != F.col("d"))
+    per_src = sp.groupBy("s").agg(
+        F.max("l").cast("long").alias("ecc"),
+        F.count(F.lit(1)).cast("long").alias("n_reachable"),
+    )
+    return (
+        vs.join(per_src, vs.v == per_src.s, "left")
+        .select(
+            F.col("v").alias("node"),
+            "ecc",
+            F.coalesce("n_reachable", F.lit(0)).alias("n_reachable"),
+        )
+    )

@@ -97,6 +97,8 @@ _OPERATOR_MODULES = (
     "operators.relational_ext37",
     "operators.relational_ext38",
     "operators.relational_ext39",
+    "operators.relational_ext40",
+    "operators.graph_ext8",
     "operators.graph_ext7",
     "operators.multimodal_ext",
     "streaming.queries",
