@@ -14,11 +14,12 @@ content).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..functions.textfns import TOKS_SQL, tokens_col
+from ..functions.topk import grouped_topk
 from ..functions.vectors import as_double_array, cosine_col
 from ..plans.bgp import TRIPLES_SQL, triples_view
 from ..registry import register
@@ -215,25 +216,19 @@ def q_vector_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("c6"),
         )
     )
-    salted = scored.withColumn(
-        "salt", F.pmod(F.xxhash64("vec_id"), F.lit(_KNN_SALT))
-    )
-    w1 = Window.partitionBy("probe_id", "salt").orderBy(
-        F.desc("c6"), F.asc("vec_id")
-    )
-    local = salted.withColumn("lr", F.row_number().over(w1)).filter(
-        F.col("lr") <= _KNN_TOPK
-    )
-    w2 = Window.partitionBy("probe_id").orderBy(F.desc("c6"), F.asc("vec_id"))
-    return (
-        local.withColumn("rnk", F.row_number().over(w2))
-        .filter(F.col("rnk") <= _KNN_TOPK)
-        .select(
-            "probe_id",
-            F.col("rnk").cast("long").alias("rnk"),
-            "vec_id",
-            (F.col("c6") + F.lit(0.0)).alias("cos_sim"),
-        )
+    return grouped_topk(
+        scored,
+        ["probe_id"],
+        [F.desc("c6"), F.asc("vec_id")],
+        _KNN_TOPK,
+        salt_on="vec_id",
+        n_salt=_KNN_SALT,
+        rank_col="rnk",
+    ).select(
+        "probe_id",
+        F.col("rnk").cast("long").alias("rnk"),
+        "vec_id",
+        (F.col("c6") + F.lit(0.0)).alias("cos_sim"),
     )
 
 

@@ -98,6 +98,7 @@ _OPERATOR_MODULES = (
     "operators.relational_ext38",
     "operators.relational_ext39",
     "operators.relational_ext40",
+    "operators.relational_ext41",
     "operators.graph_ext8",
     "operators.graph_ext7",
     "operators.multimodal_ext",
