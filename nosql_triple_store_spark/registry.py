@@ -99,6 +99,8 @@ _OPERATOR_MODULES = (
     "operators.relational_ext39",
     "operators.relational_ext40",
     "operators.relational_ext41",
+    "operators.relational_ext42",
+    "operators.vector_ext7",
     "operators.graph_ext8",
     "operators.graph_ext7",
     "operators.multimodal_ext",
