@@ -100,6 +100,7 @@ _OPERATOR_MODULES = (
     "operators.relational_ext40",
     "operators.relational_ext41",
     "operators.relational_ext42",
+    "operators.relational_ext43",
     "operators.vector_ext7",
     "operators.graph_ext8",
     "operators.graph_ext7",
@@ -107,6 +108,7 @@ _OPERATOR_MODULES = (
     "streaming.queries",
     "streaming.transform_state",
     "streaming.dedup_stream",
+    "streaming.quota_stream",
 )
 
 
