@@ -1,0 +1,172 @@
+"""Forty-fourth extension batch: spatial grid join and power-of-two
+histogram.
+
+Lineage: opens the engine's SPATIAL family — proximity self-join via
+integer grid cells, the geohash-bucketing recipe every geo pipeline
+uses to avoid the all-pairs distance matrix — and adds the log2
+(power-of-two) histogram, the heavy-tail magnitude census whose
+bucket function is EXACT integer arithmetic (binary length of the
+cents value), never floor(log2(float)) with its boundary ulps.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import register
+
+_HASH_SQL = (
+    "CAST(((({key}) % 2147483648) * 2654435761 + 12345) % 4294967296"
+    " AS BIGINT)"
+)
+_RADIUS = 1.0  # planar degrees; see docstring
+
+
+@register(
+    "q_join_spatial_grid",
+    oracle=f"""
+WITH c AS (SELECT DISTINCT c_custkey AS u FROM customer),
+pts AS (
+  SELECT u,
+         ({_HASH_SQL.format(key='u')} % 1000) / 100.0 AS lat,
+         ({_HASH_SQL.format(key='u * 2 + 1')} % 1000) / 100.0 AS lon
+  FROM c),
+cells AS (
+  SELECT u, lat, lon,
+         CAST(FLOOR(lat) AS BIGINT) AS cx,
+         CAST(FLOOR(lon) AS BIGINT) AS cy
+  FROM pts),
+pairs AS (
+  SELECT a.u AS u1, b.u AS u2,
+         (a.lat - b.lat) * (a.lat - b.lat)
+           + (a.lon - b.lon) * (a.lon - b.lon) AS d2
+  FROM cells a
+  JOIN cells b
+    ON b.cx BETWEEN a.cx - 1 AND a.cx + 1
+   AND b.cy BETWEEN a.cy - 1 AND a.cy + 1
+   AND b.u > a.u
+  WHERE (a.lat - b.lat) * (a.lat - b.lat)
+          + (a.lon - b.lon) * (a.lon - b.lon)
+        <= {_RADIUS} * {_RADIUS})
+SELECT u1, u2, d2 FROM pairs
+""",
+)
+def q_join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial proximity self-join on a unit grid: each customer gets a
+    deterministic location in a 10x10-degree region (affine hash →
+    exact decimal coordinates), points land in integer grid cells, and
+    candidate pairs come from each cell joined against its 3x3
+    neighborhood — the geohash-bucketing recipe that turns an O(n²)
+    distance matrix into O(n · local-density). The exact planar
+    distance predicate (squared — no sqrt, so the comparison is a pure
+    product-sum both engines evaluate bit-identically) filters
+    candidates; d2 is emitted raw (identical IEEE expression, no
+    rounding needed). Geodesic (haversine) distance is a drop-in
+    predicate swap; the GRID mechanics — the scale part — don't
+    change.
+
+    Scale: the join key is (cell_x, cell_y) — an equi-join after a
+    tiny 9-cell neighbor explode, shuffled by cell. Skewed cells
+    (urban density) are the familiar hot-key problem; the dedup.py
+    df-cap / salting guards apply per cell.
+    """
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("u")
+    ).distinct()
+    pts = cust.select(
+        "u",
+        (F.expr(_HASH_SQL.format(key="u")) % 1000 / 100.0).alias("lat"),
+        (F.expr(_HASH_SQL.format(key="u * 2 + 1")) % 1000 / 100.0).alias(
+            "lon"
+        ),
+    )
+    cells = pts.select(
+        "u",
+        "lat",
+        "lon",
+        F.floor("lat").alias("cx"),
+        F.floor("lon").alias("cy"),
+    )
+    probe = cells.select(
+        F.col("u").alias("pu"),
+        F.col("lat").alias("plat"),
+        F.col("lon").alias("plon"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        (F.col("cx") + dx).alias("qx"),
+                        (F.col("cy") + dy).alias("qy"),
+                    )
+                    for dx in (-1, 0, 1)
+                    for dy in (-1, 0, 1)
+                ]
+            )
+        ).alias("q"),
+    ).select("pu", "plat", "plon", "q.qx", "q.qy")
+    d2 = (F.col("lat") - F.col("plat")) * (
+        F.col("lat") - F.col("plat")
+    ) + (F.col("lon") - F.col("plon")) * (F.col("lon") - F.col("plon"))
+    return (
+        cells.join(
+            probe,
+            (F.col("cx") == F.col("qx"))
+            & (F.col("cy") == F.col("qy"))
+            & (F.col("u") > F.col("pu")),
+        )
+        .filter(d2 <= _RADIUS * _RADIUS)
+        .select(
+            F.col("pu").alias("u1"),
+            F.col("u").alias("u2"),
+            d2.alias("d2"),
+        )
+    )
+
+
+@register(
+    "q_agg_log2_histogram",
+    oracle="""
+WITH c AS (
+  SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+b AS (
+  SELECT length(format('{:b}', cents)) AS bucket FROM c)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(CAST(1 AS BIGINT) << (bucket - 1) AS BIGINT) AS lo_cents,
+       CAST((CAST(1 AS BIGINT) << bucket) - 1 AS BIGINT) AS hi_cents
+FROM b GROUP BY bucket
+""",
+)
+def q_agg_log2_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-of-two magnitude histogram of order totals: bucket =
+    bit-length of the integer cents value (bucket b holds values in
+    [2^(b-1), 2^b)), the log-spaced census heavy-tail monitoring uses.
+    The bucket function is EXACT — binary string length of an integer
+    — never floor(log2(double)), whose last-ulp behavior at exact
+    powers of two differs between libms; that is the same
+    integer-not-float discipline as q_agg_benford's digit extraction.
+
+    Scale: one scan, one codegen'd expression, one 30-ish-group hash
+    aggregation — partial-aggregable everywhere.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    b = orders.select(F.length(F.bin(cents)).cast("long").alias("bucket"))
+    return (
+        b.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "bucket",
+            "n",
+            F.expr(
+                "CAST(shiftleft(CAST(1 AS BIGINT), CAST(bucket AS INT)"
+                " - 1) AS BIGINT)"
+            ).alias("lo_cents"),
+            F.expr(
+                "CAST(shiftleft(CAST(1 AS BIGINT), CAST(bucket AS INT))"
+                " - 1 AS BIGINT)"
+            ).alias("hi_cents"),
+        )
+    )

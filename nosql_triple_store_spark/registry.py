@@ -101,6 +101,7 @@ _OPERATOR_MODULES = (
     "operators.relational_ext41",
     "operators.relational_ext42",
     "operators.relational_ext43",
+    "operators.relational_ext44",
     "operators.vector_ext7",
     "operators.graph_ext8",
     "operators.graph_ext7",
