@@ -134,3 +134,28 @@ def test_range_join_bucketed_is_equi_join(spark):
     assert "BroadcastNestedLoopJoin" not in p
     assert "CartesianProduct" not in p
     assert "Join" in p  # the equi-join on (event_type, bucket) exists
+
+
+def test_grouped_topk_is_two_stage_salted(spark):
+    """The grouped top-k tournament must show TWO window stages with
+    the salt present in the first partitioning — a regression to a
+    single per-group window would re-create the giant-partition plan
+    at scale (functions/topk.py rationale)."""
+    p = _plan(spark, "q_sample_group_quota")
+    assert p.count("Window") >= 2
+    first_window = p.split("Window")[1]
+    assert "__salt" in first_window or "__salt" in p
+
+
+def test_spatial_grid_join_is_equi_join_on_cells(spark):
+    """The proximity join must hash-join on integer cell keys, never a
+    cartesian/nested-loop over points."""
+    p = _plan(spark, "q_join_spatial_grid")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_knn_batch_broadcasts_probes(spark):
+    p = _plan(spark, "q_vector_knn_batch")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert p.count("Window") >= 2
