@@ -19,6 +19,7 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..registry import register
@@ -249,4 +250,154 @@ def q_multimodal_scene_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id long, n_transitions long, n_cuts long, "
             "n_scenes long, max_mad_milli long, min_mad_milli long"
         ),
+    )
+
+
+_AV_AUDIO_FRAME_MS = 100  # VAD frame timeline for alignment
+_AV_SCENE_MS = 600  # 3 video frames x 200 ms
+
+
+@register(
+    "q_multimodal_av_align",
+    oracle=f"""
+WITH p AS (
+  SELECT doc_id, 12 + doc_id % 9 AS nf_audio,
+         6 + doc_id % 4 AS nf_video
+  FROM documents),
+vo AS (
+  SELECT p.doc_id, f,
+         f - row_number() OVER (PARTITION BY p.doc_id ORDER BY f) AS grp
+  FROM p CROSS JOIN unnest(range(p.nf_audio)) AS r(f)
+  WHERE ((p.doc_id * 13 + f * 7) % 5) < 2),
+seg AS (
+  SELECT doc_id, MIN(f) AS s, MAX(f) AS e
+  FROM vo GROUP BY doc_id, grp),
+al AS (
+  SELECT seg.doc_id,
+         LEAST(((seg.s + seg.e + 1) * {_AV_AUDIO_FRAME_MS} // 2)
+                 // {_AV_SCENE_MS},
+               ((p.nf_video - 1) // 3 + 1) - 1) AS scene_idx
+  FROM seg JOIN p USING (doc_id))
+SELECT doc_id, CAST(scene_idx AS BIGINT) AS scene_idx,
+       CAST(COUNT(*) AS BIGINT) AS n_segments
+FROM al GROUP BY doc_id, scene_idx
+""",
+)
+def q_multimodal_av_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal temporal alignment: for every doc, decode BOTH
+    payloads — the WAV speech track (energy-VAD segmentation, frames
+    mapped to a {_AV_AUDIO_FRAME_MS} ms timeline) and the P6 video
+    (scene boundaries from decoded pixel deltas) — then assign each
+    speech segment's midpoint to its containing scene (scenes span
+    {_AV_SCENE_MS} ms = 3 video frames; trailing segments clamp to the
+    last scene). This is the subtitle/shot alignment join an
+    audio-visual training pipeline runs before captioning: which
+    utterances belong to which shot. Midpoints are exact half-integers
+    scaled to integers; the oracle re-derives both modalities'
+    segmentations analytically, so EITHER decoder drifting breaks the
+    match.
+
+    Scale: two mapInPandas kernels (audio segments, video scene
+    count), each embarrassingly parallel over Arrow batches, joined on
+    doc_id — co-partitioned by repartitioning both on the same key;
+    the alignment arithmetic is a codegen'd integer expression.
+    """
+
+    def audio_segments(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "s": [], "e": []}
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                nf = 12 + doc_id % 9
+                i = np.arange(nf * _VAD_FRAME, dtype=np.int64)
+                f = i // _VAD_FRAME
+                voiced = ((doc_id * 13 + f * 7) % 5) < 2
+                tone = np.where(i % 2 == 0, 800, -800)
+                noise = ((doc_id + i) % 21) - 10
+                sig = np.where(voiced, tone, noise).astype(np.int16)
+                _, dec = decode_wav_pcm16(encode_wav_pcm16(sig, _VAD_RATE))
+                frames = (
+                    np.abs(dec.astype(np.int64))
+                    .reshape(nf, _VAD_FRAME)
+                    .mean(axis=1)
+                )
+                active = frames >= _VAD_THRESHOLD
+                start = None
+                for idx in range(nf):
+                    if active[idx] and start is None:
+                        start = idx
+                    elif not active[idx] and start is not None:
+                        out["doc_id"].append(doc_id)
+                        out["s"].append(start)
+                        out["e"].append(idx - 1)
+                        start = None
+                if start is not None:
+                    out["doc_id"].append(doc_id)
+                    out["s"].append(start)
+                    out["e"].append(nf - 1)
+            yield pd.DataFrame(out)
+
+    def video_scenes(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        from .multimodal import decode_ppm_stream, encode_ppm
+
+        for pdf in batches:
+            out = {"doc_id": [], "n_scenes": []}
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                w, h = 8 + doc_id % 5, 6 + doc_id % 3
+                n_frames = 6 + doc_id % 4
+                p = np.arange(w * h, dtype=np.int64)
+                video = b"".join(
+                    encode_ppm(
+                        np.stack(
+                            [
+                                (c * doc_id + m * p) % 64
+                                + a * (f % 3)
+                                + 120 * ((f // 3) % 2)
+                                for c, m, a in _CH
+                            ],
+                            axis=1,
+                        ).reshape(h, w, 3)
+                    )
+                    for f in range(n_frames)
+                )
+                frames = [
+                    fr.astype(np.int64) for fr in decode_ppm_stream(video)
+                ]
+                cuts = sum(
+                    1
+                    for f in range(len(frames) - 1)
+                    if int(
+                        np.abs(frames[f + 1] - frames[f]).sum() * 1000
+                        // (w * h * 3)
+                    )
+                    >= _CUT_MAD_MILLI
+                )
+                out["doc_id"].append(doc_id)
+                out["n_scenes"].append(cuts + 1)
+            yield pd.DataFrame(out)
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    segs = docs.repartition(16).mapInPandas(
+        audio_segments, schema="doc_id long, s long, e long"
+    )
+    scenes = docs.repartition(16).mapInPandas(
+        video_scenes, schema="doc_id long, n_scenes long"
+    )
+    al = segs.join(scenes, "doc_id").select(
+        "doc_id",
+        F.least(
+            F.expr(
+                f"(s + e + 1) * {_AV_AUDIO_FRAME_MS} div 2"
+                f" div {_AV_SCENE_MS}"
+            ),
+            F.col("n_scenes") - 1,
+        ).alias("scene_idx"),
+    )
+    return al.groupBy("doc_id", "scene_idx").agg(
+        F.count(F.lit(1)).alias("n_segments")
     )

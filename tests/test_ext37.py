@@ -74,3 +74,24 @@ def test_scene_cut_boundary_formula(spark):
         assert r.n_cuts == expected_cuts, (r.doc_id, r.n_cuts, expected_cuts)
         assert r.n_scenes == expected_cuts + 1
         assert r.max_mad_milli >= 60_000 > r.min_mad_milli
+
+
+def test_av_align_segments_conserved(spark):
+    """Every VAD speech segment lands in exactly one scene: per-doc
+    aligned-segment mass equals the VAD segment count, and scene
+    indices stay inside the decoded scene count."""
+    al = SPECS["q_multimodal_av_align"].fn(spark, SF_DIR).collect()
+    vad = {
+        r.doc_id: r.n_segments
+        for r in SPECS["q_multimodal_audio_vad"].fn(spark, SF_DIR).collect()
+    }
+    cuts = {
+        r.doc_id: r.n_scenes
+        for r in SPECS["q_multimodal_scene_cut"].fn(spark, SF_DIR).collect()
+    }
+    per_doc = {}
+    for r in al:
+        per_doc[r.doc_id] = per_doc.get(r.doc_id, 0) + r.n_segments
+        assert 0 <= r.scene_idx < cuts[r.doc_id]
+    for doc_id, n in per_doc.items():
+        assert n == vad[doc_id]
