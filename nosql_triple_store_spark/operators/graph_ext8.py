@@ -112,3 +112,61 @@ def q_graph_eccentricity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_reachable", F.lit(0)).alias("n_reachable"),
         )
     )
+
+
+@register(
+    "q_graph_triad_types",
+    oracle=f"""
+WITH {_DIGRAPH_SQL},
+cyc AS (
+  SELECT COUNT(*) AS n
+  FROM ed e1 JOIN ed e2 ON e2.a = e1.b
+             JOIN ed e3 ON e3.a = e2.b AND e3.b = e1.a
+  WHERE e1.a < e1.b AND e1.a < e2.b),
+tra AS (
+  SELECT COUNT(*) AS n
+  FROM ed e1 JOIN ed e2 ON e2.a = e1.b
+             JOIN ed e3 ON e3.a = e1.a AND e3.b = e2.b
+  WHERE e1.a <> e2.b)
+SELECT CAST(cyc.n AS BIGINT) AS n_cyclic,
+       CAST(tra.n AS BIGINT) AS n_transitive
+FROM cyc, tra
+""",
+)
+def q_graph_triad_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed triad census (the two closed types): CYCLIC triangles
+    a→b→c→a (counted once by rotating the minimum node first) and
+    TRANSITIVE closures a→b→c with the a→c shortcut present (each
+    ordered triple once) — the cyclic/transitive ratio is the classic
+    hierarchy-vs-feedback diagnostic for directed networks, sharpening
+    what the undirected q_graph_triangles count can't see.
+
+    Scale: the same two-hop wedge join as triangle counting (join
+    paths a→b→c, close with the third edge), all equi-joins on edge
+    endpoints; degree-orientation / df-cap hub guards (graph.py:175)
+    apply to the wedge stream unchanged.
+    """
+    ed = _digraph(spark, sf_dir).localCheckpoint()
+    e1 = ed.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = ed.select(F.col("a").alias("y2"), F.col("b").alias("z"))
+    e3c = ed.select(F.col("a").alias("z2"), F.col("b").alias("x2"))
+    cyc = (
+        e1.join(e2, F.col("y") == F.col("y2"))
+        .join(
+            e3c,
+            (F.col("z") == F.col("z2")) & (F.col("x") == F.col("x2")),
+        )
+        .filter((F.col("x") < F.col("y")) & (F.col("x") < F.col("z")))
+        .agg(F.count(F.lit(1)).alias("n_cyclic"))
+    )
+    e3t = ed.select(F.col("a").alias("x3"), F.col("b").alias("z3"))
+    tra = (
+        e1.join(e2, F.col("y") == F.col("y2"))
+        .join(
+            e3t,
+            (F.col("x") == F.col("x3")) & (F.col("z") == F.col("z3")),
+        )
+        .filter(F.col("x") != F.col("z"))
+        .agg(F.count(F.lit(1)).alias("n_transitive"))
+    )
+    return cyc.crossJoin(F.broadcast(tra))

@@ -401,3 +401,144 @@ def q_multimodal_av_align(spark: SparkSession, sf_dir: str) -> DataFrame:
     return al.groupBy("doc_id", "scene_idx").agg(
         F.count(F.lit(1)).alias("n_segments")
     )
+
+
+_PHASH_CLASSES = 25
+_PHASH_HAM = 7
+_PHASH_BANDS = 8  # 8 bands x 8 bits: any pair with hamming <= 7 shares one
+# gray value: per-class template + tiny per-doc jitter (near-dup classes)
+_GRAY_SQL = (
+    "((({cls}) * 37 + ({p}) * 11) % 200 + (({doc}) * 7 + ({p})) % 5)"
+)
+
+
+_PHASH_G = _GRAY_SQL.format(cls="d.cls", p="i", doc="d.doc_id")
+
+
+@register(
+    "q_multimodal_image_phash",
+    oracle=f"""
+WITH d AS (SELECT doc_id, doc_id % {_PHASH_CLASSES} AS cls FROM documents),
+g AS (
+  SELECT d.doc_id,
+         (SELECT SUM({_PHASH_G})
+          FROM unnest(range(64)) AS r(i)) AS total
+  FROM d),
+m AS (
+  SELECT d.doc_id, d.cls,
+         (SELECT SUM(CASE WHEN {_PHASH_G} * 64 > g.total
+                          THEN CAST(1 AS BIGINT) << CAST(i AS INT)
+                          ELSE 0 END)
+          FROM unnest(range(32)) AS r(i)) AS lo,
+         (SELECT SUM(CASE WHEN {_PHASH_G} * 64 > g.total
+                          THEN CAST(1 AS BIGINT) << CAST(i - 32 AS INT)
+                          ELSE 0 END)
+          FROM unnest(range(32, 64)) AS r(i)) AS hi
+  FROM d JOIN g ON g.doc_id = d.doc_id)
+SELECT a.doc_id AS d1, b.doc_id AS d2,
+       CAST(bit_count(xor(a.lo, b.lo))
+            + bit_count(xor(a.hi, b.hi)) AS BIGINT) AS hamming,
+       (a.cls = b.cls) AS same_class
+FROM m a JOIN m b ON b.doc_id > a.doc_id
+WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi))
+      <= {_PHASH_HAM}
+""",
+)
+def q_multimodal_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image near-duplication over REAL decoded
+    rasters: each doc renders an 8x8 grayscale image from its
+    template class (doc_id mod {_PHASH_CLASSES}) plus tiny per-doc
+    jitter, containers it as an actual P6 file, decodes the bytes
+    back, and computes the average-hash (aHash): bit p set iff
+    pixel_p > image mean, compared in exact integers (px*64 > sum).
+    Near-duplicate pairs are those within Hamming {_PHASH_HAM} —
+    found via {_PHASH_BANDS} bands of 8 bits (pigeonhole: a pair
+    within Hamming {_PHASH_HAM} shares at least one exact band), band
+    bucket-join, then exact popcount verify. The oracle brute-forces
+    all pairs from the pixel formulas, proving the banded candidate
+    generation LOSSLESS at the threshold — same certify-the-
+    optimization pattern as the LSH/df-cap proofs.
+
+    Scale: the index is 8 bytes/image; banding bounds the join to
+    bucket-local candidates exactly like MinHash-LSH for text
+    (dedup.py): sub-quadratic in images, skew-guarded per band
+    bucket. Decode stays embarrassingly parallel in mapInPandas.
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .multimodal import decode_ppm, encode_ppm
+
+        for pdf in batches:
+            out = {"doc_id": [], "cls": [], "lo": [], "hi": []}
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                cls = doc_id % _PHASH_CLASSES
+                p = np.arange(64, dtype=np.int64)
+                gray = (cls * 37 + p * 11) % 200 + (doc_id * 7 + p) % 5
+                img = np.stack([gray, gray, gray], axis=1).reshape(8, 8, 3)
+                dec = decode_ppm(encode_ppm(img)).astype(np.int64)
+                gvals = dec[:, :, 0].reshape(64)
+                total = int(gvals.sum())
+                bits = gvals * 64 > total
+                lo = int(sum(1 << i for i in range(32) if bits[i]))
+                hi = int(sum(1 << (i - 32) for i in range(32, 64) if bits[i]))
+                out["doc_id"].append(doc_id)
+                out["cls"].append(cls)
+                out["lo"].append(lo)
+                out["hi"].append(hi)
+            yield pd.DataFrame(out)
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    m = docs.repartition(16).mapInPandas(
+        kernel, schema="doc_id long, cls long, lo long, hi long"
+    ).localCheckpoint()
+    # band keys: 8 bytes of the 64-bit hash (4 from each word)
+    band_exprs = []
+    for b in range(_PHASH_BANDS):
+        word = "lo" if b < 4 else "hi"
+        shift = (b % 4) * 8
+        band_exprs.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.expr(f"(({word} >> {shift}) & 255)").alias("bkey"),
+            )
+        )
+    keyed = m.select(
+        "doc_id", "cls", "lo", "hi",
+        F.explode(F.array(*band_exprs)).alias("bk"),
+    ).select(
+        "doc_id",
+        "cls",
+        "lo",
+        "hi",
+        F.col("bk.band").alias("band1"),
+        F.col("bk.bkey").alias("bkey1"),
+    )
+    o = keyed.select(
+        F.col("doc_id").alias("d2"),
+        F.col("cls").alias("cls2"),
+        F.col("lo").alias("lo2"),
+        F.col("hi").alias("hi2"),
+        F.col("band1").alias("band2"),
+        F.col("bkey1").alias("bkey2"),
+    )
+    ham = (
+        F.bit_count(F.col("lo").bitwiseXOR(F.col("lo2")))
+        + F.bit_count(F.col("hi").bitwiseXOR(F.col("hi2")))
+    ).cast("long")
+    cand = (
+        keyed.join(
+            o,
+            (F.col("band1") == F.col("band2"))
+            & (F.col("bkey1") == F.col("bkey2"))
+            & (F.col("doc_id") < F.col("d2")),
+        )
+        .select("doc_id", "cls", "lo", "hi", "d2", "cls2", "lo2", "hi2")
+        .distinct()
+    )
+    return cand.filter(ham <= _PHASH_HAM).select(
+        F.col("doc_id").alias("d1"),
+        "d2",
+        ham.alias("hamming"),
+        (F.col("cls") == F.col("cls2")).alias("same_class"),
+    )
