@@ -103,6 +103,7 @@ _OPERATOR_MODULES = (
     "operators.relational_ext43",
     "operators.relational_ext44",
     "operators.relational_ext45",
+    "operators.relational_ext46",
     "operators.vector_ext7",
     "operators.graph_ext8",
     "operators.graph_ext7",

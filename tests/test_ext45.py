@@ -57,3 +57,34 @@ def test_phash_pairs_well_formed_and_deterministic(spark):
         for r in SPECS["q_multimodal_image_phash"].fn(spark, SF_DIR).collect()
     }
     assert {(r.d1, r.d2): r.hamming for r in rows} == again
+
+
+def test_csv_badrecords_counts(spark):
+    from nosql_triple_store_spark.catalog import load_table
+
+    r = SPECS["q_source_csv_badrecords"].fn(spark, SF_DIR).first()
+    n_events = load_table(spark, SF_DIR, "events").count()
+    assert r.n_good + r.n_corrupt == n_events
+    assert r.n_corrupt >= 1
+    assert r.good_cents > 0
+
+
+def test_reach_curve_monotone_and_consistent(spark):
+    from nosql_triple_store_spark.catalog import load_table
+
+    rows = sorted(
+        SPECS["q_events_reach_curve"].fn(spark, SF_DIR).collect(),
+        key=lambda r: r.day,
+    )
+    n_users = (
+        load_table(spark, SF_DIR, "events")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    prev = 0
+    for r in rows:
+        assert r.cum_users == prev + r.new_users
+        assert r.dau <= r.cum_users
+        prev = r.cum_users
+    assert prev == n_users
