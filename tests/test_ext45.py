@@ -88,3 +88,24 @@ def test_reach_curve_monotone_and_consistent(spark):
         assert r.dau <= r.cum_users
         prev = r.cum_users
     assert prev == n_users
+
+
+def test_feature_hashing_mass_conserved(spark):
+    """Total hashed term frequency equals the corpus token count, and
+    buckets stay in range."""
+    from pyspark.sql import functions as F
+
+    from nosql_triple_store_spark.catalog import load_table
+    from nosql_triple_store_spark.functions.textfns import tokens_col
+
+    rows = SPECS["q_text_feature_hashing"].fn(spark, SF_DIR)
+    total_tf = rows.agg(F.sum("tf")).first()[0]
+    n_tokens = (
+        load_table(spark, SF_DIR, "documents")
+        .select(F.size(tokens_col()).alias("n"))
+        .agg(F.sum("n"))
+        .first()[0]
+    )
+    assert total_tf == n_tokens
+    bad = rows.filter((F.col("bucket") < 0) | (F.col("bucket") >= 64)).count()
+    assert bad == 0
