@@ -27,13 +27,26 @@ from .graph import _edges
 
 _HITS_MAX_ROUNDS = 12
 _HITS_TOL = 1e-7
+_HITS_NORM_EVERY = 4  # normalize + convergence-check every k rounds
 
 
 def hits_scores(
     spark: SparkSession, sf_dir: str
 ) -> tuple[DataFrame, DataFrame]:
-    """Run HITS to convergence; return (hubs, authorities) DataFrames
-    with unrounded float scores (callers round for display)."""
+    """Run HITS; return (hubs, authorities) DataFrames with unrounded
+    float scores (callers round for display).
+
+    Driver-action economics (measured at sf0.1): normalizing every
+    round costs 5 Spark actions per round — 9.9 s for 12 rounds on a
+    graph whose tiny eigengap (near-identical customers) never reaches
+    the 1e-7 exit. Normalization is a SCALAR rescale, so the power
+    iteration runs UNNORMALIZED for {_HITS_NORM_EVERY}-round stretches
+    (magnitudes grow by ~λ1² per round — λ1^8 stays far under double
+    range for any graph whose λ1 < 1e30) and normalizes + checks the
+    delta exit only at stretch boundaries: same direction vector up to
+    float rounding (numpy-differential-tested), ~4x fewer actions and
+    checkpoints.
+    """
     e = _edges(spark, sf_dir).localCheckpoint()
     hubs = (
         e.select(F.col("src").alias("node_id"))
@@ -41,48 +54,54 @@ def hits_scores(
         .select("node_id", F.lit(1.0).alias("h"))
         .localCheckpoint()
     )
-    auth = None
-    for _ in range(_HITS_MAX_ROUNDS):
-        # authority half-step: a(v) = Σ_{u→v} h(u), then L2-normalize
-        auth_new = (
-            e.join(hubs, e.src == hubs.node_id)
+    last_norm = hubs
+
+    def _a_step(h_df: DataFrame) -> DataFrame:
+        return (
+            e.join(h_df, e.src == h_df.node_id)
             .groupBy(F.col("dst").alias("node_id"))
             .agg(F.sum("h").alias("a"))
         )
-        norm_a = auth_new.agg(
-            F.sqrt(F.sum(F.col("a") * F.col("a"))).alias("n")
-        ).first()["n"]
-        auth_new = auth_new.select(
-            "node_id", (F.col("a") / F.lit(norm_a)).alias("a")
-        ).localCheckpoint()
-        # hub half-step: h(u) = Σ_{u→v} a(v), then L2-normalize
-        hub_new = (
-            e.join(auth_new, e.dst == auth_new.node_id)
+
+    def _h_step(a_df: DataFrame) -> DataFrame:
+        return (
+            e.join(a_df, e.dst == a_df.node_id)
             .groupBy(F.col("src").alias("node_id"))
             .agg(F.sum("a").alias("h"))
         )
-        norm_h = hub_new.agg(
-            F.sqrt(F.sum(F.col("h") * F.col("h"))).alias("n")
-        ).first()["n"]
-        hub_new = hub_new.select(
-            "node_id", (F.col("h") / F.lit(norm_h)).alias("h")
-        ).localCheckpoint()
-        delta = (
-            hub_new.join(
-                hubs.select("node_id", F.col("h").alias("prev")),
-                "node_id",
-                "left",
+
+    for r in range(_HITS_MAX_ROUNDS):
+        hubs = _h_step(_a_step(hubs))
+        if (r + 1) % _HITS_NORM_EVERY == 0 or r == _HITS_MAX_ROUNDS - 1:
+            norm_h = hubs.agg(
+                F.sqrt(F.sum(F.col("h") * F.col("h"))).alias("n")
+            ).first()["n"]
+            hubs = hubs.select(
+                "node_id", (F.col("h") / F.lit(norm_h)).alias("h")
+            ).localCheckpoint()
+            delta = (
+                hubs.join(
+                    last_norm.select("node_id", F.col("h").alias("prev")),
+                    "node_id",
+                    "left",
+                )
+                .agg(
+                    F.max(
+                        F.abs(F.col("h") - F.coalesce("prev", F.lit(0.0)))
+                    ).alias("d")
+                )
+                .first()["d"]
             )
-            .agg(
-                F.max(
-                    F.abs(F.col("h") - F.coalesce("prev", F.lit(0.0)))
-                ).alias("d")
-            )
-            .first()["d"]
-        )
-        hubs, auth = hub_new, auth_new
-        if delta is not None and delta < _HITS_TOL:
-            break
+            last_norm = hubs
+            if delta is not None and delta < _HITS_TOL:
+                break
+    auth = _a_step(hubs)
+    norm_a = auth.agg(
+        F.sqrt(F.sum(F.col("a") * F.col("a"))).alias("n")
+    ).first()["n"]
+    auth = auth.select(
+        "node_id", (F.col("a") / F.lit(norm_a)).alias("a")
+    ).localCheckpoint()
     return hubs, auth
 
 

@@ -76,19 +76,22 @@ def test_hits_matches_numpy_power_iteration(spark):
     # of the graph, not an implementation bug.
     from nosql_triple_store_spark.operators.graph_ext6 import (
         _HITS_MAX_ROUNDS,
+        _HITS_NORM_EVERY,
         _HITS_TOL,
     )
 
     h = np.array([1.0 if A[i].any() else 0.0 for i in range(len(nodes))])
-    for _ in range(_HITS_MAX_ROUNDS):
-        a = A.T @ h
-        a /= np.linalg.norm(a)
-        h_new = A @ a
-        h_new /= np.linalg.norm(h_new)
-        delta = np.max(np.abs(h_new - h))
-        h = h_new
-        if delta < _HITS_TOL:
-            break
+    last = h
+    for r in range(_HITS_MAX_ROUNDS):
+        h = A @ (A.T @ h)
+        if (r + 1) % _HITS_NORM_EVERY == 0 or r == _HITS_MAX_ROUNDS - 1:
+            h = h / np.linalg.norm(h)
+            delta = np.max(np.abs(h - last))
+            last = h
+            if delta < _HITS_TOL:
+                break
+    a = A.T @ h
+    a /= np.linalg.norm(a)
     hubs_df, auth_df = hits_scores(spark, SF_DIR)
     hubs = {r.node_id: r.h for r in hubs_df.collect()}
     auth = {r.node_id: r.a for r in auth_df.collect()}
