@@ -106,6 +106,7 @@ _OPERATOR_MODULES = (
     "operators.relational_ext46",
     "operators.relational_ext47",
     "operators.relational_ext48",
+    "operators.relational_ext49",
     "operators.vector_ext7",
     "operators.graph_ext8",
     "operators.graph_ext7",
