@@ -44,3 +44,24 @@ def test_cuped_reduction_bounds(spark):
     # variance can only shrink, by exactly rho^2
     assert r.var_cuped <= r.var_post + 1e-9
     assert 0 <= r.reduction_ppm <= 1_000_000
+
+
+def test_eval_recall_bounds_and_determinism(spark):
+    rows = {
+        r.probe_id: r
+        for r in SPECS["q_vector_eval_recall"].fn(spark, SF_DIR).collect()
+    }
+    assert len(rows) == 8
+    for r in rows.values():
+        assert r.n_exact == 10
+        assert 0 <= r.n_hit <= r.n_exact
+        assert r.recall_ppm == r.n_hit * 1_000_000 // r.n_exact
+    # the sign patterns of random embeddings preserve neighborhoods:
+    # average recall floor mirrors test_binary_quant_recall_vs_exact
+    avg = sum(r.recall_ppm for r in rows.values()) / len(rows)
+    assert avg >= 400_000, avg
+    again = {
+        r.probe_id: r.recall_ppm
+        for r in SPECS["q_vector_eval_recall"].fn(spark, SF_DIR).collect()
+    }
+    assert {p: r.recall_ppm for p, r in rows.items()} == again
