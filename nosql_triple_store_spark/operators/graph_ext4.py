@@ -40,9 +40,11 @@ def q_graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: each round is one neighbor-join + two keyed aggregates, all
     partitioned by node id; lineage truncated per round via
     localCheckpoint exactly like q_graph_cc. Rounds are capped (LPA on
-    near-forest graphs stabilizes in ~diameter rounds)."""
-    from pyspark.sql import Window
-
+    near-forest graphs stabilizes in ~diameter rounds). The
+    most-frequent-label pick is a max_by over (count, -label) — a
+    partial-aggregable reduce, no per-node ranking window — and since
+    the undirected edge list contains every node as a source, the
+    round's aggregate already re-labels every node (no fix-up join)."""
     e = _edges(spark, sf_dir)
     und = e.select("src", "dst").unionByName(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -63,19 +65,13 @@ def q_graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("src", "nlabel")
             .agg(F.count(F.lit(1)).alias("cnt"))
         )
-        w = Window.partitionBy("src").orderBy(
-            F.desc("cnt"), F.asc("nlabel")
-        )
-        best = (
-            neigh.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select(F.col("src").alias("node_id"), F.col("nlabel").alias("label"))
-        )
         labels = (
-            nodes.join(best, "node_id", "left")
-            .select(
-                "node_id",
-                F.coalesce("label", "node_id").alias("label"),
+            neigh.groupBy(F.col("src").alias("node_id"))
+            .agg(
+                F.max_by(
+                    "nlabel",
+                    F.struct(F.col("cnt"), (-F.col("nlabel")).alias("nl")),
+                ).alias("label")
             )
             .localCheckpoint()
         )
