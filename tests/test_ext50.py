@@ -1,0 +1,48 @@
+"""Tests for the fiftieth batch: anomaly-gate calibration, share mass
+conservation, power-analysis monotonicity."""
+
+from __future__ import annotations
+
+from nosql_triple_store_spark.registry import all_specs
+
+from .conftest import SF_DIR
+
+SPECS = all_specs()
+
+
+def test_seasonal_anomaly_flag_rate(spark):
+    """A 3-MAD gate on roughly-symmetric residuals should flag a small
+    minority of days, never most of them."""
+    rows = SPECS["q_events_anomaly_seasonal"].fn(spark, SF_DIR).collect()
+    assert rows
+    flagged = sum(1 for r in rows if r.is_anomaly)
+    assert flagged <= len(rows) // 3
+
+
+def test_share_of_parent_sums_to_one(spark):
+    rows = SPECS["q_agg_share_of_parent"].fn(spark, SF_DIR).collect()
+    by_region = {}
+    for r in rows:
+        by_region.setdefault(r.region, []).append(r)
+        assert 0 <= r.share_of_region_ppm <= 1_000_000
+    for region, rs in by_region.items():
+        # floor division loses at most 1 ppm per nation
+        total = sum(r.share_of_region_ppm for r in rs)
+        assert 1_000_000 - len(rs) <= total <= 1_000_000
+        region_share = {r.region_share_ppm for r in rs}
+        assert len(region_share) == 1  # constant within region
+    overall = sum(rs[0].region_share_ppm for rs in by_region.values())
+    assert 1_000_000 - len(by_region) <= overall <= 1_000_000
+
+
+def test_power_analysis_monotone_in_mde(spark):
+    """Bigger detectable effects need fewer users: n_per_arm strictly
+    decreases as MDE grows (delta^2 in the denominator)."""
+    rows = sorted(
+        SPECS["q_events_power_analysis"].fn(spark, SF_DIR).collect(),
+        key=lambda r: r.mde_ppm,
+    )
+    assert [r.mde_ppm for r in rows] == [50_000, 100_000, 200_000]
+    assert rows[0].n_per_arm > rows[1].n_per_arm > rows[2].n_per_arm
+    # quadrupling... doubling MDE quarters n (up to CEIL slack)
+    assert abs(rows[0].n_per_arm - 4 * rows[1].n_per_arm) <= 4
