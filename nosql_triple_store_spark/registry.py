@@ -108,6 +108,7 @@ _OPERATOR_MODULES = (
     "operators.relational_ext48",
     "operators.relational_ext49",
     "operators.relational_ext50",
+    "operators.relational_ext51",
     "operators.vector_ext7",
     "operators.vector_ext8",
     "operators.graph_ext8",

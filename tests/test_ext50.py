@@ -46,3 +46,49 @@ def test_power_analysis_monotone_in_mde(spark):
     assert rows[0].n_per_arm > rows[1].n_per_arm > rows[2].n_per_arm
     # quadrupling... doubling MDE quarters n (up to CEIL slack)
     assert abs(rows[0].n_per_arm - 4 * rows[1].n_per_arm) <= 4
+
+
+def test_path_quantified_hops_consistent(spark):
+    """min_hops=1 rows are exactly the direct location edges, and
+    3-hop-only pairs exist (customer -> nation -> region is 2; nothing
+    is 3 on this forest) or not — but every min_hops is in 1..3."""
+    rows = SPECS["q_bgp_path_quantified"].fn(spark, SF_DIR).collect()
+    assert rows
+    from pyspark.sql import functions as F
+
+    from nosql_triple_store_spark.plans.bgp import triples_view
+
+    direct = {
+        (r.s, r.o)
+        for r in triples_view(spark, SF_DIR)
+        .filter(F.col("p").isin("inNation", "inRegion"))
+        .select("s", "o")
+        .collect()
+    }
+    for r in rows:
+        assert 1 <= r.min_hops <= 3
+        assert ((r.s, r.o) in direct) == (r.min_hops == 1)
+
+
+def test_group_quantile_sketch_error_bound(spark):
+    """Each per-group estimate's true within-group rank sits near its
+    target percentile (bottom-k sample of k=200 -> ~3.5 sigma = 12 pp
+    at sf0.001 group sizes; the bound mirrors test_ext35's global
+    version)."""
+    from pyspark.sql import functions as F
+
+    from nosql_triple_store_spark.catalog import load_table
+
+    rows = SPECS["q_agg_group_quantile_sketch"].fn(spark, SF_DIR).collect()
+    orders = (
+        load_table(spark, SF_DIR, "orders")
+        .select("o_orderpriority", "o_totalprice")
+        .collect()
+    )
+    by_grp = {}
+    for r in orders:
+        by_grp.setdefault(r.o_orderpriority, []).append(r.o_totalprice)
+    for r in rows:
+        vals = sorted(by_grp[r.grp])
+        rank = sum(1 for v in vals if v <= r.estimate) / len(vals)
+        assert abs(rank - r.pct / 100) <= 0.15, (r.grp, r.pct, rank)
