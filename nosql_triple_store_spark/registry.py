@@ -109,6 +109,7 @@ _OPERATOR_MODULES = (
     "operators.relational_ext49",
     "operators.relational_ext50",
     "operators.relational_ext51",
+    "operators.relational_ext52",
     "operators.vector_ext7",
     "operators.vector_ext8",
     "operators.graph_ext8",

@@ -92,3 +92,38 @@ def test_group_quantile_sketch_error_bound(spark):
         vals = sorted(by_grp[r.grp])
         rank = sum(1 for v in vals if v <= r.estimate) / len(vals)
         assert abs(rank - r.pct / 100) <= 0.15, (r.grp, r.pct, rank)
+
+
+def test_alarm_debounce_implies_anomaly(spark):
+    rows = sorted(
+        SPECS["q_events_alarm_debounce"].fn(spark, SF_DIR).collect(),
+        key=lambda r: r.day,
+    )
+    flags = {r.day: r.is_anomaly for r in rows}
+    prev = None
+    for r in rows:
+        if r.alarm:
+            assert r.is_anomaly and prev is not None and flags[prev]
+        prev = r.day
+
+
+def test_source_matrix_mass_matches_pair_stream(spark):
+    """Matrix cell counts sum to the verified near-dup pair count."""
+    from pyspark.sql import functions as F
+
+    from nosql_triple_store_spark.operators.dedup import _shingle_stream
+    from nosql_triple_store_spark.operators.dedup_pipeline import (
+        _minhash_candidates,
+        _verified_edges,
+        band_index,
+    )
+
+    rows = SPECS["q_dedup_source_matrix"].fn(spark, SF_DIR).collect()
+    sh = _shingle_stream(spark, SF_DIR)
+    n_pairs = _verified_edges(
+        sh, _minhash_candidates(sh, band_index(spark, SF_DIR))
+    ).count()
+    assert sum(r.n_pairs for r in rows) == n_pairs
+    for r in rows:
+        assert r.within_source == (r.source_a == r.source_b)
+        assert r.source_a <= r.source_b
