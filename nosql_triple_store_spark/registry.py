@@ -110,6 +110,7 @@ _OPERATOR_MODULES = (
     "operators.relational_ext50",
     "operators.relational_ext51",
     "operators.relational_ext52",
+    "operators.relational_ext53",
     "operators.vector_ext7",
     "operators.vector_ext8",
     "operators.graph_ext8",

@@ -127,3 +127,37 @@ def test_source_matrix_mass_matches_pair_stream(spark):
     for r in rows:
         assert r.within_source == (r.source_a == r.source_b)
         assert r.source_a <= r.source_b
+
+
+def test_arrow_census_equals_jvm_tokens(spark):
+    from pyspark.sql import functions as F
+
+    from nosql_triple_store_spark.catalog import load_table
+    from nosql_triple_store_spark.functions.textfns import tokens_col
+
+    arrow = {
+        r.doc_id: r.n_tokens
+        for r in SPECS["q_text_arrow_token_census"].fn(spark, SF_DIR).collect()
+    }
+    jvm = {
+        r.doc_id: r.n
+        for r in load_table(spark, SF_DIR, "documents")
+        .select("doc_id", F.size(tokens_col()).alias("n"))
+        .collect()
+    }
+    assert arrow == jvm
+
+
+def test_observe_metrics_match_direct_agg(spark):
+    from pyspark.sql import functions as F
+
+    from nosql_triple_store_spark.catalog import load_table
+
+    r = SPECS["q_meta_observe_metrics"].fn(spark, SF_DIR).first()
+    li = load_table(spark, SF_DIR, "lineitem")
+    direct = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("r"),
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("c"),
+    ).first()
+    assert (r.n_rows, r.n_returns, r.cents) == (direct.n, direct.r, direct.c)
