@@ -111,6 +111,7 @@ _OPERATOR_MODULES = (
     "operators.relational_ext51",
     "operators.relational_ext52",
     "operators.relational_ext53",
+    "operators.relational_ext54",
     "operators.vector_ext7",
     "operators.vector_ext8",
     "operators.graph_ext8",

@@ -161,3 +161,40 @@ def test_observe_metrics_match_direct_agg(spark):
         F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("c"),
     ).first()
     assert (r.n_rows, r.n_returns, r.cents) == (direct.n, direct.r, direct.c)
+
+
+def test_driver_decomposition_is_exact(spark):
+    """delta_rev == volume + rate + interaction per type (the algebra
+    is an identity; rounding grain 2 dp -> allow 0.03 slack)."""
+    rows = SPECS["q_events_driver_decomposition"].fn(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        recomposed = r.volume_effect + r.rate_effect + r.interaction_effect
+        assert abs(r.delta_rev - recomposed) <= 0.03, r
+
+
+def test_column_encryption_ciphertext_hides_plaintext(spark):
+    """Ciphertext differs from plaintext bytes and decrypts exactly;
+    a wrong key must NOT decrypt."""
+    from pyspark.sql import functions as F
+
+    from nosql_triple_store_spark.catalog import load_table
+    from nosql_triple_store_spark.operators.relational_ext54 import _AES_KEY
+
+    cust = load_table(spark, SF_DIR, "customer").limit(20)
+    enc = cust.select(
+        "c_name",
+        F.expr(f"aes_encrypt(c_name, '{_AES_KEY}')").alias("cipher"),
+    )
+    back = enc.select(
+        "c_name",
+        F.expr(f"CAST(aes_decrypt(cipher, '{_AES_KEY}') AS STRING)").alias(
+            "back"
+        ),
+        F.expr(
+            "CAST(try_aes_decrypt(cipher, 'ffffffffffffffff') AS STRING)"
+        ).alias("wrong"),
+    ).collect()
+    for r in back:
+        assert r.back == r.c_name
+        assert r.wrong is None
