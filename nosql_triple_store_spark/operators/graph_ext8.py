@@ -21,6 +21,49 @@ from .graph_ext7 import _DIGRAPH_SQL, _digraph
 _ECC_MAX_ROUNDS = 12
 
 
+def _all_pairs_dists(ed: DataFrame) -> DataFrame:
+    """Simultaneous multi-source BFS over edge list ``ed(a, b)``:
+    returns the (s, d, l) shortest-distance relation for every ordered
+    reachable pair (including s=d rows only when a cycle returns to s).
+    First discovery = shortest distance (BFS layer order); known-pair
+    anti-join prevents re-expansion; raises if {_ECC_MAX_ROUNDS} rounds
+    still yield new pairs (silent truncation would under-report
+    distances). Shared by the eccentricity and closeness censuses."""
+    known = ed.select(
+        F.col("a").alias("s"), F.col("b").alias("d"), F.lit(1).alias("l")
+    ).localCheckpoint()
+    frontier = known
+    exhausted = False
+    for r in range(2, _ECC_MAX_ROUNDS + 1):
+        nxt = (
+            frontier.join(ed, frontier.d == ed.a)
+            .select("s", F.col("b").alias("d"))
+            .distinct()
+            .join(known.select("s", "d"), ["s", "d"], "left_anti")
+            .withColumn("l", F.lit(r))
+            .localCheckpoint()
+        )
+        if nxt.limit(1).count() == 0:
+            exhausted = True
+            break
+        known = known.unionByName(nxt).localCheckpoint()
+        frontier = nxt
+    if not exhausted:
+        # the cap is a correctness guard, not a budget: one more probe
+        probe = (
+            frontier.join(ed, frontier.d == ed.a)
+            .select("s", F.col("b").alias("d"))
+            .distinct()
+            .join(known.select("s", "d"), ["s", "d"], "left_anti")
+        )
+        if probe.limit(1).count() != 0:
+            raise RuntimeError(
+                f"multi-source BFS exceeded {_ECC_MAX_ROUNDS} rounds; "
+                "raise the cap (graph has longer shortest paths)"
+            )
+    return known
+
+
 @register(
     "q_graph_eccentricity",
     oracle=f"""
@@ -67,38 +110,7 @@ def q_graph_eccentricity(spark: SparkSession, sf_dir: str) -> DataFrame:
     vs = (
         ed.select(F.col("a").alias("v")).union(ed.select("b")).distinct()
     )
-    known = ed.select(
-        F.col("a").alias("s"), F.col("b").alias("d"), F.lit(1).alias("l")
-    ).localCheckpoint()
-    frontier = known
-    exhausted = False
-    for r in range(2, _ECC_MAX_ROUNDS + 1):
-        nxt = (
-            frontier.join(ed, frontier.d == ed.a)
-            .select("s", F.col("b").alias("d"))
-            .distinct()
-            .join(known.select("s", "d"), ["s", "d"], "left_anti")
-            .withColumn("l", F.lit(r))
-            .localCheckpoint()
-        )
-        if nxt.limit(1).count() == 0:
-            exhausted = True
-            break
-        known = known.unionByName(nxt).localCheckpoint()
-        frontier = nxt
-    if not exhausted:
-        # the cap is a correctness guard, not a budget: one more probe
-        probe = (
-            frontier.join(ed, frontier.d == ed.a)
-            .select("s", F.col("b").alias("d"))
-            .distinct()
-            .join(known.select("s", "d"), ["s", "d"], "left_anti")
-        )
-        if probe.limit(1).count() != 0:
-            raise RuntimeError(
-                f"multi-source BFS exceeded {_ECC_MAX_ROUNDS} rounds; "
-                "raise the cap (graph has longer shortest paths)"
-            )
+    known = _all_pairs_dists(ed)
     sp = known.filter(F.col("s") != F.col("d"))
     per_src = sp.groupBy("s").agg(
         F.max("l").cast("long").alias("ecc"),

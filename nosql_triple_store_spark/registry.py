@@ -116,6 +116,8 @@ _OPERATOR_MODULES = (
     "operators.vector_ext8",
     "operators.graph_ext8",
     "operators.graph_ext7",
+    "operators.graph_ext9",
+    "operators.relational_ext55",
     "operators.multimodal_ext",
     "streaming.queries",
     "streaming.transform_state",

@@ -1,0 +1,66 @@
+"""Invariant + plan tests for the fifty-fifth batch (skew census,
+partition-layout round-trip, pseudonymization, readability, parquet
+bloom source) and the harmonic-closeness centrality. Oracle equality is
+covered by test_queries_vs_duckdb; these pin the SEMANTIC claims the
+oracles cannot express (injectivity, plan pushdown, band exhaustivity).
+"""
+
+from __future__ import annotations
+
+from nosql_triple_store_spark.registry import all_specs
+
+from .conftest import SF_DIR
+
+SPECS = all_specs()
+
+
+def test_join_skew_census_invariants(spark):
+    row = SPECS["q_meta_join_skew"].fn(spark, SF_DIR).collect()[0]
+    assert row.n_keys > 0 and row.n_rows >= row.n_keys
+    assert 0.0 < row.top_share <= 1.0
+    assert row.skew_ratio >= 1.0  # max can never undercut the median
+    assert row.p50_cnt <= row.p99_cnt <= row.max_cnt
+
+
+def test_partition_layout_one_file_per_bucket(spark):
+    rows = SPECS["q_meta_partition_layout"].fn(spark, SF_DIR).collect()
+    assert len(rows) == 8
+    assert all(r.n_files == 1 for r in rows)
+    for r in rows:  # path-derived bucket agrees with the value mod
+        assert r.min_key % 8 == r.bucket and r.max_key % 8 == r.bucket
+
+
+def test_pseudonymize_tokens_injective_and_opaque(spark):
+    rows = SPECS["q_privacy_pseudonymize"].fn(spark, SF_DIR).collect()
+    assert all(r.n_ids == 1 for r in rows)  # token <-> id is 1:1
+    assert all(len(r.token) == 64 for r in rows)  # full sha256 hex
+    assert len({r.token for r in rows}) == len(rows)
+
+
+def test_readability_bands_partition_the_corpus(spark, ddb):
+    rows = SPECS["q_text_readability"].fn(spark, SF_DIR).collect()
+    n_banded = sum(r.n_docs for r in rows)
+    n_docs = ddb.execute(
+        "SELECT COUNT(*) FROM documents WHERE length(trim(text)) > 0"
+    ).fetchone()[0]
+    assert n_banded == n_docs  # every doc lands in exactly one band
+    bands = {r.band for r in rows}
+    assert bands <= {"very_easy", "easy", "difficult", "very_difficult"}
+
+
+def test_bloom_source_pushes_point_filter(spark):
+    df = SPECS["q_source_parquet_bloom"].fn(spark, SF_DIR)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    pushed = p.split("PushedFilters")[1][:160]
+    assert "EqualTo(l_suppkey" in pushed
+
+
+def test_closeness_sinks_score_zero_and_bounds(spark):
+    rows = SPECS["q_graph_closeness"].fn(spark, SF_DIR).collect()
+    assert rows, "state digraph is never empty"
+    for r in rows:
+        if r.n_reachable == 0:
+            assert r.harmonic == 0.0
+        else:
+            # each reachable node contributes (0, 1] reciprocal distance
+            assert 0.0 < r.harmonic <= r.n_reachable + 1e-9
