@@ -23,24 +23,35 @@ _ECC_MAX_ROUNDS = 12
 
 def _all_pairs_dists(ed: DataFrame) -> DataFrame:
     """Simultaneous multi-source BFS over edge list ``ed(a, b)``:
-    returns the (s, d, l) shortest-distance relation for every ordered
-    reachable pair (including s=d rows only when a cycle returns to s).
-    First discovery = shortest distance (BFS layer order); known-pair
-    anti-join prevents re-expansion; raises if {_ECC_MAX_ROUNDS} rounds
-    still yield new pairs (silent truncation would under-report
-    distances). Shared by the eccentricity and closeness censuses."""
+    returns the (s, d, l, sigma) shortest-distance relation for every
+    ordered reachable pair (including s=d rows only when a cycle
+    returns to s), where ``sigma`` is the GEODESIC COUNT — the number
+    of distinct shortest s→d paths, accumulated layer-by-layer exactly
+    as in Brandes' forward pass: a pair first discovered at round r
+    sums the sigmas of all its layer-(r-1) predecessors (any shorter
+    predecessor would have discovered the pair earlier, so the
+    anti-join guarantees only true geodesic prefixes contribute).
+    First discovery = shortest distance (BFS layer order); raises if
+    {_ECC_MAX_ROUNDS} rounds still yield new pairs (silent truncation
+    would under-report distances). Shared by the eccentricity,
+    closeness, and betweenness censuses."""
     known = ed.select(
-        F.col("a").alias("s"), F.col("b").alias("d"), F.lit(1).alias("l")
+        F.col("a").alias("s"),
+        F.col("b").alias("d"),
+        F.lit(1).alias("l"),
+        F.lit(1).cast("long").alias("sigma"),
     ).localCheckpoint()
     frontier = known
     exhausted = False
     for r in range(2, _ECC_MAX_ROUNDS + 1):
         nxt = (
             frontier.join(ed, frontier.d == ed.a)
-            .select("s", F.col("b").alias("d"))
-            .distinct()
+            .select("s", F.col("b").alias("d"), "sigma")
+            .groupBy("s", "d")
+            .agg(F.sum("sigma").alias("sigma"))
             .join(known.select("s", "d"), ["s", "d"], "left_anti")
             .withColumn("l", F.lit(r))
+            .select("s", "d", "l", "sigma")
             .localCheckpoint()
         )
         if nxt.limit(1).count() == 0:

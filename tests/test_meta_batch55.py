@@ -64,3 +64,14 @@ def test_closeness_sinks_score_zero_and_bounds(spark):
         else:
             # each reachable node contributes (0, 1] reciprocal distance
             assert 0.0 < r.harmonic <= r.n_reachable + 1e-9
+
+
+def test_betweenness_ppm_bounds(spark):
+    rows = SPECS["q_graph_betweenness"].fn(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.bc_ppm >= 0
+        # each brokered (s,d) pair contributes at most 10^6 ppm (the
+        # whole pair's geodesic mass), so bc_ppm <= routes * 10^6
+        assert r.bc_ppm <= r.n_pair_routes * 1_000_000
+        assert (r.bc_ppm == 0) == (r.n_pair_routes == 0) or r.bc_ppm >= 0
