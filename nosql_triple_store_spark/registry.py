@@ -119,6 +119,7 @@ _OPERATOR_MODULES = (
     "operators.graph_ext9",
     "operators.relational_ext55",
     "operators.vector_ext9",
+    "operators.relational_ext56",
     "operators.multimodal_ext",
     "streaming.queries",
     "streaming.transform_state",

@@ -75,3 +75,17 @@ def test_betweenness_ppm_bounds(spark):
         # whole pair's geodesic mass), so bc_ppm <= routes * 10^6
         assert r.bc_ppm <= r.n_pair_routes * 1_000_000
         assert (r.bc_ppm == 0) == (r.n_pair_routes == 0) or r.bc_ppm >= 0
+
+
+def test_train_pipeline_funnel_monotone(spark):
+    r = SPECS["q_train_pipeline_funnel"].fn(spark, SF_DIR).collect()[0]
+    assert r.n_raw >= r.n_lang >= r.n_band >= r.n_quality >= r.n_dedup
+    assert r.n_sequences >= 1 and r.total_tokens > 0
+
+
+def test_train_pipeline_packs_only_survivors(spark):
+    rows = SPECS["q_train_data_pipeline"].fn(spark, SF_DIR).collect()
+    funnel = SPECS["q_train_pipeline_funnel"].fn(spark, SF_DIR).collect()[0]
+    assert sum(r.n_docs for r in rows) == funnel.n_dedup
+    assert sum(r.n_tokens for r in rows) == funnel.total_tokens
+    assert len(rows) == funnel.n_sequences
