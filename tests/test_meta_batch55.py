@@ -89,3 +89,29 @@ def test_train_pipeline_packs_only_survivors(spark):
     assert sum(r.n_docs for r in rows) == funnel.n_dedup
     assert sum(r.n_tokens for r in rows) == funnel.total_tokens
     assert len(rows) == funnel.n_sequences
+
+
+def test_train_pipeline_exactly_two_shuffles(spark):
+    # the composition claim: clean->dedup->pack holds 2 exchanges
+    # (dedup groupBy + pack window), not the 3-materialization
+    # orchestration cost — pin it so a regression is visible
+    df = SPECS["q_train_data_pipeline"].fn(spark, SF_DIR)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert p.count("Exchange hashpartitioning") == 2, p[:2000]
+
+
+def test_partition_layout_scan_prunes_directories(spark):
+    # reading one bucket of the hive-partitioned layout must prune at
+    # the directory level: the bucket predicate appears as a partition
+    # filter, not a post-scan row filter
+    SPECS["q_meta_partition_layout"].fn(spark, SF_DIR).count()  # build
+    from nosql_triple_store_spark.operators.relational_ext55 import (
+        _LAYOUT_DIRS,
+    )
+
+    out = _LAYOUT_DIRS[SF_DIR]
+    one = spark.read.parquet(out).filter("bucket = 3")
+    p = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in p
+    seg = p.split("PartitionFilters")[1][:120]
+    assert "bucket" in seg
