@@ -304,30 +304,34 @@ def q_graph_random_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Dead-end nodes self-absorb.
 
     Scale: the adjacency index (neighbor rank within each source node)
-    is a per-node window bounded by out-degree; node ids come from a
-    rank over the VERTEX set (here |V| is domain-bounded; at billions
-    of vertices swap in sources/dictionary.build_dictionary's
-    range-partitioned id assignment — same contract). Each step is one
-    equi-join frontier × adjacency, the Pregel iteration shape; K
-    steps = K joins, no driver-side state.
+    is a per-node window bounded by out-degree; node ids come from
+    sources/dictionary.assign_dense_ids — the two-pass
+    range-partitioned assignment (per-partition rank + broadcast
+    prefix offsets), so there is NO single-partition global window
+    over the vertex set: the only global window is over P partition
+    counts. Each step is one equi-join frontier × adjacency, the
+    Pregel iteration shape; K steps = K joins, no driver-side state.
     """
+    from ..sources.dictionary import assign_dense_ids
+
     ed = _digraph(spark, sf_dir).localCheckpoint()
     vs = (
         ed.select(F.col("a").alias("v"))
         .union(ed.select("b"))
         .distinct()
     )
-    nid = vs.select(
-        "v", (F.row_number().over(Window.orderBy("v")) - 1).alias("id")
-    )
+    # materialize the step-invariant sides once (each is consumed by
+    # all _WALK_STEPS joins; without the checkpoint the id assignment
+    # and adjacency window would be re-derived per step)
+    nid = assign_dense_ids(vs, "v", id_col="id", start=0).localCheckpoint()
     adj = ed.select(
         "a",
         "b",
         (
             F.row_number().over(Window.partitionBy("a").orderBy("b")) - 1
         ).alias("idx"),
-    )
-    deg = ed.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
+    ).localCheckpoint()
+    deg = ed.groupBy("a").agg(F.count(F.lit(1)).alias("d")).localCheckpoint()
     walks = spark.range(_WALKS_PER_NODE).select(
         F.col("id").alias("walk_id")
     )

@@ -38,7 +38,8 @@ sp AS (
   SELECT s, d, MIN(l) AS dist
   FROM walk WHERE s <> d GROUP BY s, d)
 SELECT vs.v AS node,
-       ROUND(COALESCE(SUM(1.0 / sp.dist), 0.0), 3) AS harmonic,
+       CAST(COALESCE(SUM(1000000 // sp.dist), 0) AS BIGINT)
+         AS harmonic_ppm,
        CAST(COUNT(sp.d) AS BIGINT) AS n_reachable
 FROM vs LEFT JOIN sp ON sp.s = vs.v
 GROUP BY vs.v
@@ -47,10 +48,14 @@ GROUP BY vs.v
 def q_graph_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Harmonic closeness census: for every state node, the sum of
     reciprocal shortest-path distances to every other reachable state
-    (sinks score 0.0). High harmonic = a hub that reaches the whole
+    (sinks score 0). High harmonic = a hub that reaches the whole
     graph in few hops — the navigation-centrality complement to
     PageRank's endorsement view; the ranking feeds the same curation
     decisions (which event states are structural hubs vs periphery).
+    Accumulated in EXACT integer ppm (floor(10^6/dist) per reachable
+    node, distances are integers) like the sibling betweenness — a
+    float SUM(1.0/dist) is summation-order dependent and could flip a
+    ROUND(.,3) boundary between engines.
 
     Scale: the all-pairs distance relation is the one expensive input
     and is BFS-layered in O(diameter) rounds of equi-join + anti-join,
@@ -64,12 +69,14 @@ def q_graph_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     vs = ed.select(F.col("a").alias("v")).union(ed.select("b")).distinct()
     sp = _all_pairs_dists(ed).filter(F.col("s") != F.col("d"))
     per_src = sp.groupBy("s").agg(
-        F.sum(F.lit(1.0) / F.col("l")).alias("h"),
+        F.sum(
+            F.floor(F.lit(1_000_000) / F.col("l")).cast("long")
+        ).alias("h"),
         F.count(F.lit(1)).cast("long").alias("n_reachable"),
     )
     return vs.join(per_src, vs.v == per_src.s, "left").select(
         F.col("v").alias("node"),
-        F.round(F.coalesce("h", F.lit(0.0)), 3).alias("harmonic"),
+        F.coalesce("h", F.lit(0)).cast("long").alias("harmonic_ppm"),
         F.coalesce("n_reachable", F.lit(0)).alias("n_reachable"),
     )
 

@@ -17,6 +17,7 @@ training-data curation.
 from __future__ import annotations
 
 import os
+import threading
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -84,6 +85,9 @@ def q_meta_join_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _LAYOUT_DIRS: dict[str, str] = {}
+# build-once guard: without it two in-process threads racing the same
+# sf_dir would both mode=overwrite the scratch layout while one reads
+_CACHE_LOCK = threading.Lock()
 _N_BUCKETS = 8
 
 
@@ -117,17 +121,20 @@ def q_meta_partition_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     recovery is a projection over the scan's constant metadata column —
     no shuffle beyond the final {_N_BUCKETS}-group aggregate.
     """
-    if sf_dir not in _LAYOUT_DIRS:
-        out = scratch_dir("bucket_layout", sf_dir)
-        (
-            load_table(spark, sf_dir, "lineitem")
-            .withColumn("bucket", F.pmod("l_orderkey", F.lit(_N_BUCKETS)))
-            .repartition(1)
-            .write.mode("overwrite")
-            .partitionBy("bucket")
-            .parquet(out)
-        )
-        _LAYOUT_DIRS[sf_dir] = out
+    with _CACHE_LOCK:
+        if sf_dir not in _LAYOUT_DIRS:
+            out = scratch_dir("bucket_layout", sf_dir)
+            (
+                load_table(spark, sf_dir, "lineitem")
+                .withColumn(
+                    "bucket", F.pmod("l_orderkey", F.lit(_N_BUCKETS))
+                )
+                .repartition(1)
+                .write.mode("overwrite")
+                .partitionBy("bucket")
+                .parquet(out)
+            )
+            _LAYOUT_DIRS[sf_dir] = out
     back = spark.read.parquet(_LAYOUT_DIRS[sf_dir]).select(
         "l_orderkey", F.col("_metadata.file_path").alias("fp")
     )
@@ -282,18 +289,21 @@ def q_source_parquet_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     side still shows PushedFilters and skips row groups whose bloom
     rejects the key.
     """
-    if sf_dir not in _BLOOM_DIRS:
-        out = scratch_dir("bloom_layout", sf_dir)
-        (
-            load_table(spark, sf_dir, "lineitem")
-            .repartition(4)
-            .write.mode("overwrite")
-            .option("parquet.bloom.filter.enabled#l_suppkey", "true")
-            .option("parquet.bloom.filter.expected.ndv#l_suppkey", "2000")
-            .option("parquet.block.size", 1 << 20)
-            .parquet(out)
-        )
-        _BLOOM_DIRS[sf_dir] = out
+    with _CACHE_LOCK:
+        if sf_dir not in _BLOOM_DIRS:
+            out = scratch_dir("bloom_layout", sf_dir)
+            (
+                load_table(spark, sf_dir, "lineitem")
+                .repartition(4)
+                .write.mode("overwrite")
+                .option("parquet.bloom.filter.enabled#l_suppkey", "true")
+                .option(
+                    "parquet.bloom.filter.expected.ndv#l_suppkey", "2000"
+                )
+                .option("parquet.block.size", 1 << 20)
+                .parquet(out)
+            )
+            _BLOOM_DIRS[sf_dir] = out
     li = spark.read.parquet(_BLOOM_DIRS[sf_dir]).filter(
         F.col("l_suppkey") == _BLOOM_KEY
     )

@@ -24,6 +24,58 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def assign_dense_ids(
+    df: DataFrame,
+    col: str,
+    id_col: str = "id",
+    start: int = 1,
+    n_parts: int | None = None,
+) -> DataFrame:
+    """Scale-safe dense-rank id assignment: ids start..start+N-1 by
+    sorted `col`, WITHOUT a single-partition global window over the N
+    data rows. Two passes: range-partition by `col` (the partitioner
+    guarantees partition i's values all sort before partition i+1's,
+    so spark_partition_id is monotone in value order), count per
+    partition, prefix-compose the P counts into broadcast offsets (the
+    only global window left is over P rows, P = partition count), then
+    id = per-partition row_number + partition offset. Range-partitioner
+    boundary sampling only moves WHERE a value sits, never its global
+    rank, so the result is identical to row_number-over-global-sort.
+
+    Input must be distinct on `col` (dense-RANK semantics otherwise
+    differ); callers pass .distinct() frames.
+    """
+    if n_parts is None:
+        n_parts = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
+    t = df.repartitionByRange(n_parts, col).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    counts = t.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n"))
+    w_off = Window.orderBy("__pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = counts.select(
+        "__pid",
+        F.coalesce(F.sum("__n").over(w_off), F.lit(0)).alias("__off"),
+    )
+    w_local = Window.partitionBy("__pid").orderBy(col)
+    return (
+        t.join(F.broadcast(offsets), "__pid")
+        .select(
+            (
+                F.row_number().over(w_local)
+                + F.col("__off")
+                + F.lit(start - 1)
+            )
+            .cast("long")
+            .alias(id_col),
+            *[c for c in df.columns],
+        )
+    )
+
+
 def build_dictionary(
     triples: DataFrame, ids: str = "dense", n_parts: int | None = None
 ) -> DataFrame:
@@ -35,37 +87,9 @@ def build_dictionary(
         .distinct()
     )
     if ids == "dense":
-        if n_parts is None:
-            n_parts = int(
-                triples.sparkSession.conf.get("spark.sql.shuffle.partitions")
-            )
-        # pass 1: range-partition by term; the partitioner guarantees
-        # partition i's terms all sort before partition i+1's, so
-        # spark_partition_id is monotone in term order
-        t = terms.repartitionByRange(n_parts, "term").withColumn(
-            "__pid", F.spark_partition_id()
-        )
-        counts = t.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n"))
-        # strictly-before prefix over the P-row count aggregate (the only
-        # single-partition window left — P rows, not N terms)
-        w_off = Window.orderBy("__pid").rowsBetween(
-            Window.unboundedPreceding, -1
-        )
-        offsets = counts.select(
-            "__pid",
-            F.coalesce(F.sum("__n").over(w_off), F.lit(0)).alias("__off"),
-        )
-        # pass 2: per-partition rank + broadcast offset = global dense id
-        w_local = Window.partitionBy("__pid").orderBy("term")
-        return (
-            t.join(F.broadcast(offsets), "__pid")
-            .select(
-                (F.row_number().over(w_local) + F.col("__off"))
-                .cast("long")
-                .alias("term_id"),
-                "term",
-            )
-        )
+        return assign_dense_ids(
+            terms, "term", id_col="term_id", start=1, n_parts=n_parts
+        ).select("term_id", "term")
     if ids == "hash":
         d = terms.select(F.xxhash64("term").alias("term_id"), "term")
         collisions = (

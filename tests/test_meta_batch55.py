@@ -60,10 +60,11 @@ def test_closeness_sinks_score_zero_and_bounds(spark):
     assert rows, "state digraph is never empty"
     for r in rows:
         if r.n_reachable == 0:
-            assert r.harmonic == 0.0
+            assert r.harmonic_ppm == 0
         else:
-            # each reachable node contributes (0, 1] reciprocal distance
-            assert 0.0 < r.harmonic <= r.n_reachable + 1e-9
+            # each reachable node contributes (0, 10^6] ppm reciprocal
+            # distance (exact integers, no float tolerance needed)
+            assert 0 < r.harmonic_ppm <= r.n_reachable * 1_000_000
 
 
 def test_betweenness_ppm_bounds(spark):
@@ -74,7 +75,11 @@ def test_betweenness_ppm_bounds(spark):
         # each brokered (s,d) pair contributes at most 10^6 ppm (the
         # whole pair's geodesic mass), so bc_ppm <= routes * 10^6
         assert r.bc_ppm <= r.n_pair_routes * 1_000_000
-        assert (r.bc_ppm == 0) == (r.n_pair_routes == 0) or r.bc_ppm >= 0
+        # zero routes can carry zero brokered mass (the converse may
+        # legitimately fail: floor division can floor a tiny
+        # sigma_sd*1e6/(sig1*sig2) contribution to 0 ppm)
+        if r.n_pair_routes == 0:
+            assert r.bc_ppm == 0
 
 
 def test_train_pipeline_funnel_monotone(spark):

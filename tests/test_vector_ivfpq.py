@@ -22,8 +22,8 @@ def test_ivfpq_recall_against_exact(spark):
     assert len(approx) == 10
     assert len(set(approx)) == 10, "duplicate neighbors in result"
     recall = len(set(exact) & set(approx)) / len(exact)
-    # nprobe=3/8 cells + PQ shortlist: at fixture scale the composed
-    # index must recover at least half of the true top-10
+    # nprobe=_NPROBE(4) of the 10 label cells + PQ shortlist: at
+    # fixture scale the composed index must recover >= half the top-10
     assert recall >= 0.5, f"recall@10 {recall} below floor"
 
 
