@@ -10,7 +10,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..registry import register, register_skip
+from ..registry import register
 from .triple import E_CTE
 
 
@@ -133,43 +133,47 @@ def _spark_avro_available() -> bool:
 _AVRO_DIRS: dict[str, str] = {}
 
 
-def q_source_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Avro source roundtrip (row-oriented interchange format — the
-    Kafka/schema-registry ecosystem's default): orders written to Avro,
-    read back, aggregated; oracle reads the original parquet, proving
-    losslessness. Registered only where the spark-avro module jar is
-    deployed; elsewhere the registry records an explicit skip."""
-    if sf_dir not in _AVRO_DIRS:
-        out = os.path.join(
-            tempfile.gettempdir(),
-            "spark_graft_avro",
-            os.path.basename(os.path.normpath(sf_dir)),
-        )
-        load_table(spark, sf_dir, "orders").write.mode("overwrite").format(
-            "avro"
-        ).save(out)
-        _AVRO_DIRS[sf_dir] = out
-    orders = spark.read.format("avro").load(_AVRO_DIRS[sf_dir])
-    return orders.groupBy("o_orderstatus", "o_orderpriority").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.round(F.sum("o_totalprice"), 2).alias("total"),
-    )
-
-
-if _spark_avro_available():  # pragma: no cover - jar absent here
-    register(
-        "q_source_avro",
-        oracle="""
+@register(
+    "q_source_avro",
+    oracle="""
 SELECT o_orderstatus, o_orderpriority,
        CAST(COUNT(*) AS BIGINT) AS n,
        ROUND(SUM(o_totalprice), 2) AS total
 FROM orders GROUP BY o_orderstatus, o_orderpriority
 """,
-    )(q_source_avro)
-else:
-    register_skip(
-        "q_source_avro",
-        "spark-avro module jar not on this runtime's classpath (avro is "
-        "an external Spark data source); the write/read roundtrip "
-        "registers and is oracle-checked wherever the jar is deployed",
+)
+def q_source_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro source roundtrip (row-oriented interchange format — the
+    Kafka/schema-registry ecosystem's default): orders written to Avro
+    container files, read back, aggregated; the oracle reads the
+    original parquet, proving losslessness. Two engines behind one
+    query: the native spark-avro module where its jar is deployed
+    (classpath probe), else the pure-Python Avro OCF codec in
+    sources/avro_py.py — distributed both ways (mapInPandas writer per
+    partition, binaryFile + mapInPandas reader), so the query is
+    oracle-VERIFIED on jar-less runtimes instead of skipped."""
+    if sf_dir not in _AVRO_DIRS:
+        out = os.path.join(
+            tempfile.gettempdir(),
+            "spark_graft_avro",
+            f"{os.path.basename(os.path.normpath(sf_dir))}-{os.getpid()}",
+        )
+        orders_src = load_table(spark, sf_dir, "orders")
+        if _spark_avro_available():  # pragma: no cover - jar absent here
+            orders_src.write.mode("overwrite").format("avro").save(out)
+        else:
+            from ..sources.avro_py import write_avro_dir
+
+            write_avro_dir(orders_src, out)
+        _AVRO_DIRS[sf_dir] = (out, orders_src.schema)
+    out, schema = _AVRO_DIRS[sf_dir]
+    if _spark_avro_available():  # pragma: no cover - jar absent here
+        orders = spark.read.format("avro").load(out)
+    else:
+        from ..sources.avro_py import read_avro_dir
+
+        orders = read_avro_dir(spark, out, schema)
+    return orders.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
     )
