@@ -35,6 +35,7 @@ from pyspark.sql.types import LongType
 from ..catalog import load_table
 from ..functions.textfns import TOKS_SQL, shingles_col, shingles_sql, tokens_col
 from ..registry import register
+from ..widths import cluster_cores, fanout_width
 
 
 @register(
@@ -81,7 +82,7 @@ def _shingle_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "doc_id",
                 F.explode(shingles_col(tokens_col())).alias("shingle"),
             )
-            .repartition(32)
+            .repartition(cluster_cores(spark))
             .write.mode("overwrite")
             .parquet(out)
         )
@@ -306,7 +307,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     # spread the single-file scan before the pandas UDF: one partition
     # would mean ONE Arrow batch on one core for the whole corpus
-    sigs = docs.repartition(16).select(
+    sigs = docs.repartition(fanout_width(spark)).select(
         "doc_id", _simhash64(tokens_col()).alias("sh")
     )
     chunks = sigs.select(

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..registry import register
+from ..widths import fanout_width
 
 DF_CAP = 20
 _N = 5
@@ -56,7 +57,9 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     join is the same inverted-index shape as q_dedup_near. Jaccard is a
     ratio of exact ints so cross-engine ordering is bit-identical; the
     top-50 carries (doc_a, doc_b) tiebreaks."""
-    docs = load_table(spark, sf_dir, "documents").repartition(16)
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        fanout_width(spark)
+    )
     grams = docs.select(
         "doc_id", F.lower("text").alias("__t")
     ).select(

@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from ..catalog import load_table
 from ..functions.textfns import TOKS_SQL, shingles_col, shingles_sql, tokens_col
 from ..registry import register
+from ..widths import cluster_cores
 from .dedup import _shingle_stream
 from .graph_ext2 import _edge_digest, _large_star, _oriented, _small_star
 
@@ -94,7 +95,7 @@ def band_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = scratch_dir("bandindex", sf_dir)
         (
             _band_keys(_shingle_stream(spark, sf_dir))
-            .repartition(8)
+            .repartition(max(8, cluster_cores(spark) // 4))
             .write.mode("overwrite")
             .parquet(out)
         )

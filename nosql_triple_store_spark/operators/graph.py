@@ -189,8 +189,8 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # switch to degree-orientation only for power-law edge sets.
     # The wedge join materializes ~50M intermediate rows at sf0.1; at the
     # session default of 32 shuffle partitions that's ~1.5M rows/task and
-    # the tasks GC-thrash (measured 48 s; 10 s at 96+). The wedge joins
-    # (with their plan-local width-96 partitioning) live in
+    # the tasks GC-thrash (measured 48 s; 10 s at 96+ on local[32]). The wedge joins
+    # (width = widths.wedge_width, 3x cluster cores) live in
     # graph_ext3.triangle_list, materialized once per process and shared
     # with q_graph_clustering_coeff.
     return triangle_list(spark, sf_dir).agg(

@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 from ..catalog import load_table
 from ..registry import register
 from ..scratch import scratch_dir
+from ..widths import wedge_width
 
 K_CORE = 4
 
@@ -38,7 +39,7 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         a = li.select("l_orderkey", F.col("l_partkey").alias("pa"))
         b = li.select("l_orderkey", F.col("l_partkey").alias("pb"))
-        wide = 96  # wedge-width rule from q_graph_triangles (SCALE.md)
+        wide = wedge_width(spark)  # wedge-width rule (SCALE.md)
         (
             a.repartition(wide, "l_orderkey")
             .join(b.repartition(wide, "l_orderkey"), "l_orderkey")
@@ -66,7 +67,7 @@ def triangle_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     if sf_dir not in _TRIANGLE_DIRS:
         out = scratch_dir("triangles", sf_dir)
         pairs = _copurchase_edges(spark, sf_dir)
-        wide = 96
+        wide = wedge_width(spark)
         e1 = pairs.select(F.col("pa").alias("x"), F.col("pb").alias("y"))
         e2 = pairs.select(F.col("pa").alias("y"), F.col("pb").alias("z"))
         e3 = pairs.select(F.col("pa").alias("x"), F.col("pb").alias("z"))
@@ -168,7 +169,7 @@ def q_graph_node_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg = basket.groupBy("cust").agg(F.count(F.lit(1)).alias("d"))
     x = basket.select(F.col("cust").alias("u"), "part")
     y = basket.select(F.col("cust").alias("v"), "part")
-    wide = 96
+    wide = wedge_width(spark)
     wedge = (
         x.repartition(wide, "part")
         .join(y.repartition(wide, "part"), "part")

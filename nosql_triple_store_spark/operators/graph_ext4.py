@@ -23,6 +23,7 @@ from pyspark.sql.types import LongType
 
 from ..catalog import load_table
 from ..registry import register
+from ..widths import fanout_width
 from .graph import _edges
 
 _LPA_ROUNDS = 5
@@ -103,7 +104,7 @@ def q_text_compressibility(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     raw = F.octet_length(F.encode("text", "UTF-8"))
     return (
-        docs.repartition(16)
+        docs.repartition(fanout_width(spark))
         .select(
             "doc_id",
             raw.alias("raw_bytes"),

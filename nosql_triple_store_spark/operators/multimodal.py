@@ -41,6 +41,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..registry import register
+from ..widths import fanout_width
 
 
 def encode_wav_pcm16(samples: "np.ndarray", rate: int) -> bytes:
@@ -426,7 +427,7 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    return docs.repartition(16).mapInPandas(
+    return docs.repartition(fanout_width(spark)).mapInPandas(
         kernel,
         schema=(
             "doc_id long, sample_rate long, n_samples long, "
@@ -487,7 +488,7 @@ def q_multimodal_decode_image(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    return docs.repartition(16).mapInPandas(
+    return docs.repartition(fanout_width(spark)).mapInPandas(
         kernel,
         schema=(
             "doc_id long, width long, height long, "
@@ -556,7 +557,7 @@ def q_multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    return docs.repartition(16).mapInPandas(
+    return docs.repartition(fanout_width(spark)).mapInPandas(
         kernel,
         schema=(
             "doc_id long, width long, height long, "
@@ -679,7 +680,7 @@ def q_multimodal_video_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    return docs.repartition(16).mapInPandas(
+    return docs.repartition(fanout_width(spark)).mapInPandas(
         kernel,
         schema=(
             "doc_id long, frame_idx long, width long, height long, "
@@ -745,7 +746,7 @@ def q_multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    return docs.repartition(16).mapInPandas(
+    return docs.repartition(fanout_width(spark)).mapInPandas(
         kernel,
         schema=(
             "doc_id long, zero_crossings long, energy long, "
@@ -810,7 +811,7 @@ def q_multimodal_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    return docs.repartition(16).mapInPandas(
+    return docs.repartition(fanout_width(spark)).mapInPandas(
         kernel,
         schema=(
             "doc_id long, out_rate long, n_out long, "
@@ -870,7 +871,7 @@ def q_multimodal_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    hashed = docs.repartition(16).mapInPandas(
+    hashed = docs.repartition(fanout_width(spark)).mapInPandas(
         kernel, schema="doc_id long, px_hash string"
     )
     return hashed.groupBy("px_hash").agg(

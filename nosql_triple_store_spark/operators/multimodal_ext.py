@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..registry import register
+from ..widths import fanout_width
 from .multimodal import decode_wav_pcm16, encode_wav_pcm16
 
 _VAD_RATE = 8000
@@ -115,7 +116,7 @@ def q_multimodal_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    return docs.repartition(16).mapInPandas(
+    return docs.repartition(fanout_width(spark)).mapInPandas(
         kernel,
         schema=(
             "doc_id long, n_frames long, n_voiced long, "
@@ -244,7 +245,7 @@ def q_multimodal_scene_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    return docs.repartition(16).mapInPandas(
+    return docs.repartition(fanout_width(spark)).mapInPandas(
         kernel,
         schema=(
             "doc_id long, n_transitions long, n_cuts long, "
@@ -382,10 +383,10 @@ def q_multimodal_av_align(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    segs = docs.repartition(16).mapInPandas(
+    segs = docs.repartition(fanout_width(spark)).mapInPandas(
         audio_segments, schema="doc_id long, s long, e long"
     )
-    scenes = docs.repartition(16).mapInPandas(
+    scenes = docs.repartition(fanout_width(spark)).mapInPandas(
         video_scenes, schema="doc_id long, n_scenes long"
     )
     al = segs.join(scenes, "doc_id").select(
@@ -489,7 +490,7 @@ def q_multimodal_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    m = docs.repartition(16).mapInPandas(
+    m = docs.repartition(fanout_width(spark)).mapInPandas(
         kernel, schema="doc_id long, cls long, lo long, hi long"
     ).localCheckpoint()
     # band keys: 8 bytes of the 64-bit hash (4 from each word)

@@ -18,6 +18,7 @@ from ..functions.textfns import TOKS_SQL, shingles_col, shingles_sql, tokens_col
 from ..operators.triple import E_CTE
 from ..registry import register
 from ..scratch import scratch_dir
+from ..widths import fanout_width
 
 # --- q_text_repetition --------------------------------------------------
 
@@ -65,7 +66,7 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bg = (
         docs.select("doc_id", toks.alias("toks"))
-        .repartition(16, "doc_id")  # single-file scan fan-out (SCALE.md)
+        .repartition(fanout_width(spark), "doc_id")  # single-file scan fan-out (SCALE.md)
         .select("doc_id", F.explode(bigrams).alias("bg"))
     )
     counts = bg.groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("cnt"))
@@ -124,7 +125,7 @@ def q_text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     sh = (
         docs.select("doc_id", tokens_col().alias("toks"))
-        .repartition(16, "doc_id")
+        .repartition(fanout_width(spark), "doc_id")
         .select(
             "doc_id",
             F.explode(shingles_col(F.col("toks"), _CONTAM_K)).alias("sh"),

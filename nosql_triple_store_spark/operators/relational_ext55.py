@@ -261,6 +261,9 @@ def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _BLOOM_DIRS: dict[str, str] = {}
+# fixture FILE COUNT (not a plan width): 4 files x 1 MiB row groups
+# give the bloom scan multiple row groups to skip
+_N_BLOOM_FILES = 4
 _BLOOM_KEY = 17
 
 
@@ -294,7 +297,7 @@ def q_source_parquet_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
             out = scratch_dir("bloom_layout", sf_dir)
             (
                 load_table(spark, sf_dir, "lineitem")
-                .repartition(4)
+                .repartition(_N_BLOOM_FILES)
                 .write.mode("overwrite")
                 .option("parquet.bloom.filter.enabled#l_suppkey", "true")
                 .option(

@@ -27,6 +27,7 @@ from ..functions.textfns import (
     tokens_col,
 )
 from ..registry import register
+from ..widths import fanout_width
 
 
 @register(
@@ -269,7 +270,7 @@ def q_text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the documents fixture is one parquet file -> one scan partition; the
     # len(s)-sized explode below would otherwise run in a single task
     # (measured at sf0.1: 8.7 s -> 1.6 s with the spread)
-    base = base.repartition(16)
+    base = base.repartition(fanout_width(spark))
     pos = base.select(
         "doc_id",
         "s",
