@@ -120,6 +120,7 @@ _OPERATOR_MODULES = (
     "operators.relational_ext55",
     "operators.vector_ext9",
     "operators.relational_ext56",
+    "operators.relational_ext57",
     "operators.multimodal_ext",
     "streaming.queries",
     "streaming.transform_state",
