@@ -287,16 +287,21 @@ def decode_ppm_stream(payload: bytes) -> list["np.ndarray"]:
 
 
 def decode_media(payload: bytes, fmt: str):
-    """Decode an image/audio payload. Real pure-numpy/stdlib decoders for
-    the public container formats wav, ppm, and png (DEFLATE via stdlib
-    zlib); other compressed codecs (jpg/mp3/...) are NOT in this
-    container and still raise."""
+    """Decode an image/audio payload. Real pure-numpy/stdlib decoders
+    for the public container formats wav, ppm, png (DEFLATE via stdlib
+    zlib), and baseline grayscale jpeg (functions/jpeg.py); remaining
+    compressed codecs (mp3, color/progressive jpeg, video) are NOT in
+    this container and still raise."""
     if fmt == "wav":
         return decode_wav_pcm16(payload)
     if fmt == "ppm":
         return decode_ppm(payload)
     if fmt == "png":
         return decode_png(payload)
+    if fmt in ("jpg", "jpeg"):
+        from ..functions.jpeg import decode_jpeg_gray
+
+        return decode_jpeg_gray(payload)
     raise NotImplementedError(
         f"media decoding for format {fmt!r} requires codec libraries "
         "(PIL/ffmpeg) not present in this environment; pipelines use "

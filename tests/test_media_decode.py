@@ -147,8 +147,14 @@ def test_decode_media_dispatch():
     rgb = np.zeros((1, 1, 3), dtype=np.uint8)
     assert decode_media(encode_ppm(rgb), "ppm").shape == (1, 1, 3)
     assert decode_media(encode_png(rgb), "png").shape == (1, 1, 3)
+    from nosql_triple_store_spark.functions.jpeg import encode_jpeg_gray
+
+    gray8 = np.full((8, 8), 100, dtype=np.uint8)
+    assert np.array_equal(
+        decode_media(encode_jpeg_gray(gray8), "jpg"), gray8
+    )
     with pytest.raises(NotImplementedError):
-        decode_media(b"\xff\xd8\xff", "jpg")
+        decode_media(b"\x00\x01", "mp3")
 
 
 def test_ppm_stream_roundtrip_mixed_sizes():
