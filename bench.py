@@ -100,6 +100,8 @@ def main() -> None:
     }
 
     def _run_once(name: str) -> float:
+        if name in heap_sensitive:
+            spark._jvm.System.gc()
         # time plan construction + full execution: some operators run
         # eagerly inside the query fn (streaming drains, iterative graph
         # algorithms), so t0 must precede the fn call
@@ -117,15 +119,19 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in sorted(specs):
-        if name in heap_sensitive:
-            spark._jvm.System.gc()
         t = _run_once(name)
-        # sub-second queries are GC/JIT-noise-dominated (round-3 headline
-        # "regressions" q_topk +18% / q_tpch_q5 +4% were ~30 ms deltas
-        # with no plan change): take the median of 3 runs so cross-round
-        # deltas reflect plans, not noise. Re-running costs <2 s each by
-        # construction, so the sweep total barely moves.
-        if t < 1.0:
+        # Two noise-dominated bands get the median of 3 runs so
+        # cross-round deltas reflect plans, not neighbors:
+        # - sub-second queries are GC/JIT-noise-dominated (round-3
+        #   headline "regressions" q_topk +18% / q_tpch_q5 +4% were
+        #   ~30 ms deltas with no plan change);
+        # - the >=2 s iterative/multi-wave tail is storage-pressure-
+        #   sensitive (r4 intra-round drift: q_graph_pagerank
+        #   2.76->4.35 s, q_text_containment 1.66->3.05 s with NO plan
+        #   change — lingering checkpoint/scratch blocks from suite
+        #   neighbors). VERDICT r4 #2.
+        # The 1-2 s mid-band stays single-run to bound sweep cost.
+        if t < 1.0 or t >= 2.0:
             t = sorted([t, _run_once(name), _run_once(name)])[1]
         timings[name] = round(t, 4)
 

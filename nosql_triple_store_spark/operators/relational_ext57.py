@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..registry import register
+from ..functions.textfns import TOKS_SQL, tokens_col
 from ..widths import fanout_width
 
 # ~70% of lineitem rows land on hot key 0 (last order-key digit 0-6);
@@ -133,4 +134,87 @@ def q_join_skewed_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum("l_quantity").cast("long").alias("qty"),
         F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+    )
+
+
+# ---- model-based quality filtering (classifier inference) -----------
+
+_CLS_BUCKETS = 64
+_CLS_HASH = (
+    "CAST(((({key}) % 2147483648) * 2654435761 + 12345) % 4294967296"
+    " AS BIGINT)"
+)
+_CLS_STRKEY = (
+    "(ascii(substr({t}, 1, 1)) * 961"
+    " + COALESCE(ascii(substr({t}, 2, 1)), 0) * 31 + length({t}))"
+)
+# deterministic signed integer weight per bucket (stands in for trained
+# coefficients; at deploy time this 64-long array is the model)
+_CLS_WEIGHT = (
+    "CAST((({b}) * 2654435761 + 99991) % 4294967296 AS BIGINT)"
+    " - 2147483648"
+)
+
+
+@register(
+    "q_text_classifier_score",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest({TOKS_SQL}) AS t FROM documents),
+h AS (
+  SELECT doc_id,
+         {_CLS_HASH.format(key=_CLS_STRKEY.format(t='t'))}
+           % {_CLS_BUCKETS} AS b
+  FROM tok),
+s AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(SUM({_CLS_WEIGHT.format(b='b')}) AS BIGINT) AS score_raw
+  FROM h GROUP BY doc_id)
+SELECT doc_id, n_tokens, score_raw,
+       CAST(FLOOR(score_raw * 1.0 / n_tokens) AS BIGINT)
+         AS score_per_token,
+       score_raw > 0 AS keep
+FROM s
+""",
+)
+def q_text_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-classifier quality scoring — MODEL INFERENCE as a query:
+    each document's hashed bag-of-words (the q_text_feature_hashing
+    featurizer) is dotted with a broadcast weight vector and thresholded
+    into a keep/drop label — the fastText-style model-based quality
+    filter every LLM corpus pipeline runs after the heuristic pass
+    (q_text_quality). Weights here are a deterministic integer function
+    of the bucket id so the oracle can mirror the exact dot product; a
+    trained model ships the same way — a {_CLS_BUCKETS}-entry broadcast
+    array, swapped in without touching the plan.
+
+    Exact-int design: per-token weights are signed 32-bit ints summed
+    into BIGINT (no float summation-order hazard; score_per_token is
+    floor division), so the label boundary is bit-identical across
+    engines.
+
+    Scale: explode -> hash -> partial-aggregable SUM per doc. One
+    shuffle on doc_id; the model is O(buckets) broadcast state. At
+    100 TB this is the cheapest inference shape there is — no Python,
+    no UDF, whole-stage codegen end to end.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens_col()).alias("t"))
+    b = (
+        F.expr(_CLS_HASH.format(key=_CLS_STRKEY.format(t="t")))
+        % _CLS_BUCKETS
+    )
+    s = tok.select("doc_id", b.alias("b")).groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.expr(_CLS_WEIGHT.format(b="b"))).alias("score_raw"),
+    )
+    return s.select(
+        "doc_id",
+        "n_tokens",
+        "score_raw",
+        F.floor(F.col("score_raw") / F.col("n_tokens"))
+        .cast("long")
+        .alias("score_per_token"),
+        (F.col("score_raw") > 0).alias("keep"),
     )
