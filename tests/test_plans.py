@@ -197,3 +197,13 @@ def test_random_walk_id_stage_has_no_global_data_window(spark):
     wp = _plan(spark, "q_graph_random_walk")
     for m in re.finditer(r"windowspecdefinition\((\w+)#\d+ ASC", wp):
         assert m.group(1) != "v", "global window over vertex set in walk"
+
+
+def test_classifier_score_is_single_shuffle_jvm_only(spark):
+    """Model inference must stay whole-stage-codegen'd: no Python eval
+    nodes, partial+final aggregate around exactly one data exchange
+    (PLANS.md round-5 audit)."""
+    p = _plan(spark, "q_text_classifier_score")
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "partial_count" in p or "partial_sum" in p  # map-side combine
+    assert p.count("Exchange hashpartitioning") == 1
