@@ -207,9 +207,14 @@ def q_text_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select(F.explode(tokens_col()).alias("token"))
     cnt = tok.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
-    ranked = cnt.withColumn(
+    # heap-select the top 200 FIRST (TakeOrdered, per-partition heaps)
+    # so the rank window runs over a 200-row frame, never the full
+    # vocabulary — ranking-then-filtering was a data-scale global
+    # window hiding behind the k filter
+    head = cnt.orderBy(F.desc("n"), F.asc("token")).limit(200)
+    ranked = head.withColumn(
         "r", F.row_number().over(Window.orderBy(F.desc("n"), F.asc("token")))
-    ).filter(F.col("r") <= 200)
+    )
     lx, ly = F.log(F.col("r").cast("double")), F.log(F.col("n").cast("double"))
     s = ranked.agg(
         F.count(F.lit(1)).cast("double").alias("m"),
