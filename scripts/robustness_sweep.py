@@ -2,7 +2,8 @@
 session settings — the configurations a vanilla external driver might
 legitimately run with, which pytest's tuned session never exercises.
 
-Axes (pick with --mode, default both):
+Axes (pick with --mode; default is `partitions` — one JVM per run, so
+run each axis as its own process):
   partitions  local[3] + spark.sql.shuffle.partitions=7 (odd counts
               catch partition-dependent results: unkeyed tie-breaks,
               order-sensitive float folds, per-partition id leakage)

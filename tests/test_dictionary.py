@@ -65,3 +65,26 @@ def test_unknown_scheme_rejected(spark):
     t = triples_view(spark, SF_DIR)
     with pytest.raises(ValueError):
         build_dictionary(t, ids="zorder")
+
+
+def test_assign_dense_ids_edge_cases(spark):
+    """n_parts > n_rows (empty range partitions), one row, and start
+    offsets must all yield ids identical to a naive global sort."""
+    from pyspark.sql import Row
+
+    from nosql_triple_store_spark.sources.dictionary import assign_dense_ids
+
+    vals = ["m", "a", "z", "q", "b"]
+    df = spark.createDataFrame([Row(v=x) for x in vals])
+    for n_parts, start in ((16, 0), (2, 1), (1, 100)):
+        got = {
+            r.v: r.id
+            for r in assign_dense_ids(
+                df, "v", id_col="id", start=start, n_parts=n_parts
+            ).collect()
+        }
+        want = {v: i + start for i, v in enumerate(sorted(vals))}
+        assert got == want, (n_parts, start)
+    one = spark.createDataFrame([Row(v="only")])
+    r = assign_dense_ids(one, "v", id_col="id", start=7).collect()
+    assert [(x.v, x.id) for x in r] == [("only", 7)]
