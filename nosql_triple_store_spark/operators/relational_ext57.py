@@ -13,7 +13,7 @@ mitigable by salting (q_join_salted) — VERDICT r4 #7.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -217,4 +217,65 @@ def q_text_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("score_per_token"),
         (F.col("score_raw") > 0).alias("keep"),
+    )
+
+
+_MIX_TEMP = 2.0  # temperature; T=1 reproduces raw shares, T->inf uniform
+_MIX_BUDGET = 1_000_000  # sampled-token budget the shares allocate
+
+
+@register(
+    "q_mixture_temperature",
+    oracle=f"""
+WITH t AS (
+  SELECT source,
+         CAST(SUM(len({TOKS_SQL})) AS BIGINT) AS tokens
+  FROM documents GROUP BY source),
+s AS (
+  SELECT source, tokens,
+         tokens * 1.0 / SUM(tokens) OVER () AS p,
+         POW(tokens * 1.0 / SUM(tokens) OVER (), 1.0 / {_MIX_TEMP})
+           AS pt
+  FROM t)
+SELECT source, tokens,
+       ROUND(p, 6) AS raw_share,
+       ROUND(pt / SUM(pt) OVER (), 6) AS temp_share,
+       ROUND({_MIX_BUDGET} * pt / SUM(pt) OVER () / tokens, 6)
+         AS epochs
+FROM s
+""",
+)
+def q_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled corpus mixture (the multilingual-T5 / UNIMAX
+    sampling rule): per-source share p_i is flattened to
+    p_i^(1/T) / sum_j p_j^(1/T), pulling low-resource sources up
+    without the uniform target's hard cliff (T=1 keeps raw shares,
+    T->inf is uniform; q_mixture_weights is the uniform-target
+    sibling). `epochs` converts the share into repetitions of each
+    source under a fixed sampled-token budget — the number a data
+    curator reads to spot sources that would be over-epoched (>4-5
+    epochs of a small source degrades models; the fix is lowering T or
+    the budget).
+
+    Scale: one partial-aggregable token census per source; the share
+    normalization is a window over the SOURCE census (rows = number of
+    corpus sources, domain-bounded — the SCALE.md exemption), never
+    the corpus. Everything stays JVM-side.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.groupBy("source").agg(
+        F.sum(F.size(tokens_col()).cast("long")).alias("tokens")
+    )
+    w = Window.partitionBy()
+    p = F.col("tokens").cast("double") / F.sum("tokens").over(w)
+    pt = F.pow(p, 1.0 / _MIX_TEMP)
+    return t.select(
+        "source",
+        "tokens",
+        F.round(p, 6).alias("raw_share"),
+        F.round(pt / F.sum(pt).over(w), 6).alias("temp_share"),
+        F.round(
+            F.lit(_MIX_BUDGET) * pt / F.sum(pt).over(w) / F.col("tokens"),
+            6,
+        ).alias("epochs"),
     )
