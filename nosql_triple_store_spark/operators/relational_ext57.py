@@ -279,3 +279,124 @@ def q_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("epochs"),
     )
+
+
+_RRF_K = 60  # the standard RRF damping constant (Cormack et al.)
+_RRF_TOPN = 20  # depth of each ranker's candidate list
+_RRF_QUERY = ("join", "hash", "scan")  # lexical probe terms
+
+
+@register(
+    "q_search_hybrid_rrf",
+    oracle=f"""
+WITH lex AS (
+  SELECT doc_id,
+         CAST(len(list_filter({TOKS_SQL},
+                   t -> t IN ('join', 'hash', 'scan'))) AS BIGINT) AS hits
+  FROM documents),
+lex_top AS (
+  SELECT doc_id, hits,
+         row_number() OVER (ORDER BY hits DESC, doc_id) AS r
+  FROM (SELECT * FROM lex ORDER BY hits DESC, doc_id LIMIT {_RRF_TOPN})),
+p AS (SELECT embedding::DOUBLE[] AS pe FROM embeddings WHERE vec_id = 0),
+vec_top AS (
+  SELECT vec_id AS doc_id,
+         row_number() OVER (
+           ORDER BY list_cosine_similarity(embedding::DOUBLE[], pe) DESC,
+                    vec_id) AS r
+  FROM (
+    SELECT e.vec_id, e.embedding, p.pe
+    FROM embeddings e, p WHERE e.vec_id <> 0
+    ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], p.pe) DESC,
+             e.vec_id
+    LIMIT {_RRF_TOPN})),
+fused AS (
+  SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+         CAST(COALESCE(1000000 // ({_RRF_K} + l.r), 0)
+            + COALESCE(1000000 // ({_RRF_K} + v.r), 0) AS BIGINT)
+           AS rrf_ppm,
+         l.r AS lex_rank, v.r AS vec_rank
+  FROM lex_top l FULL OUTER JOIN vec_top v ON l.doc_id = v.doc_id)
+SELECT doc_id, rrf_ppm, lex_rank, vec_rank
+FROM fused
+ORDER BY rrf_ppm DESC, doc_id
+LIMIT 10
+""",
+)
+def q_search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID RETRIEVAL by reciprocal-rank fusion: a lexical ranker
+    (probe-term hit count over documents) and a vector ranker (cosine
+    to the vec_id=0 probe over embeddings) each produce a top-{_RRF_TOPN}
+    list; candidates are fused with the standard RRF score
+    sum 1/({_RRF_K} + rank) — accumulated in exact integer ppm so the
+    fused ordering is engine-invariant — and the top-10 returned with
+    both per-ranker ranks (NULL where a ranker missed the doc). This is
+    the retrieval shape RAG/search stacks run (BM25 + ANN fused by
+    RRF), expressed as two heap top-k selections + one {_RRF_TOPN}-row
+    outer join.
+
+    Scale: each ranker is a full-scan score + TakeOrdered heap (no
+    global sort); ranks come from windows over the {_RRF_TOPN}-row
+    candidate lists (k-bounded, the SCALE.md exemption); the fusion
+    join touches 2x{_RRF_TOPN} rows regardless of corpus size. At
+    100 TB the rankers swap in an inverted index and an IVF probe, and
+    fusion is unchanged.
+    """
+    from ..functions.vectors import as_double_array, cosine_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    hits = F.size(
+        F.filter(
+            tokens_col(), lambda t: t.isin([F.lit(q) for q in _RRF_QUERY])
+        )
+    ).cast("long")
+    lex_top = (
+        docs.select("doc_id", hits.alias("hits"))
+        .orderBy(F.desc("hits"), F.asc("doc_id"))
+        .limit(_RRF_TOPN)
+    )
+    lex_ranked = lex_top.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("hits"), F.asc("doc_id")))
+        .alias("lr"),
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    probe = emb.filter(F.col("vec_id") == 0).select(
+        as_double_array("embedding").alias("pe")
+    )
+    vec_top = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(probe))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            cosine_col(as_double_array("embedding"), F.col("pe")).alias(
+                "_c"
+            ),
+        )
+        .orderBy(F.desc("_c"), F.asc("doc_id"))
+        .limit(_RRF_TOPN)
+    )
+    vec_ranked = vec_top.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("_c"), F.asc("doc_id")))
+        .alias("vr"),
+    )
+    rrf = (
+        F.coalesce(
+            F.floor(F.lit(1_000_000) / (F.lit(_RRF_K) + F.col("lr"))),
+            F.lit(0),
+        )
+        + F.coalesce(
+            F.floor(F.lit(1_000_000) / (F.lit(_RRF_K) + F.col("vr"))),
+            F.lit(0),
+        )
+    ).cast("long")
+    fused = lex_ranked.join(vec_ranked, "doc_id", "full_outer").select(
+        "doc_id",
+        rrf.alias("rrf_ppm"),
+        F.col("lr").alias("lex_rank"),
+        F.col("vr").alias("vec_rank"),
+    )
+    return fused.orderBy(F.desc("rrf_ppm"), F.asc("doc_id")).limit(10)
