@@ -400,3 +400,115 @@ def q_search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vr").alias("vec_rank"),
     )
     return fused.orderBy(F.desc("rrf_ppm"), F.asc("doc_id")).limit(10)
+
+
+_NDCG_K = 10
+
+
+@register(
+    "q_eval_ndcg",
+    oracle=f"""
+WITH p AS (
+  SELECT embedding::DOUBLE[] AS pe, label AS plabel
+  FROM embeddings WHERE vec_id = 0),
+top AS (
+  SELECT e.vec_id, e.label, p.plabel,
+         row_number() OVER (
+           ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], p.pe)
+                    DESC, e.vec_id) AS r
+  FROM (
+    SELECT e.vec_id, e.embedding, e.label
+    FROM embeddings e, p WHERE e.vec_id <> 0
+    ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], p.pe) DESC,
+             e.vec_id
+    LIMIT {_NDCG_K}) e, p),
+rel AS (
+  SELECT r, CASE WHEN label = plabel THEN 1 ELSE 0 END AS g FROM top),
+dcg AS (
+  SELECT SUM(g / log2(r + 1.0)) AS dcg,
+         CAST(SUM(g) AS BIGINT) AS n_rel
+  FROM rel),
+ideal AS (
+  SELECT SUM(1.0 / log2(rr + 1.0)) AS idcg
+  FROM (SELECT unnest(range(1, (SELECT n_rel FROM dcg) + 1)) AS rr)),
+res AS (SELECT dcg.dcg, dcg.n_rel, ideal.idcg FROM dcg, ideal)
+SELECT CAST({_NDCG_K} AS BIGINT) AS k, n_rel,
+       ROUND(dcg, 6) AS dcg,
+       ROUND(COALESCE(idcg, 0.0), 6) AS idcg,
+       ROUND(CASE WHEN COALESCE(idcg, 0) > 0 THEN dcg / idcg
+                  ELSE 0.0 END, 6) AS ndcg
+FROM res
+""",
+)
+def q_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality EVALUATION: NDCG@{_NDCG_K} of the exact cosine
+    ranker against label agreement with the probe (binary relevance:
+    neighbor shares vec_id=0's label). DCG discounts each relevant hit
+    by 1/log2(rank+1); IDCG is the same mass packed into the top ranks;
+    their ratio is the position-sensitive quality number every ranking
+    stack reports alongside recall (q_vector_eval_recall is the
+    position-blind sibling). One output row: k, relevant count, DCG,
+    IDCG, NDCG (6 dp — the only floats are the log discounts, summed
+    over <= {_NDCG_K} terms).
+
+    Scale: the candidate list is a heap top-k; every window/aggregate
+    after it runs over {_NDCG_K} rows — evaluation cost is independent
+    of corpus size. At 100 TB the same query evaluates an ANN index by
+    swapping the ranker CTE (IVF/PQ variants), which is exactly how
+    recall/NDCG sweeps are produced for index tuning.
+    """
+    from ..functions.vectors import as_double_array, cosine_col
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probe = emb.filter(F.col("vec_id") == 0).select(
+        as_double_array("embedding").alias("pe"),
+        F.col("label").alias("plabel"),
+    )
+    top = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(probe))
+        .select(
+            "vec_id",
+            "label",
+            "plabel",
+            cosine_col(as_double_array("embedding"), F.col("pe")).alias(
+                "_c"
+            ),
+        )
+        .orderBy(F.desc("_c"), F.asc("vec_id"))
+        .limit(_NDCG_K)
+    )
+    ranked = top.select(
+        F.when(F.col("label") == F.col("plabel"), 1)
+        .otherwise(0)
+        .alias("g"),
+        F.row_number()
+        .over(Window.orderBy(F.desc("_c"), F.asc("vec_id")))
+        .alias("r"),
+    )
+    agg = ranked.agg(
+        F.sum(F.col("g") / F.log2(F.col("r") + 1.0)).alias("dcg"),
+        F.sum("g").cast("long").alias("n_rel"),
+    )
+    ideal = agg.select(
+        "dcg",
+        "n_rel",
+        F.aggregate(
+            F.sequence(F.lit(1), F.col("n_rel").cast("int")),
+            F.lit(0.0),
+            lambda acc, rr: acc + 1.0 / F.log2(rr.cast("double") + 1.0),
+        ).alias("idcg"),
+    )
+    return ideal.select(
+        F.lit(_NDCG_K).cast("long").alias("k"),
+        "n_rel",
+        F.round("dcg", 6).alias("dcg"),
+        F.round(F.coalesce("idcg", F.lit(0.0)), 6).alias("idcg"),
+        F.round(
+            F.when(
+                F.coalesce("idcg", F.lit(0.0)) > 0,
+                F.col("dcg") / F.col("idcg"),
+            ).otherwise(0.0),
+            6,
+        ).alias("ndcg"),
+    )
