@@ -177,3 +177,55 @@ def q_source_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("o_totalprice"), 2).alias("total"),
     )
+
+
+_BSON_DIRS: dict[str, tuple] = {}
+
+
+@register(
+    "q_source_bson",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+       ROUND(SUM(o_totalprice), 2) AS total
+FROM orders GROUP BY o_orderstatus, o_orderpriority
+""",
+)
+def q_source_bson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BSON (mongodump) source roundtrip: orders written as
+    concatenated BSON documents — the operational export format of the
+    reference's MongoDB backend (MongoDBConnector.py:12) — and read
+    back through the pure-Python spec decoder in sources/bson_py.py
+    (binaryFile + mapInPandas, one file per partition both ways). The
+    oracle reads the original parquet, proving losslessness for the
+    scalar register types. This is the migration path off the
+    reference a real user runs: mongodump the register, read the dump
+    distributed, land it as parquet; the LIVE connector path
+    (sources/readers.read_mongo_collection) still needs the
+    mongo-spark jar + a server and stays gated."""
+    from ..sources.bson_py import read_bson_dir, write_bson_dir
+
+    cols = [
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderpriority",
+    ]
+    if sf_dir not in _BSON_DIRS:
+        out = os.path.join(
+            tempfile.gettempdir(),
+            "spark_graft_bson",
+            f"{os.path.basename(os.path.normpath(sf_dir))}-{os.getpid()}",
+        )
+        src = load_table(spark, sf_dir, "orders").select(*cols)
+        write_bson_dir(src, out)
+        _BSON_DIRS[sf_dir] = (out, src.schema)
+    out, schema = _BSON_DIRS[sf_dir]
+    orders = read_bson_dir(spark, out, schema)
+    return orders.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("o_orderkey").alias("min_key"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
