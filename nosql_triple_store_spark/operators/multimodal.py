@@ -302,6 +302,10 @@ def decode_media(payload: bytes, fmt: str):
         from ..functions.jpeg import decode_jpeg_gray
 
         return decode_jpeg_gray(payload)
+    if fmt == "gif":
+        from ..functions.gif import decode_gif
+
+        return decode_gif(payload)
     raise NotImplementedError(
         f"media decoding for format {fmt!r} requires codec libraries "
         "(PIL/ffmpeg) not present in this environment; pipelines use "

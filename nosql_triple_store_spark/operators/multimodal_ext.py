@@ -622,3 +622,80 @@ def q_multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_px double, min_px long, max_px long"
         ),
     )
+
+
+@register(
+    "q_multimodal_decode_gif",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, 10 + doc_id % 11 AS w, 6 + doc_id % 7 AS h
+  FROM documents),
+px AS (
+  SELECT doc_id, w, h, unnest(range(w * h)) AS p FROM d),
+v AS (
+  SELECT doc_id, w, h,
+         (doc_id * 3 + p) % 8 AS idx
+  FROM px)
+SELECT doc_id,
+       CAST(w AS BIGINT) AS width,
+       CAST(h AS BIGINT) AS height,
+       ROUND(AVG((doc_id * 11 + idx * 37) % 256), 6) AS mean_r,
+       ROUND(AVG((doc_id * 13 + idx * 41) % 256), 6) AS mean_g,
+       CAST(MAX((doc_id * 17 + idx * 43) % 256) AS BIGINT) AS max_b
+FROM v GROUP BY doc_id, w, h
+""",
+)
+def q_multimodal_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GIF decode end-to-end: per doc, build a deterministic 8-color
+    palette + index pattern, container it as a REAL GIF87a file
+    (functions/gif.py — true variable-width LZW with table growth and
+    the 4096-entry CLEAR reset), decode the compressed bytes back with
+    the independent block-walking LZW decoder, and derive channel stats
+    from the decoded raster ONLY. GIF is palette-indexed and lossless,
+    so the analytic oracle matches exactly with no fixture contract
+    (contrast q_multimodal_decode_jpeg's even-constant-block trick). An
+    LZW width-bump off-by-one, sub-block framing slip, or KwKwK-case
+    bug breaks the hash match.
+
+    Same Arrow mapInPandas kernel shape as the PNG/JPEG twins; at
+    100 TB payloads come off parquet binary columns."""
+    from ..functions.gif import decode_gif, encode_gif
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "doc_id": [], "width": [], "height": [],
+                "mean_r": [], "mean_g": [], "max_b": [],
+            }
+            for doc_id in pdf["doc_id"]:
+                w, h = 10 + doc_id % 11, 6 + doc_id % 7
+                pal = np.stack(
+                    [
+                        (doc_id * 11 + np.arange(8) * 37) % 256,
+                        (doc_id * 13 + np.arange(8) * 41) % 256,
+                        (doc_id * 17 + np.arange(8) * 43) % 256,
+                    ],
+                    axis=1,
+                ).astype(np.uint8)
+                idx = (
+                    (doc_id * 3 + np.arange(w * h)) % 8
+                ).astype(np.uint8).reshape(h, w)
+                payload = encode_gif(idx, pal)
+                di, dp = decode_gif(payload)
+                rgb = dp[di.reshape(-1)].astype(np.float64)
+                out["doc_id"].append(doc_id)
+                out["height"].append(di.shape[0])
+                out["width"].append(di.shape[1])
+                out["mean_r"].append(round(float(rgb[:, 0].mean()), 6))
+                out["mean_g"].append(round(float(rgb[:, 1].mean()), 6))
+                out["max_b"].append(int(rgb[:, 2].max()))
+            yield pd.DataFrame(out)
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.repartition(fanout_width(spark)).mapInPandas(
+        kernel,
+        schema=(
+            "doc_id long, width long, height long, "
+            "mean_r double, mean_g double, max_b long"
+        ),
+    )
