@@ -27,6 +27,7 @@ ALLOWED = {
     "operators/vector_ext6.py": 1,  # dim*dim scatter-matrix cells
     "operators/text_ext.py": 1,  # top-1 BPE merge pair per round
     "sources/avro_py.py": 1,  # one (path, n) row per write partition
+    "sources/bson_py.py": 1,  # one (path, n) row per write partition
 }
 
 
