@@ -84,6 +84,13 @@ def main() -> None:
     t0 = time.perf_counter()
     band_index(spark, sf_dir).count()
     layout["band_index"] = round(time.perf_counter() - t0, 4)
+    from nosql_triple_store_spark.operators.relational_ext3 import (
+        encoded_store,
+    )
+
+    t0 = time.perf_counter()
+    encoded_store(spark, sf_dir)
+    layout["bgp_encoded_store"] = round(time.perf_counter() - t0, 4)
 
     # Heap-sensitive heavy queries get a JVM full-GC immediately before
     # they run (outside their timed region): the wedge joins are
