@@ -512,3 +512,100 @@ def q_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("ndcg"),
     )
+
+
+_SPAN_LEN = 3  # mean/fixed corruption span length (T5 uses mean 3)
+_SPAN_RATE_PCT = 15  # corrupt ~15% of tokens
+_SPAN_HASH = (
+    "CAST((((doc_id * 131 + {i}) % 2147483648) * 2654435761 + 12345)"
+    " % 4294967296 AS BIGINT)"
+)
+
+
+@register(
+    "q_text_span_corruption",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, CAST(len({TOKS_SQL}) AS BIGINT) AS n FROM documents),
+d AS (
+  SELECT doc_id, n,
+         CAST(n * {_SPAN_RATE_PCT} // (100 * {_SPAN_LEN}) AS BIGINT)
+           AS n_spans
+  FROM t WHERE n >= 20),
+sp AS (
+  SELECT doc_id, n, n_spans, i,
+         {_SPAN_HASH.format(i='i')} % (n - {_SPAN_LEN}) AS start
+  FROM d, LATERAL (SELECT unnest(range(n_spans)) AS i)),
+pos AS (
+  SELECT DISTINCT doc_id, n, n_spans, start + o AS p
+  FROM sp, LATERAL (SELECT unnest(range({_SPAN_LEN})) AS o)),
+agg AS (
+  SELECT doc_id, n, n_spans, CAST(COUNT(*) AS BIGINT) AS corrupted
+  FROM pos GROUP BY doc_id, n, n_spans)
+SELECT doc_id, n AS n_tokens, n_spans, corrupted,
+       CAST(corrupted * 1000000 // n AS BIGINT) AS corrupt_ppm
+FROM agg
+""",
+)
+def q_text_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style SPAN-CORRUPTION manifest: for every document long
+    enough to corrupt (>= 20 tokens), place n*{_SPAN_RATE_PCT}%/
+    {_SPAN_LEN} deterministic {_SPAN_LEN}-token mask spans (span
+    starts from the affine hash of (doc_id, span index), so every
+    engine and every rerun masks identical positions — the same
+    reproducibility contract as q_graph_random_walk and
+    q_train_shard_manifest), and report the UNION of covered
+    positions: overlapping spans must not double-count, so the
+    manifest explodes spans to positions and distinct-counts them.
+    This is the denoising-objective data layout (mask spans feed the
+    encoder, span targets the decoder); downstream packing reuses
+    q_pack_sequences.
+
+    Scale: the explode is bounded by ~{_SPAN_RATE_PCT}% of corpus
+    tokens; one distinct + one aggregate, both keyed by doc_id
+    (partial-aggregable, single shuffle family). Integer-exact ppm.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", F.size(tokens_col()).cast("long").alias("n")
+    ).filter(F.col("n") >= 20)
+    d = t.select(
+        "doc_id",
+        "n",
+        F.floor(F.col("n") * _SPAN_RATE_PCT / (100 * _SPAN_LEN))
+        .cast("long")
+        .alias("n_spans"),
+    )
+    sp = d.select(
+        "doc_id",
+        "n",
+        "n_spans",
+        F.explode(F.sequence(F.lit(0), F.col("n_spans") - 1)).alias("i"),
+    ).select(
+        "doc_id",
+        "n",
+        "n_spans",
+        (
+            F.expr(_SPAN_HASH.format(i="i")) % (F.col("n") - _SPAN_LEN)
+        ).alias("start"),
+    )
+    pos = sp.select(
+        "doc_id",
+        "n",
+        "n_spans",
+        F.explode(
+            F.sequence(F.col("start"), F.col("start") + _SPAN_LEN - 1)
+        ).alias("p"),
+    ).distinct()
+    agg = pos.groupBy("doc_id", "n", "n_spans").agg(
+        F.count(F.lit(1)).alias("corrupted")
+    )
+    return agg.select(
+        "doc_id",
+        F.col("n").alias("n_tokens"),
+        "n_spans",
+        "corrupted",
+        F.floor(F.col("corrupted") * 1_000_000 / F.col("n"))
+        .cast("long")
+        .alias("corrupt_ppm"),
+    )
