@@ -311,13 +311,11 @@ def _decode_file(content: bytes):
     return schema, kinds, cols
 
 
-def read_avro_dir(
-    spark: SparkSession, path: str, schema: T.StructType
-) -> DataFrame:
-    """Distributed Avro read: binaryFile scan fans whole files out to
-    tasks; each task decodes its files to Arrow batches. ``schema`` is
-    the expected Spark schema (Avro carries its own schema per file —
-    it is validated field-by-name during decode)."""
+def decode_kernel(schema: T.StructType):
+    """The mapInPandas decode function for a binaryFile `content`
+    column — shared by the batch reader (read_avro_dir) and the
+    streaming ingest twin (streaming/queries.q_stream_source_avro):
+    the codec composes with Structured Streaming without change."""
     kinds_expected = _avro_field_kinds(spark_to_avro_schema(schema))
     names = [n for n, _, _ in kinds_expected]
 
@@ -347,7 +345,19 @@ def read_avro_dir(
                         data[name] = pd.Series(col, dtype=object)
                 yield pd.DataFrame(data, columns=names)
 
+    return _read
+
+
+def read_avro_dir(
+    spark: SparkSession, path: str, schema: T.StructType
+) -> DataFrame:
+    """Distributed Avro read: binaryFile scan fans whole files out to
+    tasks; each task decodes its files to Arrow batches. ``schema`` is
+    the expected Spark schema (Avro carries its own schema per file —
+    it is validated field-by-name during decode)."""
     files = spark.read.format("binaryFile").load(
         os.path.join(path, "*.avro")
     )
-    return files.select("content").mapInPandas(_read, schema=schema)
+    return files.select("content").mapInPandas(
+        decode_kernel(schema), schema=schema
+    )

@@ -699,3 +699,68 @@ def q_stream_incr_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
     return spark.read.parquet(f"{base}/{_versions()[-1]}")
+
+
+@register(
+    "q_stream_source_avro",
+    oracle="""
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(o_totalprice), 2) AS total
+FROM orders GROUP BY o_orderstatus
+""",
+)
+def q_stream_source_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING ingest through the pure-Python Avro codec: the orders
+    table is landed as Avro container files (sources/avro_py.py), then
+    read back as a FILE STREAM — binaryFile streaming source feeding
+    the same mapInPandas decoder the batch path uses — and aggregated
+    to the batch answer (availableNow drain). Proves the custom-codec
+    plumbing composes with Structured Streaming unchanged: a
+    landing-zone directory of Avro files becomes an incremental
+    pipeline by swapping read() for readStream(), which is exactly the
+    Kafka-archive/landing-zone ingest shape at 100 TB (new files =
+    new micro-batches; the decoder runs per-task on whole files)."""
+    import os as _os
+    import tempfile as _tempfile
+
+    from ..catalog import load_table
+    from ..sources.avro_py import write_avro_dir
+
+    ensure_runtime_confs(spark)
+    out = _os.path.join(
+        _tempfile.gettempdir(),
+        "spark_graft_avro_stream",
+        f"{_os.path.basename(_os.path.normpath(sf_dir))}-{_os.getpid()}",
+    )
+    src = load_table(spark, sf_dir, "orders")
+    if not _os.path.isdir(out) or not _os.listdir(out):
+        write_avro_dir(src, out)
+    # the streaming twin of read_avro_dir: binaryFile as a stream,
+    # decoded by the SAME kernel the batch reader uses
+    from pyspark.sql import types as T
+
+    from ..sources.avro_py import decode_kernel
+
+    files = (
+        spark.readStream.format("binaryFile")
+        .schema(
+            T.StructType(
+                [
+                    T.StructField("path", T.StringType()),
+                    T.StructField("modificationTime", T.TimestampType()),
+                    T.StructField("length", T.LongType()),
+                    T.StructField("content", T.BinaryType()),
+                ]
+            )
+        )
+        .load(_os.path.join(out, "*.avro"))
+    )
+    decoded = files.select("content").mapInPandas(
+        decode_kernel(src.schema), schema=src.schema
+    )
+    agg = decoded.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+    return _run_to_memory(agg, "complete")
