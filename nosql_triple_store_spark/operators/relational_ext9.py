@@ -153,11 +153,9 @@ def q_source_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition, binaryFile + mapInPandas reader), so the query is
     oracle-VERIFIED on jar-less runtimes instead of skipped."""
     if sf_dir not in _AVRO_DIRS:
-        out = os.path.join(
-            tempfile.gettempdir(),
-            "spark_graft_avro",
-            f"{os.path.basename(os.path.normpath(sf_dir))}-{os.getpid()}",
-        )
+        from ..scratch import scratch_dir
+
+        out = scratch_dir("avro", sf_dir)
         orders_src = load_table(spark, sf_dir, "orders")
         if _spark_avro_available():  # pragma: no cover - jar absent here
             orders_src.write.mode("overwrite").format("avro").save(out)
@@ -214,11 +212,9 @@ def q_source_bson(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority",
     ]
     if sf_dir not in _BSON_DIRS:
-        out = os.path.join(
-            tempfile.gettempdir(),
-            "spark_graft_bson",
-            f"{os.path.basename(os.path.normpath(sf_dir))}-{os.getpid()}",
-        )
+        from ..scratch import scratch_dir
+
+        out = scratch_dir("bson", sf_dir)
         src = load_table(spark, sf_dir, "orders").select(*cols)
         write_bson_dir(src, out)
         _BSON_DIRS[sf_dir] = (out, src.schema)

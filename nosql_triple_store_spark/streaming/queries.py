@@ -722,17 +722,13 @@ def q_stream_source_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
     Kafka-archive/landing-zone ingest shape at 100 TB (new files =
     new micro-batches; the decoder runs per-task on whole files)."""
     import os as _os
-    import tempfile as _tempfile
 
     from ..catalog import load_table
+    from ..scratch import scratch_dir
     from ..sources.avro_py import write_avro_dir
 
     ensure_runtime_confs(spark)
-    out = _os.path.join(
-        _tempfile.gettempdir(),
-        "spark_graft_avro_stream",
-        f"{_os.path.basename(_os.path.normpath(sf_dir))}-{_os.getpid()}",
-    )
+    out = scratch_dir("avro_stream", sf_dir)
     src = load_table(spark, sf_dir, "orders")
     if not _os.path.isdir(out) or not _os.listdir(out):
         write_avro_dir(src, out)
