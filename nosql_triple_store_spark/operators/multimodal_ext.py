@@ -699,3 +699,90 @@ def q_multimodal_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_r double, mean_g double, max_b long"
         ),
     )
+
+
+_FFT_N = 256  # samples per clip (power of two)
+_FFT_RATE = 8000
+
+
+@register(
+    "q_multimodal_audio_fft",
+    oracle=f"""
+WITH p AS (
+  SELECT doc_id,
+         3 + doc_id % 100 AS k1,
+         3 + doc_id % 100 + 1 + (doc_id * 7) % 20 AS k2
+  FROM documents)
+SELECT doc_id,
+       CAST({_FFT_N} AS BIGINT) AS n_samples,
+       CAST(k1 AS BIGINT) AS dominant_bin,
+       ROUND(k1 * {_FFT_RATE}.0 / {_FFT_N}, 6) AS dominant_hz,
+       CAST(k2 AS BIGINT) AS second_bin,
+       ROUND(k2 * {_FFT_RATE}.0 / {_FFT_N}, 6) AS second_hz
+FROM p
+""",
+)
+def q_multimodal_audio_fft(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPECTRAL feature extraction through a REAL FFT: per doc,
+    synthesize a two-tone PCM16 signal (k1 cycles at amplitude 8000 +
+    k2 cycles at 3000 over {_FFT_N} samples), round-trip it through
+    the WAV container codec, run numpy's rFFT on the DECODED samples,
+    and report the top-two magnitude bins and their frequencies. The
+    oracle is pure physics: integer-cycle sinusoids concentrate all
+    energy in their own DFT bins (no leakage), so argmax must equal k1
+    and the runner-up k2 — a window slip, an off-by-one in the bin
+    axis, or a codec corruption moves a peak and breaks the match.
+    int16 quantization noise is ~60 dB below the tones, far from
+    flipping a bin.
+
+    Scale: the FFT runs inside the same Arrow mapInPandas kernel as
+    every decode operator — per-clip O(N log N) CPU, zero extra
+    shuffle. At 100 TB this is the spectral-gate pass an audio
+    curation pipeline runs between decode and ASR (bandwidth checks,
+    tone/DTMF detection, resample validation)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .multimodal import decode_wav_pcm16, encode_wav_pcm16
+
+        out_cols = (
+            "doc_id", "n_samples", "dominant_bin", "dominant_hz",
+            "second_bin", "second_hz",
+        )
+        for pdf in batches:
+            out = {c: [] for c in out_cols}
+            i = np.arange(_FFT_N, dtype=np.float64)
+            for doc_id in pdf["doc_id"]:
+                k1 = 3 + doc_id % 100
+                k2 = k1 + 1 + (doc_id * 7) % 20
+                sig = np.rint(
+                    8000 * np.sin(2 * np.pi * k1 * i / _FFT_N)
+                    + 3000 * np.sin(2 * np.pi * k2 * i / _FFT_N)
+                ).astype(np.int64)
+                _, dec = decode_wav_pcm16(
+                    encode_wav_pcm16(sig, _FFT_RATE)
+                )
+                mag = np.abs(np.fft.rfft(dec.astype(np.float64)))
+                mag[0] = 0.0  # ignore DC
+                b1 = int(np.argmax(mag))
+                mag[b1] = -1.0
+                b2 = int(np.argmax(mag))
+                out["doc_id"].append(doc_id)
+                out["n_samples"].append(_FFT_N)
+                out["dominant_bin"].append(b1)
+                out["dominant_hz"].append(
+                    round(b1 * _FFT_RATE / _FFT_N, 6)
+                )
+                out["second_bin"].append(b2)
+                out["second_hz"].append(
+                    round(b2 * _FFT_RATE / _FFT_N, 6)
+                )
+            yield pd.DataFrame(out)
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.repartition(fanout_width(spark)).mapInPandas(
+        kernel,
+        schema=(
+            "doc_id long, n_samples long, dominant_bin long, "
+            "dominant_hz double, second_bin long, second_hz double"
+        ),
+    )
