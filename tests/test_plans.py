@@ -207,3 +207,19 @@ def test_classifier_score_is_single_shuffle_jvm_only(spark):
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert "partial_count" in p or "partial_sum" in p  # map-side combine
     assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_bgp_encoded_reads_materialized_store(spark):
+    """q_bgp_star_encoded must read the scratch-parquet encoded store
+    (load-time ETL), not rebuild the dictionary per call: the plan
+    scans long-typed parquet and contains NO string-space triples
+    union or xxhash64 dictionary aggregation (PLANS.md r5 audit)."""
+    from nosql_triple_store_spark.operators.relational_ext3 import (
+        encoded_store,
+    )
+
+    encoded_store(spark, SF_DIR)  # ensure built (bench layout phase)
+    p = _plan(spark, "q_bgp_star_encoded")
+    assert "xxhash64" not in p  # no in-plan dictionary build
+    # encoded triples come off a columnar scan, joins run on longs
+    assert "Scan parquet" in p
