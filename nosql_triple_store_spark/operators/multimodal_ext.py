@@ -786,3 +786,90 @@ def q_multimodal_audio_fft(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dominant_hz double, second_bin long, second_hz double"
         ),
     )
+
+
+@register(
+    "q_multimodal_image_resize",
+    oracle="""
+WITH d AS (
+  SELECT doc_id,
+         8 + 2 * (doc_id % 5) AS w,
+         6 + 2 * (doc_id % 4) AS h
+  FROM documents),
+op AS (
+  SELECT doc_id, w, h, unnest(range((w // 2) * (h // 2))) AS q FROM d),
+cell AS (
+  SELECT doc_id, w, h,
+         2 * (q // (w // 2)) AS r0, 2 * (q % (w // 2)) AS c0
+  FROM op),
+px AS (
+  SELECT doc_id, w, h, r0, c0,
+         (r0 + dr) * w + (c0 + dc) AS p
+  FROM cell,
+       LATERAL (SELECT unnest(range(2)) AS dr),
+       LATERAL (SELECT unnest(range(2)) AS dc)),
+rz AS (
+  SELECT doc_id, w, h, r0, c0,
+         SUM((doc_id * 7 + p * 3) % 256) // 4 AS v
+  FROM px GROUP BY doc_id, w, h, r0, c0)
+SELECT doc_id,
+       CAST(w // 2 AS BIGINT) AS out_w,
+       CAST(h // 2 AS BIGINT) AS out_h,
+       CAST(SUM(v) AS BIGINT) AS sum_px,
+       CAST(MAX(v) AS BIGINT) AS max_px,
+       CAST(MIN(v) AS BIGINT) AS min_px
+FROM rz GROUP BY doc_id, w, h
+""",
+)
+def q_multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image RESIZE — the remaining verb of the task brief's multimodal
+    quartet (decode / feature-extract / resize / frame-sample): per
+    doc, rasterize a deterministic gray pattern, round-trip it through
+    the REAL PNG codec (all five scanline filters), then 2:1 BOX
+    downsample the decoded raster (each output pixel = floor mean of
+    its 2x2 source block, pure integer arithmetic) and report exact
+    stats of the RESIZED image only. The oracle recomputes every 2x2
+    block sum analytically, so a stride slip, block misalignment, or
+    decoder corruption breaks the hash match. Box filtering in exact
+    ints is the thumbnail/pyramid step an image-curation pipeline runs
+    before CLIP-style scoring.
+
+    Scale: same Arrow mapInPandas kernel family as the decode
+    operators — per-image O(pixels) work, no extra shuffle; at 100 TB
+    the payload column comes off parquet and the resized raster (or
+    its stats) is written back alongside."""
+    from .multimodal import decode_png, encode_png
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        out_cols = ("doc_id", "out_w", "out_h", "sum_px", "max_px", "min_px")
+        for pdf in batches:
+            out = {c: [] for c in out_cols}
+            for doc_id in pdf["doc_id"]:
+                w, h = 8 + 2 * (doc_id % 5), 6 + 2 * (doc_id % 4)
+                p = np.arange(w * h, dtype=np.int64)
+                gray = ((doc_id * 7 + p * 3) % 256).reshape(h, w)
+                rgb = np.stack([gray, gray, gray], axis=2).astype(np.uint8)
+                dec = decode_png(encode_png(rgb))[:, :, 0].astype(np.int64)
+                # 2:1 box downsample in exact integers
+                rz = (
+                    dec[0::2, 0::2]
+                    + dec[0::2, 1::2]
+                    + dec[1::2, 0::2]
+                    + dec[1::2, 1::2]
+                ) // 4
+                out["doc_id"].append(doc_id)
+                out["out_w"].append(rz.shape[1])
+                out["out_h"].append(rz.shape[0])
+                out["sum_px"].append(int(rz.sum()))
+                out["max_px"].append(int(rz.max()))
+                out["min_px"].append(int(rz.min()))
+            yield pd.DataFrame(out)
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.repartition(fanout_width(spark)).mapInPandas(
+        kernel,
+        schema=(
+            "doc_id long, out_w long, out_h long, "
+            "sum_px long, max_px long, min_px long"
+        ),
+    )

@@ -760,3 +760,68 @@ def q_stream_source_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("o_totalprice"), 2).alias("total"),
     )
     return _run_to_memory(agg, "complete")
+
+
+@register(
+    "q_stream_source_bson",
+    oracle="""
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(MIN(o_orderkey) AS BIGINT) AS min_key
+FROM orders GROUP BY o_orderstatus
+""",
+)
+def q_stream_source_bson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING ingest of mongodump exports: BSON files
+    (sources/bson_py.py) read as a binaryFile stream and decoded by
+    the same per-file kernel the batch path uses — the incremental
+    migration shape off the reference's MongoDB backend (each new dump
+    chunk in the landing directory becomes a micro-batch; availableNow
+    drains to the batch answer). Sibling of q_stream_source_avro with
+    the other interchange codec."""
+    import os as _os
+
+    from pyspark.sql import types as T
+
+    from ..catalog import load_table
+    from ..scratch import scratch_dir
+    from ..sources.bson_py import decode_documents, write_bson_dir
+
+    ensure_runtime_confs(spark)
+    out = scratch_dir("bson_stream", sf_dir)
+    cols = ["o_orderkey", "o_orderstatus"]
+    src = load_table(spark, sf_dir, "orders").select(*cols)
+    if not _os.path.isdir(out) or not _os.listdir(out):
+        write_bson_dir(src, out)
+    files = (
+        spark.readStream.format("binaryFile")
+        .schema(
+            T.StructType(
+                [
+                    T.StructField("path", T.StringType()),
+                    T.StructField("modificationTime", T.TimestampType()),
+                    T.StructField("length", T.LongType()),
+                    T.StructField("content", T.BinaryType()),
+                ]
+            )
+        )
+        .load(_os.path.join(out, "*.bson"))
+    )
+
+    def _read(it):
+        import pandas as pd
+
+        for pdf in it:
+            for content in pdf["content"]:
+                docs = decode_documents(bytes(content))
+                yield pd.DataFrame(
+                    {c: [d.get(c) for d in docs] for c in cols},
+                    columns=cols,
+                )
+
+    decoded = files.select("content").mapInPandas(_read, schema=src.schema)
+    agg = decoded.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("o_orderkey").alias("min_key"),
+    )
+    return _run_to_memory(agg, "complete")
