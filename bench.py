@@ -125,22 +125,19 @@ def main() -> None:
         return elapsed
 
     timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     for name in sorted(specs):
-        t = _run_once(name)
-        # Two noise-dominated bands get the median of 3 runs so
-        # cross-round deltas reflect plans, not neighbors:
-        # - sub-second queries are GC/JIT-noise-dominated (round-3
-        #   headline "regressions" q_topk +18% / q_tpch_q5 +4% were
-        #   ~30 ms deltas with no plan change);
-        # - the >=2 s iterative/multi-wave tail is storage-pressure-
-        #   sensitive (r4 intra-round drift: q_graph_pagerank
-        #   2.76->4.35 s, q_text_containment 1.66->3.05 s with NO plan
-        #   change — lingering checkpoint/scratch blocks from suite
-        #   neighbors). VERDICT r4 #2.
-        # The 1-2 s mid-band stays single-run to bound sweep cost.
-        if t < 1.0 or t >= 2.0:
-            t = sorted([t, _run_once(name), _run_once(name)])[1]
-        timings[name] = round(t, 4)
+        # Median of 3 runs for EVERY query (VERDICT r5 #3: the 1-2 s
+        # mid-band was the last single-run band and drifted +56% on
+        # q_join_value_band in the driver rerun; sub-second queries are
+        # GC/JIT-noise-dominated and the >=2 s iterative tail is
+        # storage-pressure-sensitive — r3/r4 cross-round "regressions"
+        # in both bands were noise with no plan change). The per-query
+        # max-min spread is recorded in the full artifact so
+        # cross-round claims carry error bars.
+        runs = sorted([_run_once(name), _run_once(name), _run_once(name)])
+        timings[name] = round(runs[1], 4)
+        spreads[name] = round(runs[2] - runs[0], 4)
 
     total = round(sum(timings.values()), 4)
     # Full per-query timings go to a side file; the stdout JSON line keeps
@@ -162,6 +159,7 @@ def main() -> None:
                     "unit": "sec",
                     "n_queries": len(timings),
                     "queries": timings,
+                    "spread_max_minus_min_sec": spreads,
                     "layout_build_sec": layout,
                     "sf": sf,
                 },

@@ -3,6 +3,8 @@ windows, string edit distance, dictionary-encoded BGP execution."""
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -226,6 +228,9 @@ def q_join_nullsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _ENC_STORE_DIRS: dict[str, tuple[str, str]] = {}
+# check-then-build guard (ADVICE r5): same two-thread overwrite-while-
+# reading race relational_ext55 fixes with its _CACHE_LOCK
+_ENC_STORE_LOCK = threading.Lock()
 
 
 def encoded_store(spark: SparkSession, sf_dir: str):
@@ -236,6 +241,13 @@ def encoded_store(spark: SparkSession, sf_dir: str):
     per-query work). Returns (dictionary_df, encoded_triples_df), both
     columnar scans after first use; bench.py builds this in its layout
     phase like the co-purchase/shingle tables."""
+    with _ENC_STORE_LOCK:
+        _encoded_store_build(spark, sf_dir)
+    out_d, out_e = _ENC_STORE_DIRS[sf_dir]
+    return spark.read.parquet(out_d), spark.read.parquet(out_e)
+
+
+def _encoded_store_build(spark: SparkSession, sf_dir: str) -> None:
     if sf_dir not in _ENC_STORE_DIRS:
         from ..scratch import scratch_dir
 
@@ -282,8 +294,6 @@ def encoded_store(spark: SparkSession, sf_dir: str):
         )
         enc.write.mode("overwrite").parquet(out_e)
         _ENC_STORE_DIRS[sf_dir] = (out_d, out_e)
-    out_d, out_e = _ENC_STORE_DIRS[sf_dir]
-    return spark.read.parquet(out_d), spark.read.parquet(out_e)
 
 
 @register("q_bgp_star_encoded", oracle=STAR_ORACLE)

@@ -490,14 +490,23 @@ def q_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("g") / F.log2(F.col("r") + 1.0)).alias("dcg"),
         F.sum("g").cast("long").alias("n_rel"),
     )
+    # n_rel=0 guard: sequence(1, 0) auto-steps DOWN to [1, 0] and the
+    # rr=0 term divides by log2(1)=0 → +Infinity, diverging from the
+    # oracle's COALESCE(NULL, 0). Never build the sequence with
+    # stop < start (ADVICE r5).
     ideal = agg.select(
         "dcg",
         "n_rel",
-        F.aggregate(
-            F.sequence(F.lit(1), F.col("n_rel").cast("int")),
-            F.lit(0.0),
-            lambda acc, rr: acc + 1.0 / F.log2(rr.cast("double") + 1.0),
-        ).alias("idcg"),
+        F.when(
+            F.col("n_rel") > 0,
+            F.aggregate(
+                F.sequence(F.lit(1), F.col("n_rel").cast("int")),
+                F.lit(0.0),
+                lambda acc, rr: acc + 1.0 / F.log2(rr.cast("double") + 1.0),
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("idcg"),
     )
     return ideal.select(
         F.lit(_NDCG_K).cast("long").alias("k"),

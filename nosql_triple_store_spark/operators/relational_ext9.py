@@ -3,6 +3,8 @@ growth, ORC source roundtrip."""
 
 from __future__ import annotations
 
+import threading
+
 import os
 import tempfile
 
@@ -131,6 +133,9 @@ def _spark_avro_available() -> bool:
 
 
 _AVRO_DIRS: dict[str, str] = {}
+# check-then-build guards (ADVICE r5): same race relational_ext55
+# fixes with its _CACHE_LOCK
+_AVRO_LOCK = threading.Lock()
 
 
 @register(
@@ -152,18 +157,19 @@ def q_source_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
     sources/avro_py.py — distributed both ways (mapInPandas writer per
     partition, binaryFile + mapInPandas reader), so the query is
     oracle-VERIFIED on jar-less runtimes instead of skipped."""
-    if sf_dir not in _AVRO_DIRS:
-        from ..scratch import scratch_dir
+    with _AVRO_LOCK:
+        if sf_dir not in _AVRO_DIRS:
+            from ..scratch import scratch_dir
 
-        out = scratch_dir("avro", sf_dir)
-        orders_src = load_table(spark, sf_dir, "orders")
-        if _spark_avro_available():  # pragma: no cover - jar absent here
-            orders_src.write.mode("overwrite").format("avro").save(out)
-        else:
-            from ..sources.avro_py import write_avro_dir
+            out = scratch_dir("avro", sf_dir)
+            orders_src = load_table(spark, sf_dir, "orders")
+            if _spark_avro_available():  # pragma: no cover - jar absent
+                orders_src.write.mode("overwrite").format("avro").save(out)
+            else:
+                from ..sources.avro_py import write_avro_dir
 
-            write_avro_dir(orders_src, out)
-        _AVRO_DIRS[sf_dir] = (out, orders_src.schema)
+                write_avro_dir(orders_src, out)
+            _AVRO_DIRS[sf_dir] = (out, orders_src.schema)
     out, schema = _AVRO_DIRS[sf_dir]
     if _spark_avro_available():  # pragma: no cover - jar absent here
         orders = spark.read.format("avro").load(out)
@@ -178,6 +184,7 @@ def q_source_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _BSON_DIRS: dict[str, tuple] = {}
+_BSON_LOCK = threading.Lock()
 
 
 @register(
@@ -211,13 +218,14 @@ def q_source_bson(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_totalprice",
         "o_orderpriority",
     ]
-    if sf_dir not in _BSON_DIRS:
-        from ..scratch import scratch_dir
+    with _BSON_LOCK:
+        if sf_dir not in _BSON_DIRS:
+            from ..scratch import scratch_dir
 
-        out = scratch_dir("bson", sf_dir)
-        src = load_table(spark, sf_dir, "orders").select(*cols)
-        write_bson_dir(src, out)
-        _BSON_DIRS[sf_dir] = (out, src.schema)
+            out = scratch_dir("bson", sf_dir)
+            src = load_table(spark, sf_dir, "orders").select(*cols)
+            write_bson_dir(src, out)
+            _BSON_DIRS[sf_dir] = (out, src.schema)
     out, schema = _BSON_DIRS[sf_dir]
     orders = read_bson_dir(spark, out, schema)
     return orders.groupBy("o_orderstatus", "o_orderpriority").agg(

@@ -212,6 +212,24 @@ def write_avro_dir(df: DataFrame, out_dir: str, codec: str = "deflate") -> int:
     avro_schema = spark_to_avro_schema(df.schema)
     kinds = _avro_field_kinds(avro_schema)
     schema_json = json.dumps(avro_schema)
+    # Nullable integer columns arrive in the Arrow->pandas writer as
+    # float64 (null coercion), losing precision past 2^53 (ADVICE r5).
+    # Spark-side fix: fill nulls + carry a boolean mask so the batch
+    # stays int64; the writer restores exact ints with None under the
+    # mask. Mirrors write_bson_dir.
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    int_types = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    int_cols = [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, int_types) and f.nullable
+    ]
+    for c in int_cols:
+        df = df.withColumn(f"__mask_{c}", F.col(c).isNull()).withColumn(
+            c, F.coalesce(F.col(c), F.lit(0))
+        )
     os.makedirs(out_dir, exist_ok=True)
 
     def _write(it: Iterator) -> Iterator:
@@ -239,6 +257,12 @@ def write_avro_dir(df: DataFrame, out_dir: str, codec: str = "deflate") -> int:
             for pdf in it:
                 if not len(pdf):
                     continue
+                for c in int_cols:
+                    pdf[c] = (
+                        pdf[c]
+                        .astype(object)
+                        .mask(pdf[f"__mask_{c}"], None)
+                    )
                 body = _encode_records(pdf, kinds)
                 if codec == "deflate":
                     body = zlib.compress(body)[2:-4]  # raw DEFLATE

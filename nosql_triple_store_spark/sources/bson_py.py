@@ -130,8 +130,29 @@ def decode_documents(payload: bytes) -> list[dict]:
 
 
 def write_bson_dir(df: DataFrame, out_dir: str) -> int:
-    """One mongodump-style .bson file per partition; returns file count."""
+    """One mongodump-style .bson file per partition; returns file count.
+
+    Nullable integer columns would arrive in the Arrow->pandas writer
+    as float64 (null coercion), mis-typing them as BSON double and
+    losing precision past 2^53 (ADVICE r5). Fix is Spark-side: fill
+    nulls with 0 and carry a boolean null-mask column, so the batch
+    stays int64 end-to-end; the writer restores exact Python ints with
+    None where the mask is set.
+    """
+    from pyspark.sql import functions as F
+
     keys = list(df.columns)
+    int_types = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    int_cols = [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, int_types) and f.nullable
+    ]
+    proj = df
+    for c in int_cols:
+        proj = proj.withColumn(
+            f"__mask_{c}", F.col(c).isNull()
+        ).withColumn(c, F.coalesce(F.col(c), F.lit(0)))
     os.makedirs(out_dir, exist_ok=True)
 
     def _write(it: Iterator) -> Iterator:
@@ -143,13 +164,19 @@ def write_bson_dir(df: DataFrame, out_dir: str) -> int:
         n = 0
         with open(path + ".tmp", "wb") as fh:
             for pdf in it:
+                for c in int_cols:
+                    pdf[c] = (
+                        pdf[c]
+                        .astype(object)
+                        .mask(pdf[f"__mask_{c}"], None)
+                    )
                 for row in pdf[keys].itertuples(index=False):
                     fh.write(encode_document(keys, row))
                     n += 1
         os.replace(path + ".tmp", path)
         yield pd.DataFrame({"path": [path], "n": [n]})
 
-    stats = df.mapInPandas(_write, schema="path string, n long").collect()
+    stats = proj.mapInPandas(_write, schema="path string, n long").collect()
     return len(stats)
 
 

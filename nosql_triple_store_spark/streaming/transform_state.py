@@ -228,7 +228,11 @@ else:
         "q_stream_transform_state",
         "transformWithStateInPandas state-server protocol requires "
         "google.protobuf, not importable in this runtime; semantics "
-        "covered by the applyInPandasWithState twin q_stream_lww_state",
+        "covered by the applyInPandasWithState twin q_stream_lww_state. "
+        "Provisioning: `pip install protobuf` (any >=4.x wheel; pure "
+        "dependency of the PySpark state-server client, no jar needed) "
+        "turns this entry green on the next run — see "
+        "scripts/provision_protobuf.md",
     )
 
 

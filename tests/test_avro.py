@@ -88,3 +88,23 @@ def test_unsupported_type_raises_loudly(spark):
         raise AssertionError("expected TypeError")
     except TypeError as e:
         assert "no Avro mapping" in str(e)
+
+
+def test_nullable_long_precision_past_2_53(spark):
+    # ADVICE r5: the Arrow null-coercion to float64 silently rounded
+    # |v| > 2^53 in nullable long columns; the null-mask write path
+    # must round-trip them exactly.
+    from pyspark.sql import Row
+    from pyspark.sql import types as T
+
+    schema = T.StructType([T.StructField("v", T.LongType())])
+    big = 2**60 + 1
+    rows = [Row(v=big), Row(v=None), Row(v=-(2**60) - 3), Row(v=7)]
+    df = spark.createDataFrame(rows, schema).repartition(1)
+    out = scratch_tmp("avro_bigint_")
+    write_avro_dir(df, out)
+    back = read_avro_dir(spark, out, schema)
+    got = sorted(
+        (r.v for r in back.collect()), key=lambda v: (v is None, v)
+    )
+    assert got == [-(2**60) - 3, 7, big, None]

@@ -86,3 +86,34 @@ def test_unsupported_type_raises():
 def test_corrupt_length_raises():
     with pytest.raises(ValueError, match="corrupt"):
         decode_documents(struct.pack("<i", 3) + b"\x00" * 10)
+
+
+def test_nullable_long_precision_and_type_byte(spark):
+    # ADVICE r5: nulls coerce int64 -> float64 at the Arrow boundary,
+    # which used to (a) encode the column as BSON double 0x01 and
+    # (b) lose precision past 2^53. The null-mask write path must keep
+    # exact int64 values AND the int64 type byte 0x12 on disk.
+    import glob
+
+    schema = T.StructType([T.StructField("v", T.LongType())])
+    big = 2**60 + 1  # not representable in float64
+    rows = [Row(v=big), Row(v=None), Row(v=-(2**60) - 3), Row(v=7)]
+    df = spark.createDataFrame(rows, schema).repartition(1)
+    out = scratch_tmp("bson_bigint_")
+    write_bson_dir(df, out)
+    payload = b"".join(
+        open(p, "rb").read() for p in sorted(glob.glob(out + "/*.bson"))
+    )
+    docs = decode_documents(payload)
+    assert sorted(
+        (d["v"] for d in docs), key=lambda v: (v is None, v)
+    ) == [-(2**60) - 3, 7, big, None]
+    # every non-null value must be type 0x12 (int64), never 0x01
+    assert 0x01 not in {
+        payload[i] for i in range(len(payload)) if payload[i + 1 : i + 3] == b"v\x00"
+    }
+    back = read_bson_dir(spark, out, schema)
+    got = sorted(
+        (r.v for r in back.collect()), key=lambda v: (v is None, v)
+    )
+    assert got == [-(2**60) - 3, 7, big, None]

@@ -86,3 +86,98 @@ def test_decode_media_routes_jpeg():
     assert np.array_equal(
         decode_media(encode_jpeg_gray(img), "jpg"), img
     )
+
+
+def _color_planes(seed: int, h: int = 32, w: int = 48):
+    y = np.zeros((h, w), dtype=np.uint8)
+    cb = np.zeros((h // 2, w // 2), dtype=np.uint8)
+    cr = np.zeros((h // 2, w // 2), dtype=np.uint8)
+    mi = 0
+    for my in range(0, h, 16):
+        for mx in range(0, w, 16):
+            y[my : my + 16, mx : mx + 16] = 2 * ((seed * 7 + mi * 13) % 128)
+            cb[my // 2 : my // 2 + 8, mx // 2 : mx // 2 + 8] = 128 + 17 * (
+                (seed * 5 + mi * 11) % 15 - 7
+            )
+            cr[my // 2 : my // 2 + 8, mx // 2 : mx // 2 + 8] = 128 + 17 * (
+                (seed * 3 + mi * 7) % 15 - 7
+            )
+            mi += 1
+    return y, cb, cr
+
+
+def test_color_constant_mcu_planes_exact():
+    from nosql_triple_store_spark.functions.jpeg import (
+        decode_jpeg_ycbcr420,
+        encode_jpeg_ycbcr420,
+    )
+
+    for seed in (0, 3, 11):
+        y, cb, cr = _color_planes(seed)
+        y2, cb2, cr2 = decode_jpeg_ycbcr420(encode_jpeg_ycbcr420(y, cb, cr))
+        assert np.array_equal(y2, y)
+        assert np.array_equal(cb2, cb)
+        assert np.array_equal(cr2, cr)
+
+
+def test_color_lossy_gradient_bounded_error():
+    from nosql_triple_store_spark.functions.jpeg import (
+        decode_jpeg_color,
+        encode_jpeg_ycbcr420,
+        rgb_to_ycbcr420,
+    )
+
+    h, w = 32, 32
+    rgb = np.linspace(0, 255, h * w * 3).reshape(h, w, 3).astype(np.uint8)
+    y, cb, cr = rgb_to_ycbcr420(rgb)
+    dec = decode_jpeg_color(encode_jpeg_ycbcr420(y, cb, cr))
+    assert dec.shape == (h, w, 3)
+    # smooth gradient through quantize + 4:2:0 + rounding: small error
+    assert np.abs(dec.astype(int) - rgb.astype(int)).max() <= 8
+
+
+def test_color_rejects_bad_inputs():
+    from nosql_triple_store_spark.functions.jpeg import (
+        decode_jpeg_color,
+        decode_jpeg_gray,
+        encode_jpeg_ycbcr420,
+    )
+
+    y, cb, cr = _color_planes(1)
+    with pytest.raises(ValueError):
+        encode_jpeg_ycbcr420(y[:24], cb, cr)  # not multiple of 16
+    with pytest.raises(ValueError):
+        encode_jpeg_ycbcr420(y, cb[:4], cr)  # wrong chroma shape
+    payload = encode_jpeg_ycbcr420(y, cb, cr)
+    with pytest.raises(ValueError):
+        decode_jpeg_gray(payload)  # gray decoder rejects color scan
+    with pytest.raises(ValueError):
+        decode_jpeg_color(encode_jpeg_gray(_block_image(2)))
+
+
+def test_error_paths_raise_valueerror_not_internal():
+    # ADVICE r5: SOS-before-SOF0, missing DQT/DHT, truncated entropy
+    # data must raise ValueError (not NameError/KeyError/IndexError)
+    from nosql_triple_store_spark.functions.jpeg import decode_jpeg_color
+
+    y, cb, cr = _color_planes(5)
+    from nosql_triple_store_spark.functions.jpeg import encode_jpeg_ycbcr420
+
+    payload = bytearray(encode_jpeg_ycbcr420(y, cb, cr))
+    # drop SOF0
+    sof = payload.find(b"\xff\xc0")
+    ln = int.from_bytes(payload[sof + 2 : sof + 4], "big")
+    no_sof = bytes(payload[:sof]) + bytes(payload[sof + 2 + ln :])
+    with pytest.raises(ValueError, match="SOS before SOF0"):
+        decode_jpeg_color(no_sof)
+    # drop every DHT
+    out = bytearray(payload)
+    while (i := out.find(b"\xff\xc4")) >= 0:
+        ln = int.from_bytes(out[i + 2 : i + 4], "big")
+        del out[i : i + 2 + ln]
+    with pytest.raises(ValueError, match="missing DC Huffman"):
+        decode_jpeg_color(bytes(out))
+    # truncate inside the entropy-coded segment
+    sos = payload.find(b"\xff\xda")
+    with pytest.raises(ValueError):
+        decode_jpeg_color(bytes(payload[: sos + 40]))

@@ -22,9 +22,10 @@ def test_ivfpq_recall_against_exact(spark):
     assert len(approx) == 10
     assert len(set(approx)) == 10, "duplicate neighbors in result"
     recall = len(set(exact) & set(approx)) / len(exact)
-    # nprobe=_NPROBE(4) of the 10 label cells + PQ shortlist: at
-    # fixture scale the composed index must recover >= half the top-10
-    assert recall >= 0.5, f"recall@10 {recall} below floor"
+    # learned k-means cells (nprobe=4 of 10) + residual-PQ shortlist:
+    # the composed index must recover >= 9 of the exact top-10
+    # (VERDICT r5 #1 done-bar; simulation gives 1.0 at fixture scale)
+    assert recall >= 0.9, f"recall@10 {recall} below floor"
 
 
 def test_ivfpq_never_beats_exact_scores(spark):
