@@ -122,6 +122,7 @@ _OPERATOR_MODULES = (
     "operators.relational_ext56",
     "operators.relational_ext57",
     "operators.multimodal_ext",
+    "operators.sparql_queries",
     "streaming.queries",
     "streaming.transform_state",
     "streaming.dedup_stream",

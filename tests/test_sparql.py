@@ -1,0 +1,126 @@
+"""SPARQL front-end (plans/sparql.py): parser units, plan equivalence
+with the hand-built encoded-store BGP query, loud rejection outside
+the documented subset."""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+
+import pytest
+
+from nosql_triple_store_spark.plans.bgp import Var
+from nosql_triple_store_spark.plans.sparql import parse_sparql, tokenize
+from nosql_triple_store_spark.registry import all_specs
+
+from .conftest import SF_DIR
+
+SPECS = all_specs()
+
+
+# ---------------------------------------------------------- parser
+
+
+def test_tokenizer_strings_vars_iris():
+    toks = tokenize('SELECT ?x WHERE { ?x p "a \\"q\\" b" . ?x q <http://e/x> }')
+    assert "?x" in toks and '"a \\"q\\" b"' in toks and "<http://e/x>" in toks
+
+
+def test_parse_star():
+    q = parse_sparql(
+        'SELECT ?c ?n WHERE { ?c inSegment "BUILDING" . ?c inNation ?n . }'
+    )
+    assert q.select == ["c", "n"]
+    assert q.patterns == [
+        (Var("c"), "inSegment", "BUILDING"),
+        (Var("c"), "inNation", Var("n")),
+    ]
+    assert not q.optionals and not q.filters
+    assert q.limit is None and not q.distinct
+
+
+def test_parse_full_surface():
+    q = parse_sparql(
+        "SELECT DISTINCT ?a ?b WHERE { ?a p ?b . "
+        "OPTIONAL { ?a q ?c } "
+        'FILTER(?b != "x" && ?b != "y") FILTER(REGEX(?b, "^z")) } '
+        "ORDER BY DESC(?b) LIMIT 5"
+    )
+    assert q.distinct and q.limit == 5
+    assert q.order_by == [("b", True)]
+    assert len(q.optionals) == 1 and len(q.filters) == 2
+    assert [f.op for f in q.filters[0]] == ["!=", "!="]
+    assert q.filters[1][0].op == "regex"
+
+
+@pytest.mark.parametrize(
+    "bad",
+    [
+        "ASK { ?s ?p ?o }",  # not SELECT
+        "SELECT WHERE { ?s ?p ?o }",  # empty select list
+        "SELECT ?s { ?s ?p ?o }",  # missing WHERE
+        "SELECT ?s WHERE { }",  # no patterns
+        "SELECT ?s WHERE { ?s ?p }",  # incomplete triple
+        "SELECT ?s WHERE { ?s ?p ?o } LIMIT x",  # non-integer limit
+        "SELECT ?s WHERE { ?s ?p ?o } GROUP BY ?s",  # unsupported clause
+        'SELECT ?s WHERE { ?s ?p ?o FILTER(?s ~ "x") }',  # bad operator
+    ],
+)
+def test_rejects_outside_subset(bad):
+    with pytest.raises(ValueError):
+        parse_sparql(bad)
+
+
+def test_select_unbound_variable_raises(spark):
+    from nosql_triple_store_spark.plans.sparql import compile_sparql_encoded
+
+    with pytest.raises(ValueError, match="unbound"):
+        compile_sparql_encoded(
+            spark, SF_DIR, "SELECT ?zzz WHERE { ?c inNation ?n }"
+        ).collect()
+
+
+# ------------------------------------------------- plan equivalence
+
+
+def _op_counts(spark, name: str) -> Counter:
+    plan = (
+        SPECS[name].fn(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    ops = re.findall(r"^[\s+:*()\d-]*([A-Za-z]+)", plan, re.MULTILINE)
+    keep = {
+        "BroadcastHashJoin",
+        "SortMergeJoin",
+        "ShuffledHashJoin",
+        "BroadcastNestedLoopJoin",
+        "CartesianProduct",
+        "Exchange",
+        "Scan",
+    }
+    return Counter(o for o in ops if o in keep)
+
+
+def test_sparql_star_plan_matches_handbuilt(spark):
+    """The textual front-end must construct the same physical plan
+    skeleton as the hand-built q_bgp_star_encoded: same join
+    strategies, same exchange count, same scan count (VERDICT r5 #6
+    done-bar: 'compiles to the same plan')."""
+    assert _op_counts(spark, "q_sparql_select") == _op_counts(
+        spark, "q_bgp_star_encoded"
+    )
+
+
+def test_sparql_runs_in_encoded_space(spark):
+    """The pattern join must consume the scratch-parquet encoded store
+    (long-space joins), not the string-space triples view."""
+    plan = (
+        SPECS["q_sparql_select"].fn(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "bgp_enc" in plan  # encoded triples scratch dir
+    assert "bgp_dict" in plan  # dictionary decode joins
