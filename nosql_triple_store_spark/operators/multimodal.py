@@ -289,9 +289,10 @@ def decode_ppm_stream(payload: bytes) -> list["np.ndarray"]:
 def decode_media(payload: bytes, fmt: str):
     """Decode an image/audio payload. Real pure-numpy/stdlib decoders
     for the public container formats wav, ppm, png (DEFLATE via stdlib
-    zlib), and baseline grayscale jpeg (functions/jpeg.py); remaining
-    compressed codecs (mp3, color/progressive jpeg, video) are NOT in
-    this container and still raise."""
+    zlib), baseline grayscale AND 4:2:0 color jpeg (functions/jpeg.py
+    — routed by the SOF0 component count), and gif; remaining
+    compressed codecs (mp3, progressive jpeg, video) are NOT in this
+    container and still raise."""
     if fmt == "wav":
         return decode_wav_pcm16(payload)
     if fmt == "ppm":
@@ -299,8 +300,15 @@ def decode_media(payload: bytes, fmt: str):
     if fmt == "png":
         return decode_png(payload)
     if fmt in ("jpg", "jpeg"):
-        from ..functions.jpeg import decode_jpeg_gray
+        from ..functions.jpeg import (
+            _parse_jpeg,
+            decode_jpeg_color,
+            decode_jpeg_gray,
+        )
 
+        ncomp = len(_parse_jpeg(payload).comps)
+        if ncomp == 3:
+            return decode_jpeg_color(payload)
         return decode_jpeg_gray(payload)
     if fmt == "gif":
         from ..functions.gif import decode_gif

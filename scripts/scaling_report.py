@@ -1,0 +1,93 @@
+"""Scaling-curve report (VERDICT r5 #7): compare two BENCH_FULL
+artifacts at different scale factors and print observed per-family
+scaling vs the expected complexity class — the cheapest way to catch a
+super-linear surprise before a real cluster does.
+
+Usage:
+    python scripts/scaling_report.py BENCH_FULL_sf0.01.json BENCH_FULL.json
+
+Families are derived from query-name prefixes; expected scaling is
+annotated per family (sub-linear for k-bounded/limit queries, linear
+for scans/aggregations, documented super-linear for the O(n^2/block)
+exact twins). Output is a markdown table ready for SCALE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import sys
+from collections import defaultdict
+
+# family -> (regex over query names, expected exponent comment)
+FAMILIES = [
+    ("point/prune", r"q_(point|range_prune|shard|zorder|prefix)", "sub-linear (pruned scans)"),
+    ("lww/triple", r"q_(lww|upsert|changelog|pattern)", "linear (scan + partial agg)"),
+    ("joins", r"q_join", "linear (broadcast/bucketed; AQE skew-split)"),
+    ("tpch", r"q_tpch", "linear (scan-dominated)"),
+    ("aggregates", r"q_(agg|rollup|cube|grouping)", "linear (partial agg)"),
+    ("windows/topk", r"q_(window|topk|skyline)", "linear (bucketed windows)"),
+    ("eventtime/stream", r"q_(tumbling|sliding|session|stream)", "linear (micro-batch count fixed)"),
+    ("dedup", r"q_dedup", "~linear (banded LSH; embed exact twin O(n^2/block))"),
+    ("text", r"q_text", "linear (explode + agg)"),
+    ("vector", r"q_vector", "linear scan / sub-linear (IVF prune); kmeans k*dim stats"),
+    ("graph", r"q_graph", "iterations x linear edges (fixpoints)"),
+    ("bgp/sparql", r"q_(bgp|sparql)", "linear (encoded long-space joins)"),
+    ("multimodal", r"q_multimodal", "linear (per-doc kernels)"),
+    ("sources", r"q_(source|xml|binaryfile)", "linear (file-granular codecs)"),
+]
+
+
+def family_of(name: str) -> str:
+    for fam, pat, _ in FAMILIES:
+        if re.match(pat, name):
+            return fam
+    return "other"
+
+
+def main() -> None:
+    lo_path, hi_path = sys.argv[1], sys.argv[2]
+    lo = json.load(open(lo_path))
+    hi = json.load(open(hi_path))
+    ratio_sf = hi["sf"] / lo["sf"]
+    lo_q, hi_q = lo["queries"], hi["queries"]
+    common = sorted(set(lo_q) & set(hi_q))
+    fam_lo = defaultdict(float)
+    fam_hi = defaultdict(float)
+    fam_n = defaultdict(int)
+    for q in common:
+        f = family_of(q)
+        fam_lo[f] += lo_q[q]
+        fam_hi[f] += hi_q[q]
+        fam_n[f] += 1
+    expected = {fam: exp for fam, _, exp in FAMILIES}
+    print(
+        f"| family | n | sf{lo['sf']} sec | sf{hi['sf']} sec | "
+        f"observed x (data x{ratio_sf:g}) | expected |"
+    )
+    print("|---|---|---|---|---|---|")
+    rows = sorted(fam_lo, key=lambda f: -fam_hi[f])
+    for f in rows:
+        r = fam_hi[f] / fam_lo[f] if fam_lo[f] else float("nan")
+        print(
+            f"| {f} | {fam_n[f]} | {fam_lo[f]:.1f} | {fam_hi[f]:.1f} "
+            f"| {r:.2f}x | {expected.get(f, 'mixed')} |"
+        )
+    t_lo = sum(lo_q[q] for q in common)
+    t_hi = sum(hi_q[q] for q in common)
+    print(
+        f"| **total** | {len(common)} | {t_lo:.1f} | {t_hi:.1f} "
+        f"| {t_hi / t_lo:.2f}x | — |"
+    )
+    worst = sorted(
+        (hi_q[q] / lo_q[q], q)
+        for q in common
+        if lo_q[q] > 0.3 and hi_q[q] > 1.0
+    )[-8:]
+    print("\nLargest per-query ratios (lo>0.3s, hi>1s):")
+    for r, q in reversed(worst):
+        print(f"- {q}: {lo_q[q]:.2f}s -> {hi_q[q]:.2f}s ({r:.1f}x)")
+
+
+if __name__ == "__main__":
+    main()

@@ -178,3 +178,21 @@ def test_ppm_stream_empty_and_errors():
         decode_ppm_stream(one + b"JUNK")
     with pytest.raises(ValueError, match="truncated raster"):
         decode_ppm_stream(one[:-1])
+
+
+def test_decode_media_routes_color_jpeg():
+    import numpy as np
+
+    from nosql_triple_store_spark.functions.jpeg import encode_jpeg_ycbcr420
+    from nosql_triple_store_spark.operators.multimodal import decode_media
+
+    y = np.full((16, 16), 100, dtype=np.uint8)
+    cb = np.full((8, 8), 128 + 34, dtype=np.uint8)
+    cr = np.full((8, 8), 128 - 17, dtype=np.uint8)
+    rgb = decode_media(encode_jpeg_ycbcr420(y, cb, cr), "jpg")
+    assert rgb.shape == (16, 16, 3)
+    # constant tile -> exact reconstruction -> known conversion output
+    exp_r = int(np.floor(100 + 1.402 * -17 + 0.5))
+    exp_b = int(np.floor(100 + 1.772 * 34 + 0.5))
+    assert (rgb[:, :, 0] == exp_r).all()
+    assert (rgb[:, :, 2] == exp_b).all()
