@@ -982,3 +982,116 @@ def q_multimodal_decode_jpeg_color(
             "min_r long, max_b long"
         ),
     )
+
+
+@register(
+    "q_multimodal_video_mjpeg",
+    oracle="""
+WITH d AS (
+  SELECT doc_id,
+         16 * (1 + doc_id % 2) AS w,
+         16 AS h,
+         2 + doc_id % 3 AS nf
+  FROM documents),
+fr AS (
+  SELECT doc_id, w, h, nf, unnest(range(0, nf, 2)) AS f FROM d),
+m AS (
+  SELECT doc_id, w, h, f, unnest(range(w // 16)) AS mi FROM fr),
+yc AS (
+  SELECT doc_id, w, h, f,
+         CAST(2 * ((doc_id * 7 + f * 19 + mi * 13) % 128) AS DOUBLE) AS y,
+         CAST(17 * (((doc_id * 5 + f * 3 + mi * 11) % 15) - 7) AS DOUBLE)
+           AS cbo,
+         CAST(17 * (((doc_id * 3 + f * 5 + mi * 7) % 15) - 7) AS DOUBLE)
+           AS cro
+  FROM m),
+px AS (
+  SELECT doc_id, w, h, f,
+    LEAST(255, GREATEST(0, FLOOR(y + 1.402 * cro + 0.5))) AS r,
+    LEAST(255, GREATEST(0,
+      FLOOR(y - 0.344136 * cbo - 0.714136 * cro + 0.5))) AS g,
+    LEAST(255, GREATEST(0, FLOOR(y + 1.772 * cbo + 0.5))) AS b
+  FROM yc)
+SELECT doc_id,
+       CAST(f AS BIGINT) AS frame_idx,
+       CAST(w AS BIGINT) AS width,
+       CAST(h AS BIGINT) AS height,
+       ROUND(AVG(r), 6) AS mean_r,
+       ROUND(AVG(g), 6) AS mean_g,
+       ROUND(AVG(b), 6) AS mean_b
+FROM px GROUP BY doc_id, f, w, h
+""",
+)
+def q_multimodal_video_mjpeg(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """COMPRESSED video decode + frame sampling end-to-end: per doc,
+    render 2-4 color frames as constant-MCU-tile YCbCr patterns,
+    encode each as a REAL baseline 4:2:0 JPEG, wrap them in a REAL
+    AVI/RIFF MJPEG container (functions/avi.py), then decode the
+    container back — RIFF walk, strf/MJPG validation, per-frame JPEG
+    decode through the independent marker-walking decoder — keep every
+    2nd frame, and derive per-frame RGB means from the decoded rasters
+    ONLY. Upgrades the video leg from the uncompressed concatenated-PPM
+    stream (q_multimodal_video_decode) to the compressed container a
+    camera corpus actually ships.
+
+    Exactness: constant tiles + quantum-aligned values reconstruct the
+    YCbCr planes bit-for-bit (q_multimodal_decode_jpeg_color contract)
+    and FLOOR(x+0.5) conversion is SQL-reproducible, so the oracle
+    recomputes sampled-frame stats analytically. A RIFF length slip,
+    chunk misalignment (odd-length JPEG payloads exercise the word-
+    alignment pad), frame-order bug, or any JPEG-layer error breaks
+    the hash match. MJPEG frames are independent, so at 100 TB the
+    payloads split at any frame boundary and decode embarrassingly
+    parallel inside the Arrow kernel — no shuffle until the tiny stats
+    rows."""
+    from ..functions.avi import decode_avi_mjpeg, encode_avi_mjpeg
+    from ..functions.jpeg import decode_jpeg_color, encode_jpeg_ycbcr420
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "doc_id": [], "frame_idx": [], "width": [], "height": [],
+                "mean_r": [], "mean_g": [], "mean_b": [],
+            }
+            for doc_id in pdf["doc_id"]:
+                w, h = 16 * (1 + doc_id % 2), 16
+                nf = 2 + doc_id % 3
+                jpegs = []
+                for f in range(nf):
+                    y = np.zeros((h, w), dtype=np.uint8)
+                    cb = np.zeros((h // 2, w // 2), dtype=np.uint8)
+                    cr = np.zeros((h // 2, w // 2), dtype=np.uint8)
+                    for mi in range(w // 16):
+                        y[:, mi * 16 : mi * 16 + 16] = 2 * (
+                            (doc_id * 7 + f * 19 + mi * 13) % 128
+                        )
+                        cb[:, mi * 8 : mi * 8 + 8] = 128 + 17 * (
+                            (doc_id * 5 + f * 3 + mi * 11) % 15 - 7
+                        )
+                        cr[:, mi * 8 : mi * 8 + 8] = 128 + 17 * (
+                            (doc_id * 3 + f * 5 + mi * 7) % 15 - 7
+                        )
+                    jpegs.append(encode_jpeg_ycbcr420(y, cb, cr))
+                payload = encode_avi_mjpeg(jpegs, w, h)
+                aw, ah, frames = decode_avi_mjpeg(payload)
+                for idx in range(0, len(frames), 2):
+                    rgb = decode_jpeg_color(frames[idx]).astype(np.float64)
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(idx)
+                    out["width"].append(aw)
+                    out["height"].append(ah)
+                    out["mean_r"].append(round(float(rgb[:, :, 0].mean()), 6))
+                    out["mean_g"].append(round(float(rgb[:, :, 1].mean()), 6))
+                    out["mean_b"].append(round(float(rgb[:, :, 2].mean()), 6))
+            yield pd.DataFrame(out)
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.repartition(fanout_width(spark)).mapInPandas(
+        kernel,
+        schema=(
+            "doc_id long, frame_idx long, width long, height long, "
+            "mean_r double, mean_g double, mean_b double"
+        ),
+    )
