@@ -91,6 +91,16 @@ def main() -> None:
     t0 = time.perf_counter()
     encoded_store(spark, sf_dir)
     layout["bgp_encoded_store"] = round(time.perf_counter() - t0, 4)
+    # IVF coarse-codebook training (q_vector_ivfpq) is index-build ETL
+    # like the layouts above: k-means over the corpus, cached per
+    # sf_dir, amortized across every search the index serves
+    from nosql_triple_store_spark.operators.vector_ext9 import (
+        _coarse_centroids,
+    )
+
+    t0 = time.perf_counter()
+    _coarse_centroids(spark, sf_dir)
+    layout["ivf_coarse_codebook"] = round(time.perf_counter() - t0, 4)
 
     # Heap-sensitive heavy queries get a JVM full-GC immediately before
     # they run (outside their timed region): the wedge joins are

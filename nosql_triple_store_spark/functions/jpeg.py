@@ -16,7 +16,12 @@ Implements the public ITU-T T.81 (JPEG) spec, baseline DCT mode:
   (MCU = 4 luma blocks + Cb + Cr, per-component DC predictors), the
   layout virtually every camera/web JPEG uses, plus BT.601/JFIF
   YCbCr<->RGB conversion with half-up rounding (chosen over banker's
-  rounding so an ANSI-SQL oracle can reproduce it with FLOOR(x+0.5)).
+  rounding so an ANSI-SQL oracle can reproduce it with FLOOR(x+0.5)),
+- PROGRESSIVE mode (SOF2) with spectral selection: multi-scan parse,
+  per-scan coefficient accumulation with EOB-run handling, interleaved
+  DC scan + per-component AC band scans (successive approximation is
+  rejected loudly; same reconstruction as baseline by construction
+  since the quantizer is shared).
 
 Lossy in general — but a plane whose 8x8 blocks are CONSTANT with a
 level-shift divisible by the DC quantum round-trips EXACTLY (the only
@@ -431,6 +436,165 @@ def encode_jpeg_ycbcr420(
     )
 
 
+def _quantized_blocks(shifted: np.ndarray, qt: np.ndarray) -> np.ndarray:
+    """Level-shifted plane -> (bh, bw, 64) zigzag quantized coefs."""
+    h, w = shifted.shape
+    bh, bw = h // 8, w // 8
+    out = np.empty((bh, bw, 64), dtype=np.int64)
+    for by in range(bh):
+        for bx in range(bw):
+            block = shifted[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+            q = np.rint((_D @ block @ _D.T) / qt).astype(np.int64)
+            out[by, bx] = q.reshape(64)[ZIGZAG]
+    return out
+
+
+def _write_dc(bw: _BitWriter, diff: int, dc_enc) -> None:
+    s = _category(diff)
+    bw.write(*dc_enc[s])
+    if s:
+        bw.write(_amplitude_bits(diff, s), s)
+
+
+def _write_ac_band(bw: _BitWriter, zz, ss: int, se: int, ac_enc) -> None:
+    """Run-length code coefficients zz[ss..se]; a trailing zero run is
+    EOB0 (a progressive EOB run of exactly one block — bit-identical
+    to the baseline EOB symbol)."""
+    run = 0
+    for k in range(ss, se + 1):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            bw.write(*ac_enc[0xF0])  # ZRL
+            run -= 16
+        s = _category(v)
+        bw.write(*ac_enc[(run << 4) | s])
+        bw.write(_amplitude_bits(v, s), s)
+        run = 0
+    if run:
+        bw.write(*ac_enc[0x00])  # EOB0
+
+
+def _sos(comps: list[tuple[int, int, int]], ss: int, se: int) -> bytes:
+    """SOS segment: [(comp_id, td, ta)], band [ss, se], Ah=Al=0."""
+    body = bytes([len(comps)])
+    for cid, td, ta in comps:
+        body += bytes([cid, (td << 4) | ta])
+    return _seg(0xFFDA, body + bytes([ss, se, 0]))
+
+
+def encode_jpeg_gray_progressive(pixels: np.ndarray) -> bytes:
+    """Encode an (h, w) uint8 grayscale image as PROGRESSIVE (SOF2)
+    JFIF with spectral selection: scan 1 delivers every block's DC,
+    scan 2 the full AC band — the two-pass structure progressive web
+    JPEGs use (minus successive approximation). Same quantizer and
+    Huffman tables as the baseline encoder, so the constant-block
+    exactness contract carries over verbatim."""
+    h, w = pixels.shape
+    if h % 8 or w % 8:
+        raise ValueError("encode_jpeg_gray_progressive needs x8 dims")
+    zz = _quantized_blocks(pixels.astype(np.float64) - 128.0, QUANT_LUMA)
+    bh, bw_ = zz.shape[:2]
+    dc_w = _BitWriter()
+    prev = 0
+    for by in range(bh):
+        for bx in range(bw_):
+            _write_dc(dc_w, int(zz[by, bx, 0]) - prev, _DC_ENC)
+            prev = int(zz[by, bx, 0])
+    ac_w = _BitWriter()
+    for by in range(bh):
+        for bx in range(bw_):
+            _write_ac_band(ac_w, zz[by, bx], 1, 63, _AC_ENC)
+    dqt = _seg(
+        0xFFDB,
+        b"\x00" + QUANT_LUMA.reshape(64)[ZIGZAG].astype(np.uint8).tobytes(),
+    )
+    sof = _seg(
+        0xFFC2, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0])
+    )
+    dht = _seg(0xFFC4, b"\x00" + bytes(DC_BITS) + bytes(DC_VALS)) + _seg(
+        0xFFC4, b"\x10" + bytes(AC_BITS) + bytes(AC_VALS)
+    )
+    return (
+        b"\xff\xd8" + _APP0 + dqt + sof + dht
+        + _sos([(1, 0, 0)], 0, 0) + dc_w.flush()
+        + _sos([(1, 0, 0)], 1, 63) + ac_w.flush()
+        + b"\xff\xd9"
+    )
+
+
+def encode_jpeg_ycbcr420_progressive(
+    y: np.ndarray, cb: np.ndarray, cr: np.ndarray
+) -> bytes:
+    """Progressive (SOF2) 4:2:0 color encode, spectral selection:
+    scan 1 is the interleaved DC pass over MCUs (4 luma + Cb + Cr DC
+    diffs with per-component predictors), scans 2-4 are per-component
+    AC band passes in each component's own raster order (T.81 G.1.1:
+    progressive AC scans are non-interleaved). Table choices match the
+    baseline color encoder."""
+    h, w = y.shape
+    if h % 16 or w % 16:
+        raise ValueError("encode_jpeg_ycbcr420_progressive needs x16 dims")
+    if cb.shape != (h // 2, w // 2) or cr.shape != (h // 2, w // 2):
+        raise ValueError("cb/cr must be half-size planes")
+    zzy = _quantized_blocks(y.astype(np.float64) - 128.0, QUANT_LUMA)
+    zzcb = _quantized_blocks(cb.astype(np.float64) - 128.0, QUANT_CHROMA)
+    zzcr = _quantized_blocks(cr.astype(np.float64) - 128.0, QUANT_CHROMA)
+    mcuy, mcux = h // 16, w // 16
+    dc_w = _BitWriter()
+    preds = [0, 0, 0]
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for by in (0, 1):
+                for bx in (0, 1):
+                    v = int(zzy[my * 2 + by, mx * 2 + bx, 0])
+                    _write_dc(dc_w, v - preds[0], _DC_ENC)
+                    preds[0] = v
+            v = int(zzcb[my, mx, 0])
+            _write_dc(dc_w, v - preds[1], _DC_CHROMA_ENC)
+            preds[1] = v
+            v = int(zzcr[my, mx, 0])
+            _write_dc(dc_w, v - preds[2], _DC_CHROMA_ENC)
+            preds[2] = v
+    ac_streams = []
+    for zz, enc in ((zzy, _AC_ENC), (zzcb, _AC_CHROMA_ENC), (zzcr, _AC_CHROMA_ENC)):
+        wtr = _BitWriter()
+        for by in range(zz.shape[0]):
+            for bx in range(zz.shape[1]):
+                _write_ac_band(wtr, zz[by, bx], 1, 63, enc)
+        ac_streams.append(wtr.flush())
+    dqt = _seg(
+        0xFFDB,
+        b"\x00"
+        + QUANT_LUMA.reshape(64)[ZIGZAG].astype(np.uint8).tobytes()
+        + b"\x01"
+        + QUANT_CHROMA.reshape(64)[ZIGZAG].astype(np.uint8).tobytes(),
+    )
+    sof = _seg(
+        0xFFC2,
+        struct.pack(">BHHB", 8, h, w, 3)
+        + bytes([1, 0x22, 0])
+        + bytes([2, 0x11, 1])
+        + bytes([3, 0x11, 1]),
+    )
+    dht = (
+        _seg(0xFFC4, b"\x00" + bytes(DC_BITS) + bytes(DC_VALS))
+        + _seg(0xFFC4, b"\x10" + bytes(AC_BITS) + bytes(AC_VALS))
+        + _seg(0xFFC4, b"\x01" + bytes(DC_CHROMA_BITS) + bytes(DC_CHROMA_VALS))
+        + _seg(0xFFC4, b"\x11" + bytes(AC_CHROMA_BITS) + bytes(AC_CHROMA_VALS))
+    )
+    return (
+        b"\xff\xd8" + _APP0 + dqt + sof + dht
+        + _sos([(1, 0, 0), (2, 1, 1), (3, 1, 1)], 0, 0) + dc_w.flush()
+        + _sos([(1, 0, 0)], 1, 63) + ac_streams[0]
+        + _sos([(2, 1, 1)], 1, 63) + ac_streams[1]
+        + _sos([(3, 1, 1)], 1, 63) + ac_streams[2]
+        + b"\xff\xd9"
+    )
+
+
 def rgb_to_ycbcr420(rgb: np.ndarray):
     """(h, w, 3) uint8 RGB -> (y, cb, cr) planes with 2x2 chroma
     box-average subsampling; BT.601/JFIF full-range matrix, half-up
@@ -466,9 +630,24 @@ def ycbcr_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray):
     return np.clip(np.floor(out + 0.5), 0, 255).astype(np.uint8)
 
 
+class _Scan:
+    """One SOS header + its entropy-coded data: component selectors
+    with table ids, spectral band [ss, se], successive-approximation
+    bit positions (ah, al)."""
+
+    def __init__(self, comps, ss, se, ah, al, data):
+        self.comps = comps  # [(comp_index, td, ta)]
+        self.ss = ss
+        self.se = se
+        self.ah = ah
+        self.al = al
+        self.data = data
+
+
 class _Frame:
-    """Parsed pre-scan state: quant/Huffman tables, SOF0 geometry and
-    component specs, SOS parameters and scan-data offset."""
+    """Parsed stream state: quant/Huffman tables, SOF0/SOF2 geometry
+    and component specs, and ALL scans (baseline has one, progressive
+    several)."""
 
     def __init__(self):
         self.quant = {}
@@ -476,14 +655,36 @@ class _Frame:
         self.ac_dec = {}
         self.h = self.w = None
         self.comps = []  # [(comp_id, hi, vi, tq)]
-        self.scan = None  # [(comp_index, td, ta)]
-        self.scan_data = None
+        self.progressive = False
+        self.scans: list[_Scan] = []
+        self.scan = None  # legacy: scans[0].comps
+        self.scan_data = None  # legacy: scans[0].data
+
+
+def _entropy_end(payload: bytes, start: int) -> int:
+    """Index just past the entropy-coded data beginning at start:
+    the next 0xFF byte not followed by 0x00 (stuffing)."""
+    i = start
+    n = len(payload)
+    while i < n - 1:
+        if payload[i] == 0xFF:
+            nxt = payload[i + 1]
+            if nxt == 0x00:
+                i += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:
+                raise ValueError("restart markers inside scan unsupported")
+            return i
+        i += 1
+    raise ValueError("entropy-coded segment missing terminating marker")
 
 
 def _parse_jpeg(payload: bytes) -> _Frame:
-    """Marker walk up to and including SOS; every malformed or
-    unsupported structure raises ValueError with a descriptive message
-    ('rejects loudly' contract, hardened per ADVICE r5)."""
+    """Marker walk over the whole stream (all scans); every malformed
+    or unsupported structure raises ValueError with a descriptive
+    message ('rejects loudly' contract, hardened per ADVICE r5).
+    Accepts baseline SOF0 and progressive SOF2 (spectral selection;
+    successive approximation rejected at decode)."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     fr = _Frame()
@@ -493,6 +694,8 @@ def _parse_jpeg(payload: bytes) -> _Frame:
             raise ValueError(f"expected marker at byte {pos}")
         marker = struct.unpack(">H", payload[pos : pos + 2])[0]
         if marker == 0xFFD9:
+            if fr.scans:
+                break
             raise ValueError("EOI before SOS")
         pos += 2
         if pos + 2 > len(payload):
@@ -513,7 +716,8 @@ def _parse_jpeg(payload: bytes) -> _Frame:
                 )
                 fr.quant[tq] = tbl.reshape(8, 8)
                 o += 65
-        elif marker == 0xFFC0:
+        elif marker in (0xFFC0, 0xFFC2):
+            fr.progressive = marker == 0xFFC2
             _, fr.h, fr.w, ncomp = struct.unpack(">BHHB", body[:6])
             if ncomp not in (1, 3):
                 raise ValueError(
@@ -521,7 +725,7 @@ def _parse_jpeg(payload: bytes) -> _Frame:
                     "YCbCr only)"
                 )
             if len(body) < 6 + 3 * ncomp:
-                raise ValueError("truncated SOF0 segment")
+                raise ValueError("truncated SOF segment")
             fr.comps = [
                 (
                     body[6 + 3 * i],
@@ -531,8 +735,10 @@ def _parse_jpeg(payload: bytes) -> _Frame:
                 )
                 for i in range(ncomp)
             ]
-        elif marker in (0xFFC1, 0xFFC2, 0xFFC3):
-            raise ValueError("only baseline sequential (SOF0) supported")
+        elif marker in (0xFFC1, 0xFFC3):
+            raise ValueError(
+                "only baseline (SOF0) and progressive (SOF2) supported"
+            )
         elif marker == 0xFFC4:
             o = 0
             while o < len(body):
@@ -552,13 +758,16 @@ def _parse_jpeg(payload: bytes) -> _Frame:
             if fr.h is None:
                 raise ValueError("SOS before SOF0 (no frame header)")
             ns = body[0]
-            if ns != len(fr.comps):
+            if ns > len(fr.comps) or ns < 1:
+                raise ValueError(f"scan has invalid component count {ns}")
+            if not fr.progressive and ns != len(fr.comps):
                 raise ValueError(
                     f"scan has {ns} components, frame has "
-                    f"{len(fr.comps)} (non-interleaved unsupported)"
+                    f"{len(fr.comps)} (non-interleaved baseline "
+                    "unsupported)"
                 )
             ids = {c[0]: i for i, c in enumerate(fr.comps)}
-            fr.scan = []
+            scomps = []
             for i in range(ns):
                 cid = body[1 + 2 * i]
                 if cid not in ids:
@@ -569,15 +778,40 @@ def _parse_jpeg(payload: bytes) -> _Frame:
                 tq = fr.comps[ci][3]
                 if tq not in fr.quant:
                     raise ValueError(f"missing DQT table {tq}")
-                if td not in fr.dc_dec:
+                scomps.append((ci, td, ta))
+            if len(body) < 1 + 2 * ns + 3:
+                raise ValueError("truncated SOS header")
+            ss = body[1 + 2 * ns]
+            se = body[2 + 2 * ns]
+            ahal = body[3 + 2 * ns]
+            # table-presence checks depend on the band: DC scans need
+            # the DC table, AC scans the AC table
+            for ci, td, ta in scomps:
+                if ss == 0 and td not in fr.dc_dec:
                     raise ValueError(f"missing DC Huffman table {td}")
-                if ta not in fr.ac_dec:
+                if se > 0 and ta not in fr.ac_dec:
                     raise ValueError(f"missing AC Huffman table {ta}")
-                fr.scan.append((ci, td, ta))
-            fr.scan_data = payload[pos + ln :]
-            return fr
+            data_start = pos + ln
+            if fr.progressive:
+                data_end = _entropy_end(payload, data_start)
+            else:
+                data_end = len(payload)
+            fr.scans.append(
+                _Scan(
+                    scomps, ss, se, ahal >> 4, ahal & 0xF,
+                    payload[data_start:data_end],
+                )
+            )
+            if not fr.progressive:
+                break
+            pos = data_end
+            continue
         pos += ln
-    raise ValueError("no SOS segment found")
+    if not fr.scans:
+        raise ValueError("no SOS segment found")
+    fr.scan = fr.scans[0].comps
+    fr.scan_data = fr.scans[0].data
+    return fr
 
 
 def _decode_block(br, dc_tbl, ac_tbl, qt, prev_dc: int):
@@ -610,15 +844,21 @@ def _decode_block(br, dc_tbl, ac_tbl, qt, prev_dc: int):
 
 
 def decode_jpeg_gray(payload: bytes) -> np.ndarray:
-    """Decode a baseline single-component JPEG to (h, w) uint8.
-    Color (use decode_jpeg_color), progressive, or restart-marker
-    scans raise."""
+    """Decode a single-component JPEG — baseline (SOF0) or
+    spectral-selection progressive (SOF2) — to (h, w) uint8. Color
+    (use decode_jpeg_color) and restart-marker scans raise."""
     fr = _parse_jpeg(payload)
     if len(fr.comps) != 1:
         raise ValueError(
             "decode_jpeg_gray: multi-component scan — use "
             "decode_jpeg_color for YCbCr JPEGs"
         )
+    if fr.progressive:
+        coefs = _decode_progressive_coefs(fr)[0]
+        plane = _idct_plane(coefs, fr.quant[fr.comps[0][3]])
+        return np.clip(np.rint(plane + 128.0), 0, 255).astype(np.uint8)[
+            : fr.h, : fr.w
+        ]
     ci, td, ta = fr.scan[0]
     qt = fr.quant[fr.comps[ci][3]]
     dc_tbl, ac_tbl = fr.dc_dec[td], fr.ac_dec[ta]
@@ -635,9 +875,10 @@ def decode_jpeg_gray(payload: bytes) -> np.ndarray:
 
 
 def decode_jpeg_ycbcr420(payload: bytes):
-    """Decode a baseline 4:2:0 YCbCr JPEG to (y, cb, cr) uint8 planes
-    (cb/cr at half resolution, no upsampling applied). Raises on any
-    sampling layout other than Y=2x2, Cb=Cr=1x1."""
+    """Decode a 4:2:0 YCbCr JPEG — baseline (SOF0) or spectral-
+    selection progressive (SOF2) — to (y, cb, cr) uint8 planes (cb/cr
+    at half resolution, no upsampling applied). Raises on any sampling
+    layout other than Y=2x2, Cb=Cr=1x1."""
     fr = _parse_jpeg(payload)
     if len(fr.comps) != 3:
         raise ValueError("decode_jpeg_ycbcr420 needs a 3-component scan")
@@ -648,6 +889,19 @@ def decode_jpeg_ycbcr420(payload: bytes):
             "(Y 2x2, Cb/Cr 1x1) is implemented"
         )
     h, w = fr.h, fr.w
+    if fr.progressive:
+        coefs = _decode_progressive_coefs(fr)
+        u8p = lambda p: np.clip(  # noqa: E731
+            np.rint(p + 128.0), 0, 255
+        ).astype(np.uint8)
+        yp = u8p(_idct_plane(coefs[0], fr.quant[fr.comps[0][3]]))
+        cbp = u8p(_idct_plane(coefs[1], fr.quant[fr.comps[1][3]]))
+        crp = u8p(_idct_plane(coefs[2], fr.quant[fr.comps[2][3]]))
+        return (
+            yp[:h, :w],
+            cbp[: (h + 1) // 2, : (w + 1) // 2],
+            crp[: (h + 1) // 2, : (w + 1) // 2],
+        )
     mh, mw = (h + 15) // 16, (w + 15) // 16
     y = np.empty((mh * 16, mw * 16), dtype=np.float64)
     cbp = np.empty((mh * 8, mw * 8), dtype=np.float64)
@@ -685,6 +939,111 @@ def decode_jpeg_ycbcr420(payload: bytes):
         u8(cbp)[: (h + 1) // 2, : (w + 1) // 2],
         u8(crp)[: (h + 1) // 2, : (w + 1) // 2],
     )
+
+
+def _decode_progressive_coefs(fr: _Frame):
+    """Run every progressive scan, accumulating quantized DCT
+    coefficients per component. Supports spectral selection with
+    Ah=Al=0 (successive approximation rejected loudly); DC scans may
+    be interleaved or single-component, AC scans are single-component
+    per T.81 G.1.1. Returns {ci: (bh, bw, 64) int64 zigzag coefs}."""
+    hmax = max(c[1] for c in fr.comps)
+    vmax = max(c[2] for c in fr.comps)
+    mcux = (fr.w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (fr.h + 8 * vmax - 1) // (8 * vmax)
+    dims = {}
+    for ci, (_, hi, vi, _) in enumerate(fr.comps):
+        # component's own raster dims (non-interleaved scans) — for
+        # the MCU-aligned sizes this codec emits they equal the
+        # interleaved padded dims
+        cw = (fr.w * hi + hmax - 1) // hmax
+        ch = (fr.h * vi + vmax - 1) // vmax
+        dims[ci] = ((ch + 7) // 8, (cw + 7) // 8)
+    coefs = {
+        ci: np.zeros((mcuy * fr.comps[ci][2], mcux * fr.comps[ci][1], 64),
+                     dtype=np.int64)
+        for ci in dims
+    }
+    for scan in fr.scans:
+        if scan.ah or scan.al:
+            raise ValueError(
+                "successive-approximation progressive scans unsupported "
+                "(spectral selection only)"
+            )
+        br = _BitReader(scan.data)
+        if scan.ss == 0:
+            if scan.se != 0:
+                raise ValueError("progressive DC scan must have Se=0")
+            preds = {ci: 0 for ci, _, _ in scan.comps}
+            if len(scan.comps) > 1:  # interleaved MCU order
+                for _my in range(mcuy):
+                    for _mx in range(mcux):
+                        for ci, td, _ta in scan.comps:
+                            _, hi, vi, _ = fr.comps[ci]
+                            for by in range(vi):
+                                for bx in range(hi):
+                                    s = br.huff(fr.dc_dec[td])
+                                    diff = (
+                                        _extend(br.bits(s), s) if s else 0
+                                    )
+                                    preds[ci] += diff
+                                    coefs[ci][
+                                        _my * vi + by, _mx * hi + bx, 0
+                                    ] = preds[ci]
+            else:  # single component, its own raster order
+                ci, td, _ta = scan.comps[0]
+                bh, bw = dims[ci]
+                for by in range(bh):
+                    for bx in range(bw):
+                        s = br.huff(fr.dc_dec[td])
+                        diff = _extend(br.bits(s), s) if s else 0
+                        preds[ci] += diff
+                        coefs[ci][by, bx, 0] = preds[ci]
+        else:  # AC band scan: single component per spec
+            if len(scan.comps) != 1:
+                raise ValueError("progressive AC scan must be 1-component")
+            ci, _td, ta = scan.comps[0]
+            ac = fr.ac_dec[ta]
+            bh, bw = dims[ci]
+            eobrun = 0
+            for by in range(bh):
+                for bx in range(bw):
+                    if eobrun:
+                        eobrun -= 1
+                        continue
+                    k = scan.ss
+                    while k <= scan.se:
+                        sym = br.huff(ac)
+                        r, s = sym >> 4, sym & 0xF
+                        if s == 0:
+                            if r == 15:
+                                k += 16  # ZRL
+                                continue
+                            # EOBn: run of 2^r + appended bits blocks
+                            eobrun = (1 << r) - 1
+                            if r:
+                                eobrun += br.bits(r)
+                            break
+                        k += r
+                        if k > scan.se:
+                            raise ValueError("AC run overflows band")
+                        coefs[ci][by, bx, k] = _extend(br.bits(s), s)
+                        k += 1
+    return coefs
+
+
+def _idct_plane(coefs: np.ndarray, qt: np.ndarray) -> np.ndarray:
+    """(bh, bw, 64) zigzag coefs -> (bh*8, bw*8) float sample plane."""
+    bh, bw, _ = coefs.shape
+    out = np.empty((bh * 8, bw * 8), dtype=np.float64)
+    for by in range(bh):
+        for bx in range(bw):
+            coef = np.zeros(64, dtype=np.float64)
+            coef[ZIGZAG] = coefs[by, bx]
+            out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                _D.T @ (coef.reshape(8, 8) * qt) @ _D
+            )
+    return out
 
 
 def decode_jpeg_color(payload: bytes) -> np.ndarray:

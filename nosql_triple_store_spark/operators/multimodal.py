@@ -289,10 +289,11 @@ def decode_ppm_stream(payload: bytes) -> list["np.ndarray"]:
 def decode_media(payload: bytes, fmt: str):
     """Decode an image/audio payload. Real pure-numpy/stdlib decoders
     for the public container formats wav, ppm, png (DEFLATE via stdlib
-    zlib), baseline grayscale AND 4:2:0 color jpeg (functions/jpeg.py
-    — routed by the SOF0 component count), and gif; remaining
-    compressed codecs (mp3, progressive jpeg, video) are NOT in this
-    container and still raise."""
+    zlib), jpeg — baseline grayscale, baseline 4:2:0 color, and
+    spectral-selection progressive color (functions/jpeg.py, routed by
+    the SOF marker + component count) — and gif; remaining compressed
+    codecs (mp3, h264-class video) are NOT in this container and still
+    raise (MJPEG video has a real path via functions/avi.py)."""
     if fmt == "wav":
         return decode_wav_pcm16(payload)
     if fmt == "ppm":

@@ -1095,3 +1095,106 @@ def q_multimodal_video_mjpeg(
             "mean_r double, mean_g double, mean_b double"
         ),
     )
+
+
+@register(
+    "q_multimodal_decode_jpeg_progressive",
+    oracle="""
+WITH d AS (
+  SELECT doc_id,
+         16 * (1 + doc_id % 2) AS w,
+         16 * (1 + doc_id % 3) AS h
+  FROM documents),
+m AS (
+  SELECT doc_id, w, h,
+         unnest(range((w // 16) * (h // 16))) AS mi
+  FROM d),
+yc AS (
+  SELECT doc_id, w, h,
+         CAST(2 * ((doc_id * 11 + mi * 17) % 128) AS DOUBLE) AS y,
+         CAST(17 * (((doc_id * 7 + mi * 5) % 15) - 7) AS DOUBLE) AS cbo,
+         CAST(17 * (((doc_id * 13 + mi * 3) % 15) - 7) AS DOUBLE) AS cro
+  FROM m),
+px AS (
+  SELECT doc_id, w, h,
+    LEAST(255, GREATEST(0, FLOOR(y + 1.402 * cro + 0.5))) AS r,
+    LEAST(255, GREATEST(0,
+      FLOOR(y - 0.344136 * cbo - 0.714136 * cro + 0.5))) AS g,
+    LEAST(255, GREATEST(0, FLOOR(y + 1.772 * cbo + 0.5))) AS b
+  FROM yc)
+SELECT doc_id,
+       CAST(w AS BIGINT) AS width,
+       CAST(h AS BIGINT) AS height,
+       ROUND(AVG(r), 6) AS mean_r,
+       ROUND(AVG(g), 6) AS mean_g,
+       CAST(MIN(b) AS BIGINT) AS min_b,
+       CAST(MAX(r) AS BIGINT) AS max_r
+FROM px GROUP BY doc_id, w, h
+""",
+)
+def q_multimodal_decode_jpeg_progressive(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PROGRESSIVE (SOF2) color JPEG decode end-to-end: per doc, the
+    constant-MCU YCbCr pattern is encoded as a spectral-selection
+    progressive file — interleaved DC scan, then three per-component
+    AC band scans (functions/jpeg.py encode_jpeg_ycbcr420_progressive)
+    — and decoded back through the multi-scan parser + coefficient
+    accumulator (_decode_progressive_coefs): per-scan bit streams,
+    per-component DC predictors, EOB-run handling, then one IDCT over
+    the accumulated coefficients. RGB stats come from the decoded
+    raster ONLY; the analytic oracle is exact for the same reason as
+    the baseline color query (DC-only blocks, quantum-aligned values,
+    SQL-reproducible FLOOR(x+0.5) conversion). A scan-ordering bug,
+    band mis-accumulation, non-interleaved raster mixup, or EOB-run
+    slip breaks the hash match. Progressive is what web CDNs serve —
+    with this the engine decodes baseline gray, baseline 4:2:0 color,
+    AND progressive color from the same `decode_media` router."""
+    from ..functions.jpeg import (
+        decode_jpeg_color,
+        encode_jpeg_ycbcr420_progressive,
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "doc_id": [], "width": [], "height": [],
+                "mean_r": [], "mean_g": [], "min_b": [], "max_r": [],
+            }
+            for doc_id in pdf["doc_id"]:
+                w, h = 16 * (1 + doc_id % 2), 16 * (1 + doc_id % 3)
+                y = np.zeros((h, w), dtype=np.uint8)
+                cb = np.zeros((h // 2, w // 2), dtype=np.uint8)
+                cr = np.zeros((h // 2, w // 2), dtype=np.uint8)
+                mi = 0
+                for my in range(0, h, 16):
+                    for mx in range(0, w, 16):
+                        y[my : my + 16, mx : mx + 16] = 2 * (
+                            (doc_id * 11 + mi * 17) % 128
+                        )
+                        cb[my // 2 : my // 2 + 8, mx // 2 : mx // 2 + 8] = (
+                            128 + 17 * ((doc_id * 7 + mi * 5) % 15 - 7)
+                        )
+                        cr[my // 2 : my // 2 + 8, mx // 2 : mx // 2 + 8] = (
+                            128 + 17 * ((doc_id * 13 + mi * 3) % 15 - 7)
+                        )
+                        mi += 1
+                payload = encode_jpeg_ycbcr420_progressive(y, cb, cr)
+                rgb = decode_jpeg_color(payload).astype(np.float64)
+                out["doc_id"].append(doc_id)
+                out["width"].append(rgb.shape[1])
+                out["height"].append(rgb.shape[0])
+                out["mean_r"].append(round(float(rgb[:, :, 0].mean()), 6))
+                out["mean_g"].append(round(float(rgb[:, :, 1].mean()), 6))
+                out["min_b"].append(int(rgb[:, :, 2].min()))
+                out["max_r"].append(int(rgb[:, :, 0].max()))
+            yield pd.DataFrame(out)
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.repartition(fanout_width(spark)).mapInPandas(
+        kernel,
+        schema=(
+            "doc_id long, width long, height long, "
+            "mean_r double, mean_g double, min_b long, max_r long"
+        ),
+    )

@@ -181,3 +181,114 @@ def test_error_paths_raise_valueerror_not_internal():
     sos = payload.find(b"\xff\xda")
     with pytest.raises(ValueError):
         decode_jpeg_color(bytes(payload[: sos + 40]))
+
+
+def test_progressive_gray_exact_and_equals_baseline():
+    from nosql_triple_store_spark.functions.jpeg import (
+        decode_jpeg_gray,
+        encode_jpeg_gray,
+        encode_jpeg_gray_progressive,
+    )
+
+    img = _block_image(7)
+    assert np.array_equal(
+        decode_jpeg_gray(encode_jpeg_gray_progressive(img)), img
+    )
+    # same quantizer => progressive reconstruction == baseline's,
+    # even on a lossy gradient
+    grad = np.linspace(0, 255, 16 * 24).reshape(16, 24).astype(np.uint8)
+    assert np.array_equal(
+        decode_jpeg_gray(encode_jpeg_gray_progressive(grad)),
+        decode_jpeg_gray(encode_jpeg_gray(grad)),
+    )
+
+
+def test_progressive_color_planes_exact_and_equals_baseline():
+    from nosql_triple_store_spark.functions.jpeg import (
+        decode_jpeg_color,
+        decode_jpeg_ycbcr420,
+        encode_jpeg_ycbcr420,
+        encode_jpeg_ycbcr420_progressive,
+        rgb_to_ycbcr420,
+    )
+
+    y, cb, cr = _color_planes(4)
+    y2, cb2, cr2 = decode_jpeg_ycbcr420(
+        encode_jpeg_ycbcr420_progressive(y, cb, cr)
+    )
+    assert np.array_equal(y2, y)
+    assert np.array_equal(cb2, cb)
+    assert np.array_equal(cr2, cr)
+    h, w = 32, 32
+    rgb = np.linspace(0, 255, h * w * 3).reshape(h, w, 3).astype(np.uint8)
+    yy, cc, rr = rgb_to_ycbcr420(rgb)
+    assert np.array_equal(
+        decode_jpeg_color(encode_jpeg_ycbcr420_progressive(yy, cc, rr)),
+        decode_jpeg_color(encode_jpeg_ycbcr420(yy, cc, rr)),
+    )
+
+
+def test_progressive_eobrun_spanning_blocks():
+    """EOBn with r>0 (an EOB run covering several blocks) needs a
+    custom AC Huffman table — the standard K.5 table has no EOB1+
+    symbols — so build a minimal 4-block progressive stream by hand:
+    DC scan with 4 zero diffs, AC scan = two EOB1 runs (2 blocks
+    each). The decoder must skip the covered blocks, leaving all-DC."""
+    import struct as st
+
+    from nosql_triple_store_spark.functions.jpeg import (
+        DC_BITS,
+        DC_VALS,
+        QUANT_LUMA,
+        ZIGZAG,
+        _BitWriter,
+        _build_huffman,
+        _seg,
+        decode_jpeg_gray,
+    )
+
+    dc_enc = _build_huffman(DC_BITS, DC_VALS)
+    # custom AC table: two 1/2-bit codes for EOB0 (0x00) and EOB1 (0x10)
+    ac_bits = [1, 1] + [0] * 14
+    ac_vals = [0x00, 0x10]
+    ac_enc = _build_huffman(ac_bits, ac_vals)
+
+    dqt = _seg(
+        0xFFDB,
+        b"\x00" + QUANT_LUMA.reshape(64)[ZIGZAG].astype(np.uint8).tobytes(),
+    )
+    sof = _seg(0xFFC2, st.pack(">BHHB", 8, 8, 32, 1) + bytes([1, 0x11, 0]))
+    dht = _seg(0xFFC4, b"\x00" + bytes(DC_BITS) + bytes(DC_VALS)) + _seg(
+        0xFFC4, b"\x10" + bytes(ac_bits) + bytes(ac_vals)
+    )
+    dc_w = _BitWriter()
+    for _ in range(4):  # 4 blocks, DC diff 0 (category 0)
+        dc_w.write(*dc_enc[0])
+    ac_w = _BitWriter()
+    for _ in range(2):  # EOB1: run = 2 blocks (1 appended bit = 0)
+        ac_w.write(*ac_enc[0x10])
+        ac_w.write(0, 1)
+    payload = (
+        b"\xff\xd8" + dqt + sof + dht
+        + _seg(0xFFDA, bytes([1, 1, 0x00, 0, 0, 0])) + dc_w.flush()
+        + _seg(0xFFDA, bytes([1, 1, 0x00, 1, 63, 0])) + ac_w.flush()
+        + b"\xff\xd9"
+    )
+    dec = decode_jpeg_gray(payload)
+    assert dec.shape == (8, 32)
+    assert (dec == 128).all()  # DC 0 everywhere -> level-shift only
+
+
+def test_progressive_rejects_successive_approximation():
+    from nosql_triple_store_spark.functions.jpeg import (
+        decode_jpeg_gray,
+        encode_jpeg_gray_progressive,
+    )
+
+    payload = bytearray(encode_jpeg_gray_progressive(_block_image(3)))
+    # set Al=1 in the second (AC) SOS header: last byte of its body
+    sos2 = payload.rfind(b"\xff\xda")
+    ln = int.from_bytes(payload[sos2 + 2 : sos2 + 4], "big")
+    payload[sos2 + 2 + ln - 1] = 0x01
+    with pytest.raises(ValueError, match="successive-approximation"):
+        decode_jpeg_gray(bytes(payload))
