@@ -77,3 +77,40 @@ def q_sparql_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantics), ORDER BY + LIMIT on a unique key. Encoded-store
     execution throughout."""
     return compile_sparql_encoded(spark, sf_dir, SPARQL_FILTER)
+
+
+SPARQL_GROUPBY = """
+SELECT ?rn (COUNT(*) AS ?n_cust) (MIN(?c) AS ?first_cust) WHERE {
+  ?c inSegment "BUILDING" .
+  ?c inNation ?nt .
+  ?nt inRegion ?r .
+  ?r hasName ?rn .
+}
+GROUP BY ?rn
+ORDER BY ?rn
+"""
+
+_GROUPBY_ORACLE = f"""
+WITH {TRIPLES_SQL}
+SELECT d.o AS rn,
+       CAST(COUNT(*) AS BIGINT) AS n_cust,
+       MIN(a.s) AS first_cust
+FROM triples a
+JOIN triples b ON b.s = a.s AND b.p = 'inNation'
+JOIN triples c ON c.s = b.o AND c.p = 'inRegion'
+JOIN triples d ON d.s = c.o AND d.p = 'hasName'
+WHERE a.p = 'inSegment' AND a.o = 'BUILDING'
+GROUP BY d.o
+ORDER BY rn
+"""
+
+
+@register("q_sparql_groupby", oracle=_GROUPBY_ORACLE)
+def q_sparql_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL 1.1 aggregates over a 4-pattern chain (customer ->
+    nation -> region -> region name): COUNT(*) + MIN per group with
+    GROUP BY, parsed from text and executed as long-space joins + one
+    partial-aggregable groupBy after decode. Counts BUILDING-segment
+    customers per region — the reference's register domain rolled up
+    the way a SPARQL endpoint would serve it."""
+    return compile_sparql_encoded(spark, sf_dir, SPARQL_GROUPBY)

@@ -11,6 +11,8 @@ Scope (documented subset, rejected loudly outside it):
   variable and a string literal (or two variables), combined with
   ``&&`` / ``||``, plus ``REGEX(?v, "pat")``
 - ``ORDER BY ?v [DESC(?v)]``, ``LIMIT n``, ``DISTINCT``
+- aggregates ``(COUNT(*)|COUNT(?v)|MIN(?v)|MAX(?v) AS ?alias)`` with
+  ``GROUP BY ?v ...`` (terms are strings, so SUM/AVG are rejected)
 
 Execution strategy mirrors q_bgp_star_encoded (operators/
 relational_ext3.py): pattern constants are looked up in the
@@ -78,6 +80,15 @@ class Filter:
 
 
 @dataclass
+class Agg:
+    """One aggregate select item: (FN(?var) AS ?alias)."""
+
+    fn: str  # COUNT | MIN | MAX
+    var: str | None  # None for COUNT(*)
+    alias: str
+
+
+@dataclass
 class SparqlQuery:
     select: list[str]  # variable names, or ["*"]
     distinct: bool
@@ -88,6 +99,8 @@ class SparqlQuery:
     filters: list[list[Filter]] = field(default_factory=list)
     order_by: list[tuple[str, bool]] = field(default_factory=list)  # (var, desc)
     limit: int | None = None
+    aggs: list[Agg] = field(default_factory=list)
+    group_by: list[str] = field(default_factory=list)
 
 
 class _Parser:
@@ -118,6 +131,7 @@ class _Parser:
             self.next()
             distinct = True
         select: list[str] = []
+        aggs: list[Agg] = []
         while True:
             t = self.peek()
             if t is None:
@@ -129,12 +143,39 @@ class _Parser:
             if t.startswith("?"):
                 select.append(self.next()[1:])
                 continue
+            if t == "(":  # (AGG(?v) AS ?alias)
+                self.next()
+                fn = self.next().upper()
+                if fn not in ("COUNT", "MIN", "MAX"):
+                    raise ValueError(
+                        f"unsupported aggregate {fn!r} (COUNT/MIN/MAX; "
+                        "terms are strings, SUM/AVG have no meaning)"
+                    )
+                self.expect("(")
+                a = self.next()
+                if a == "*":
+                    if fn != "COUNT":
+                        raise ValueError(f"{fn}(*) is not valid SPARQL")
+                    var = None
+                else:
+                    if not a.startswith("?"):
+                        raise ValueError(f"aggregate needs ?var, got {a!r}")
+                    var = a[1:]
+                self.expect(")")
+                self.expect("AS")
+                alias = self.next()
+                if not alias.startswith("?"):
+                    raise ValueError("aggregate alias must be a ?var")
+                self.expect(")")
+                aggs.append(Agg(fn, var, alias[1:]))
+                continue
             break
-        if not select:
+        if not select and not aggs:
             raise ValueError("SPARQL parser: empty SELECT list")
         self.expect("WHERE")
         self.expect("{")
         q = SparqlQuery(select=select, distinct=distinct, patterns=[])
+        q.aggs = aggs
         while True:
             t = self.peek()
             if t is None:
@@ -164,7 +205,14 @@ class _Parser:
         # solution modifiers
         while (t := self.peek()) is not None:
             up = t.upper()
-            if up == "ORDER":
+            if up == "GROUP":
+                self.next()
+                self.expect("BY")
+                while (nt := self.peek()) is not None and nt.startswith("?"):
+                    q.group_by.append(self.next()[1:])
+                if not q.group_by:
+                    raise ValueError("SPARQL parser: empty GROUP BY")
+            elif up == "ORDER":
                 self.next()
                 self.expect("BY")
                 while (nt := self.peek()) is not None:
@@ -192,6 +240,17 @@ class _Parser:
                 raise ValueError(f"SPARQL parser: trailing token {t!r}")
         if not q.patterns:
             raise ValueError("SPARQL parser: WHERE block has no patterns")
+        if q.aggs:
+            if q.select == ["*"]:
+                raise ValueError("SELECT * cannot be mixed with aggregates")
+            ungrouped = [v for v in q.select if v not in q.group_by]
+            if ungrouped:
+                raise ValueError(
+                    f"non-aggregated SELECT vars {ungrouped} must appear "
+                    "in GROUP BY"
+                )
+        elif q.group_by:
+            raise ValueError("GROUP BY without aggregates is unsupported")
         return q
 
     def term(self) -> Term:
@@ -354,7 +413,33 @@ def compile_sparql_encoded(
         if g in eq_groups:
             continue
         decoded = decoded.filter(_group_col(g))
-    if q.select != ["*"]:
+    if q.aggs:
+        for a in q.aggs:
+            if a.var is not None and a.var not in decoded.columns:
+                raise ValueError(f"aggregate over unbound variable ?{a.var}")
+        for g in q.group_by:
+            if g not in decoded.columns:
+                raise ValueError(f"GROUP BY of unbound variable ?{g}")
+        aggcols = []
+        for a in q.aggs:
+            if a.fn == "COUNT":
+                col = (
+                    F.count(F.lit(1))
+                    if a.var is None
+                    else F.count(F.col(a.var))
+                )
+            elif a.fn == "MIN":
+                col = F.min(F.col(a.var))
+            else:
+                col = F.max(F.col(a.var))
+            aggcols.append(col.alias(a.alias))
+        decoded = (
+            decoded.groupBy(*q.group_by).agg(*aggcols)
+            if q.group_by
+            else decoded.agg(*aggcols)
+        )
+        decoded = decoded.select(*q.select, *[a.alias for a in q.aggs])
+    elif q.select != ["*"]:
         unknown = [v for v in q.select if v not in decoded.columns]
         if unknown:
             raise ValueError(f"SELECT of unbound variables: {unknown}")

@@ -124,3 +124,30 @@ def test_sparql_runs_in_encoded_space(spark):
     )
     assert "bgp_enc" in plan  # encoded triples scratch dir
     assert "bgp_dict" in plan  # dictionary decode joins
+
+
+def test_parse_aggregates():
+    q = parse_sparql(
+        "SELECT ?g (COUNT(*) AS ?n) (MIN(?x) AS ?lo) WHERE { ?x p ?g } "
+        "GROUP BY ?g"
+    )
+    assert q.select == ["g"] and q.group_by == ["g"]
+    assert [(a.fn, a.var, a.alias) for a in q.aggs] == [
+        ("COUNT", None, "n"),
+        ("MIN", "x", "lo"),
+    ]
+
+
+@pytest.mark.parametrize(
+    "bad",
+    [
+        "SELECT (SUM(?x) AS ?s) WHERE { ?x p ?g }",  # non-string agg
+        "SELECT (MIN(*) AS ?m) WHERE { ?x p ?g }",  # MIN(*)
+        "SELECT ?x (COUNT(*) AS ?n) WHERE { ?x p ?g }",  # x not grouped
+        "SELECT ?x WHERE { ?x p ?g } GROUP BY ?x",  # group w/o agg
+        "SELECT * (COUNT(*) AS ?n) WHERE { ?x p ?g }",  # * with agg
+    ],
+)
+def test_rejects_bad_aggregates(bad):
+    with pytest.raises(ValueError):
+        parse_sparql(bad)
