@@ -114,3 +114,33 @@ def q_sparql_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
     customers per region — the reference's register domain rolled up
     the way a SPARQL endpoint would serve it."""
     return compile_sparql_encoded(spark, sf_dir, SPARQL_GROUPBY)
+
+
+SPARQL_UNION = """
+SELECT ?e ?g ?nm WHERE {
+  { ?e inRegion ?g . ?e hasName ?nm }
+  UNION
+  { ?e inSegment ?g . ?e inNation ?nm }
+}
+"""
+
+_UNION_ORACLE = f"""
+WITH {TRIPLES_SQL}
+SELECT a.s AS e, a.o AS g, b.o AS nm
+FROM triples a JOIN triples b ON b.s = a.s AND b.p = 'hasName'
+WHERE a.p = 'inRegion'
+UNION ALL
+SELECT a.s, a.o, b.o
+FROM triples a JOIN triples b ON b.s = a.s AND b.p = 'inNation'
+WHERE a.p = 'inSegment'
+"""
+
+
+@register("q_sparql_union", oracle=_UNION_ORACLE)
+def q_sparql_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL UNION: two conjunctive groups (nation->region-name star
+    and customer segment/nation star) bag-unioned over identical
+    variable sets — compiled as two long-space BGP joins +
+    unionByName, decoded once. The engine-side union is columnar
+    concat (no shuffle added beyond the member joins)."""
+    return compile_sparql_encoded(spark, sf_dir, SPARQL_UNION)

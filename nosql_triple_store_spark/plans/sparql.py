@@ -13,6 +13,9 @@ Scope (documented subset, rejected loudly outside it):
 - ``ORDER BY ?v [DESC(?v)]``, ``LIMIT n``, ``DISTINCT``
 - aggregates ``(COUNT(*)|COUNT(?v)|MIN(?v)|MAX(?v) AS ?alias)`` with
   ``GROUP BY ?v ...`` (terms are strings, so SUM/AVG are rejected)
+- ``{ group } UNION { group } [UNION ...]`` at the top of WHERE — bag
+  union (UNION ALL) of conjunctive groups binding IDENTICAL variable
+  sets (SPARQL's unbound-column semantics are rejected, not guessed)
 
 Execution strategy mirrors q_bgp_star_encoded (operators/
 relational_ext3.py): pattern constants are looked up in the
@@ -101,6 +104,11 @@ class SparqlQuery:
     limit: int | None = None
     aggs: list[Agg] = field(default_factory=list)
     group_by: list[str] = field(default_factory=list)
+    # N>=2 alternative conjunctive groups ({A} UNION {B}); exclusive
+    # with top-level `patterns`
+    unions: list[list[tuple[Term, Term, Term]]] = field(
+        default_factory=list
+    )
 
 
 class _Parser:
@@ -186,6 +194,18 @@ class _Parser:
             up = t.upper()
             if t == ".":
                 self.next()
+            elif t == "{":  # { group } UNION { group } ...
+                if q.patterns or q.unions:
+                    raise ValueError(
+                        "UNION groups cannot mix with top-level patterns"
+                    )
+                groups = [self.group()]
+                while (self.peek() or "").upper() == "UNION":
+                    self.next()
+                    groups.append(self.group())
+                if len(groups) < 2:
+                    raise ValueError("a braced group requires UNION")
+                q.unions = groups
             elif up == "OPTIONAL":
                 self.next()
                 self.expect("{")
@@ -238,8 +258,20 @@ class _Parser:
                 q.limit = int(n)
             else:
                 raise ValueError(f"SPARQL parser: trailing token {t!r}")
-        if not q.patterns:
+        if not q.patterns and not q.unions:
             raise ValueError("SPARQL parser: WHERE block has no patterns")
+        if q.unions:
+            if q.optionals:
+                raise ValueError("OPTIONAL with UNION is unsupported")
+            var_sets = [
+                {t.name for pat in g for t in pat if isinstance(t, Var)}
+                for g in q.unions
+            ]
+            if any(vs != var_sets[0] for vs in var_sets[1:]):
+                raise ValueError(
+                    f"UNION groups must bind identical variables, got "
+                    f"{[sorted(v) for v in var_sets]}"
+                )
         if q.aggs:
             if q.select == ["*"]:
                 raise ValueError("SELECT * cannot be mixed with aggregates")
@@ -267,6 +299,19 @@ class _Parser:
 
     def triple(self) -> tuple[Term, Term, Term]:
         return (self.term(), self.term(), self.term())
+
+    def group(self) -> list[tuple[Term, Term, Term]]:
+        self.expect("{")
+        pats = []
+        while self.peek() != "}":
+            if self.peek() == ".":
+                self.next()
+                continue
+            pats.append(self.triple())
+        self.expect("}")
+        if not pats:
+            raise ValueError("empty UNION group")
+        return pats
 
     def filter_expr(self) -> list[Filter]:
         out: list[Filter] = []
@@ -357,8 +402,9 @@ def compile_sparql_encoded(
     q = parse_sparql(text)
     d, enc = encoded_store(spark, sf_dir)
 
+    all_groups = q.unions if q.unions else [list(q.patterns)]
     consts = set()
-    for pat in list(q.patterns) + list(q.optionals):
+    for pat in [p for g in all_groups for p in g] + list(q.optionals):
         consts.update(t for t in pat if not isinstance(t, Var))
     # single-comparison (in)equality FILTER groups against literals run
     # encoded (long-space) inside the join pipeline; multi-term groups
@@ -387,11 +433,19 @@ def compile_sparql_encoded(
             t if isinstance(t, Var) else int(cmap[t]) for t in pat
         )
 
-    bound = compile_bgp(
-        enc,
-        [enc_pat(p) for p in q.patterns],
-        [enc_pat(p) for p in q.optionals],
-    )
+    if q.unions:
+        parts = [
+            compile_bgp(enc, [enc_pat(p) for p in g]) for g in all_groups
+        ]
+        bound = parts[0].select(*sorted(parts[0].columns))
+        for part in parts[1:]:
+            bound = bound.unionByName(part.select(*sorted(part.columns)))
+    else:
+        bound = compile_bgp(
+            enc,
+            [enc_pat(p) for p in q.patterns],
+            [enc_pat(p) for p in q.optionals],
+        )
     for g in eq_groups:
         f = g[0]
         var = f.lhs if isinstance(f.lhs, Var) else f.rhs

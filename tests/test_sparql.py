@@ -151,3 +151,30 @@ def test_parse_aggregates():
 def test_rejects_bad_aggregates(bad):
     with pytest.raises(ValueError):
         parse_sparql(bad)
+
+
+def test_parse_union():
+    q = parse_sparql(
+        "SELECT ?a WHERE { { ?a p ?b } UNION { ?a q ?b } UNION { ?a r ?b } }"
+    )
+    assert len(q.unions) == 3 and not q.patterns
+
+
+@pytest.mark.parametrize(
+    "bad",
+    [
+        # differing variable sets
+        "SELECT ?a WHERE { { ?a p ?b } UNION { ?a q ?c } }",
+        # braced group without UNION
+        "SELECT ?a WHERE { { ?a p ?b } }",
+        # mixing top-level pattern with union groups
+        "SELECT ?a WHERE { ?a s ?x . { ?a p ?b } UNION { ?a q ?b } }",
+        # empty group
+        "SELECT ?a WHERE { { } UNION { ?a p ?b } }",
+        # OPTIONAL + UNION
+        "SELECT ?a WHERE { { ?a p ?b } UNION { ?a q ?b } OPTIONAL { ?a z ?c } }",
+    ],
+)
+def test_rejects_bad_unions(bad):
+    with pytest.raises(ValueError):
+        parse_sparql(bad)
