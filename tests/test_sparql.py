@@ -178,3 +178,43 @@ def test_parse_union():
 def test_rejects_bad_unions(bad):
     with pytest.raises(ValueError):
         parse_sparql(bad)
+
+
+def test_sparql_groupby_is_partial_aggregate(spark):
+    plan = (
+        SPECS["q_sparql_groupby"].fn(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # two-phase aggregate (partial upstream of the exchange — Spark
+    # picks SortAggregate for the string min), not a global window
+    assert plan.count("Aggregate") >= 2
+    assert "partial_count" in plan or "partial_min" in plan
+    assert "Window" not in plan
+
+
+def test_sparql_union_is_columnar_union(spark):
+    plan = (
+        SPECS["q_sparql_union"].fn(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Union" in plan
+    # both branches still run in encoded long space against the
+    # scratch store; the union adds no exchange of its own
+    assert "bgp_enc" in plan
+
+
+def test_ivfpq_no_sort_merge_join_and_no_raw_vector_shuffle(spark):
+    plan = (
+        SPECS["q_vector_ivfpq"].fn(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SortMergeJoin" not in plan  # all index tables broadcast
+    assert "CartesianProduct" not in plan
+    # top-k stages are heap merges, not global sorts
+    assert "TakeOrderedAndProject" in plan
