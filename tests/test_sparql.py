@@ -218,3 +218,39 @@ def test_ivfpq_no_sort_merge_join_and_no_raw_vector_shuffle(spark):
     assert "CartesianProduct" not in plan
     # top-k stages are heap merges, not global sorts
     assert "TakeOrderedAndProject" in plan
+
+
+# ------------------------------------------------------------- fuzz
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_TOK = st.sampled_from(
+    ["SELECT", "WHERE", "{", "}", "(", ")", "FILTER", "OPTIONAL",
+     "UNION", "ORDER", "BY", "LIMIT", "GROUP", "AS", "COUNT", "MIN",
+     "DESC", "REGEX", ".", "=", "!=", "<", ">=", "&&", "||", "*",
+     "?a", "?b", "?c", "p", "q", '"x"', '"y \\" z"', "<http://e/i>",
+     "7", "LIMIT"]
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(_TOK, min_size=0, max_size=25))
+def test_parser_rejects_loudly_never_crashes(toks):
+    """Any token soup must either parse or raise ValueError — never an
+    internal IndexError/KeyError/AttributeError (the rejects-loudly
+    contract, fuzzed)."""
+    text = " ".join(toks)
+    try:
+        parse_sparql(text)
+    except ValueError:
+        pass
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(max_size=60))
+def test_tokenizer_rejects_loudly_on_arbitrary_text(s):
+    try:
+        parse_sparql(s)
+    except ValueError:
+        pass
