@@ -1198,3 +1198,74 @@ def q_multimodal_decode_jpeg_progressive(
             "mean_r double, mean_g double, min_b long, max_r long"
         ),
     )
+
+
+@register(
+    "q_multimodal_audio_adpcm",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, 3 + doc_id % 3 AS nb FROM documents),
+b AS (
+  SELECT doc_id, nb, unnest(range(nb)) AS blk FROM d),
+v AS (
+  SELECT doc_id, nb,
+         ((doc_id * 31 + blk * 17) % 2001) - 1000 AS val
+  FROM b)
+SELECT doc_id,
+       CAST(nb * 33 AS BIGINT) AS n_samples,
+       ROUND(AVG(val), 6) AS mean_amp,
+       CAST(MIN(val) AS BIGINT) AS min_amp,
+       CAST(MAX(val) AS BIGINT) AS max_amp
+FROM v GROUP BY doc_id, nb
+""",
+)
+def q_multimodal_audio_adpcm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPRESSED audio decode end-to-end: per doc, a block-constant
+    PCM16 signal (3-5 blocks of 33 samples) is encoded as a REAL IMA
+    ADPCM WAV (fmt tag 0x0011, 4 bits/sample — functions/adpcm.py),
+    decoded back through the independent chunk-walking nibble decoder,
+    and amplitude stats are derived from the DECODED samples only.
+
+    Exactness: each block header stores its first sample verbatim and
+    nibble 0 at step index 0 reconstructs diff 0 exactly, so
+    block-constant signals survive the 4x compression bit-for-bit —
+    the analytic oracle recomputes the stats from the signal formula.
+    A step-table slip, index-walk bug, nibble-order swap, or block
+    framing error breaks the hash match (the codec stays fully
+    general; the lossy path's error bound is tested separately).
+    Blocks are self-contained, so at 100 TB payloads split at any
+    block boundary — same frame-independence as MJPEG."""
+    from ..functions.adpcm import decode_wav_adpcm, encode_wav_adpcm
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "doc_id": [], "n_samples": [], "mean_amp": [],
+                "min_amp": [], "max_amp": [],
+            }
+            for doc_id in pdf["doc_id"]:
+                nb = 3 + doc_id % 3
+                vals = np.array(
+                    [((doc_id * 31 + b * 17) % 2001) - 1000
+                     for b in range(nb)],
+                    dtype=np.int16,
+                )
+                sig = np.repeat(vals, 33)
+                payload = encode_wav_adpcm(sig, 8000, 33)
+                _, dec = decode_wav_adpcm(payload)
+                a = dec.astype(np.float64)
+                out["doc_id"].append(doc_id)
+                out["n_samples"].append(len(dec))
+                out["mean_amp"].append(round(float(a.mean()), 6))
+                out["min_amp"].append(int(a.min()))
+                out["max_amp"].append(int(a.max()))
+            yield pd.DataFrame(out)
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.repartition(fanout_width(spark)).mapInPandas(
+        kernel,
+        schema=(
+            "doc_id long, n_samples long, mean_amp double, "
+            "min_amp long, max_amp long"
+        ),
+    )
