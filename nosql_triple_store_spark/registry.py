@@ -126,6 +126,7 @@ _OPERATOR_MODULES = (
     "streaming.queries",
     "streaming.transform_state",
     "streaming.dedup_stream",
+    "streaming.bgp_stream",
     "streaming.quota_stream",
 )
 

@@ -171,3 +171,28 @@ def test_admission_index_state_is_bounded(spark):
     idx = spark.read.parquet(*segs)
     assert idx.count() == idx.dropDuplicates(["doc_id", "band", "bkey"]).count()
     assert n > 0
+
+
+def test_bgp_delta_join_emits_across_batches_exactly_once(spark):
+    """Incremental join maintenance: the star matches must (a) equal
+    the one-shot batch answer as a multiset (exactly-once emission),
+    and (b) be spread across MULTIPLE micro-batches — proving the
+    old⋈delta / delta⋈old terms fire, not just same-batch delta⋈delta
+    (predicate-dependent wave scrambling guarantees join partners
+    arrive in different waves)."""
+    import os
+
+    from nosql_triple_store_spark.registry import all_specs
+    from nosql_triple_store_spark.streaming import bgp_stream as bs
+
+    specs = all_specs()
+    got = specs["q_stream_bgp_delta_join"].fn(spark, SF_DIR)
+    batch = specs["q_bgp_star"].fn(spark, SF_DIR)
+    assert got.exceptAll(batch).count() == 0
+    assert batch.exceptAll(got).count() == 0
+    base = bs._LAST_BASE[SF_DIR]
+    per_batch = []
+    for d in sorted(os.listdir(f"{base}/matches")):
+        n = spark.read.parquet(f"{base}/matches/{d}").count()
+        per_batch.append(n)
+    assert sum(1 for n in per_batch if n > 0) >= 2, per_batch
