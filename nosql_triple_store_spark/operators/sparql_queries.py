@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from ..plans.bgp import TRIPLES_SQL
 from ..plans.sparql import compile_sparql_encoded
 from ..registry import register
+from .bgp_ext import _CLOSURE_ORACLE
 from .bgp_queries import STAR_ORACLE
 
 SPARQL_STAR = """
@@ -144,3 +145,47 @@ def q_sparql_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     unionByName, decoded once. The engine-side union is columnar
     concat (no shuffle added beyond the member joins)."""
     return compile_sparql_encoded(spark, sf_dir, SPARQL_UNION)
+
+
+SPARQL_PATH_SEQ = """
+SELECT ?c ?r WHERE {
+  ?c inNation/inRegion ?r .
+}
+"""
+
+_PATH_SEQ_ORACLE = f"""
+WITH {TRIPLES_SQL}
+SELECT a.s AS c, b.o AS r
+FROM triples a JOIN triples b ON a.o = b.s
+WHERE a.p = 'inNation' AND b.p = 'inRegion'
+"""
+
+
+@register("q_sparql_path_seq", oracle=_PATH_SEQ_ORACLE)
+def q_sparql_path_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL sequence property path `?c inNation/inRegion ?r` parsed
+    from text: the path compiles to relational path algebra over the
+    encoded store (two pushed-down constant-predicate scans joined on
+    the hop), then the bindings decode — same execution class as the
+    hand-built q_bgp_path."""
+    return compile_sparql_encoded(spark, sf_dir, SPARQL_PATH_SEQ)
+
+
+SPARQL_PATH_CLOSURE = """
+SELECT ?s ?o WHERE {
+  ?s (inNation|inRegion)+ ?o .
+}
+"""
+
+
+@register("q_sparql_path_closure", oracle=_CLOSURE_ORACLE)
+def q_sparql_path_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL one-or-more path `(inNation|inRegion)+` parsed from
+    text: alternation unions the two predicate scans, `+` runs the
+    semi-naive closure (frontier-joins-base rounds, left-anti dedup,
+    lineage cut per round) in encoded long space, and the final pairs
+    decode once. Same fixpoint + same recursive-CTE oracle as the
+    hand-built q_bgp_path_closure — the textual surface adds parsing,
+    not a different engine."""
+    return compile_sparql_encoded(spark, sf_dir, SPARQL_PATH_CLOSURE)
+

@@ -16,6 +16,11 @@ Scope (documented subset, rejected loudly outside it):
 - ``{ group } UNION { group } [UNION ...]`` at the top of WHERE — bag
   union (UNION ALL) of conjunctive groups binding IDENTICAL variable
   sets (SPARQL's unbound-column semantics are rejected, not guessed)
+- property paths in the predicate position: sequence ``p/q``,
+  alternation ``p|q``, inverse ``^p``, one-or-more ``p+`` (semi-naive
+  closure), and ``( path )`` grouping — compiled as relational path
+  algebra over the encoded store; paths inside OPTIONAL/UNION groups
+  are rejected
 
 Execution strategy mirrors q_bgp_star_encoded (operators/
 relational_ext3.py): pattern constants are looked up in the
@@ -50,7 +55,7 @@ _TOKEN = re.compile(
       (?P<string>"(?:[^"\\]|\\.)*")
     | (?P<var>\?[A-Za-z_][A-Za-z0-9_]*)
     | (?P<iri><[^>]*>)
-    | (?P<punct>&&|\|\||!=|<=|>=|[{}().=<>*,])
+    | (?P<punct>&&|\|\||!=|<=|>=|[{}().=<>*,/|+^])
     | (?P<word>[A-Za-z_][A-Za-z0-9_:]*|[0-9]+)
     )""",
     re.VERBOSE,
@@ -70,6 +75,44 @@ def tokenize(text: str) -> list[str]:
         out.append(m.group().strip())
         pos = m.end()
     return out
+
+
+@dataclass(frozen=True)
+class PathPred:
+    name: str
+
+
+@dataclass(frozen=True)
+class PathInv:
+    inner: object
+
+
+@dataclass(frozen=True)
+class PathSeq:
+    left: object
+    right: object
+
+
+@dataclass(frozen=True)
+class PathAlt:
+    left: object
+    right: object
+
+
+@dataclass(frozen=True)
+class PathPlus:
+    inner: object
+
+
+_PATH_TYPES = (PathPred, PathInv, PathSeq, PathAlt, PathPlus)
+
+
+def _path_preds(path) -> set[str]:
+    if isinstance(path, PathPred):
+        return {path.name}
+    if isinstance(path, (PathInv, PathPlus)):
+        return _path_preds(path.inner)
+    return _path_preds(path.left) | _path_preds(path.right)
 
 
 @dataclass
@@ -260,6 +303,11 @@ class _Parser:
                 raise ValueError(f"SPARQL parser: trailing token {t!r}")
         if not q.patterns and not q.unions:
             raise ValueError("SPARQL parser: WHERE block has no patterns")
+        for pat in q.optionals + [pp for g in q.unions for pp in g]:
+            if isinstance(pat[1], _PATH_TYPES):
+                raise ValueError(
+                    "property paths inside OPTIONAL/UNION are unsupported"
+                )
         if q.unions:
             if q.optionals:
                 raise ValueError("OPTIONAL with UNION is unsupported")
@@ -298,7 +346,62 @@ class _Parser:
         return t  # bare word constant (predicate names, curies)
 
     def triple(self) -> tuple[Term, Term, Term]:
-        return (self.term(), self.term(), self.term())
+        return (self.term(), self.path_or_term(), self.term())
+
+    # --- property-path grammar (predicate position) ---
+    # path := seq ('|' seq)* ; seq := step ('/' step)* ;
+    # step := '^' step | primary ['+'] ; primary := pred | '(' path ')'
+    def path_or_term(self):
+        t = self.peek()
+        if t is not None and t.startswith("?"):
+            nxt = self.toks[self.i + 1] if self.i + 1 < len(self.toks) else ""
+            if nxt in ("/", "|", "+", "^"):
+                raise ValueError("variables cannot appear inside a path")
+            return self.term()
+        path = self._path_alt()
+        if isinstance(path, PathPred):
+            return path.name  # plain predicate constant
+        return path
+
+    def _path_alt(self):
+        left = self._path_seq()
+        while self.peek() == "|":
+            self.next()
+            left = PathAlt(left, self._path_seq())
+        return left
+
+    def _path_seq(self):
+        left = self._path_step()
+        while self.peek() == "/":
+            self.next()
+            left = PathSeq(left, self._path_step())
+        return left
+
+    def _path_step(self):
+        if self.peek() == "^":
+            self.next()
+            return PathInv(self._path_step())
+        prim = self._path_primary()
+        if self.peek() == "+":
+            self.next()
+            prim = PathPlus(prim)
+        return prim
+
+    def _path_primary(self):
+        t = self.next()
+        if t == "(":
+            inner = self._path_alt()
+            self.expect(")")
+            return inner
+        if t.startswith("?") or t.startswith('"'):
+            raise ValueError(
+                f"path elements must be predicate names, got {t!r}"
+            )
+        if t.startswith("<"):
+            return PathPred(t[1:-1])
+        if t in ("{", "}", ")", ".", "/", "|", "+", "^"):
+            raise ValueError(f"expected path element, got {t!r}")
+        return PathPred(t)
 
     def group(self) -> list[tuple[Term, Term, Term]]:
         self.expect("{")
@@ -390,6 +493,77 @@ def _group_col(group: list[Filter]):
     return col
 
 
+def _path_rel(enc: DataFrame, path, cmap) -> DataFrame:
+    """Relational path algebra over the encoded triples: a path
+    denotes a binary relation (src, dst). Pred is a pushed-down
+    constant-predicate scan; Inv swaps; Alt unions; Seq equi-joins on
+    the hop; Plus is semi-naive transitive closure (frontier ⋈ base
+    per round, left-anti dedup, lineage cut per round, cap 12 — the
+    q_bgp_path_closure contract)."""
+    if isinstance(path, PathPred):
+        return enc.filter(
+            F.col("p") == F.lit(int(cmap[path.name]))
+        ).select(F.col("s").alias("src"), F.col("o").alias("dst"))
+    if isinstance(path, PathInv):
+        r = _path_rel(enc, path.inner, cmap)
+        return r.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst")
+        )
+    if isinstance(path, PathAlt):
+        return _path_rel(enc, path.left, cmap).unionByName(
+            _path_rel(enc, path.right, cmap)
+        )
+    if isinstance(path, PathSeq):
+        a = _path_rel(enc, path.left, cmap).alias("a")
+        b = _path_rel(enc, path.right, cmap).alias("b")
+        return a.join(b, F.col("a.dst") == F.col("b.src")).select(
+            F.col("a.src").alias("src"), F.col("b.dst").alias("dst")
+        )
+    if isinstance(path, PathPlus):
+        base = _path_rel(enc, path.inner, cmap).distinct().localCheckpoint()
+        closure = base
+        frontier = base
+        for _ in range(12):
+            step = (
+                frontier.alias("f")
+                .join(base.alias("b"), F.col("f.dst") == F.col("b.src"))
+                .select(
+                    F.col("f.src").alias("src"), F.col("b.dst").alias("dst")
+                )
+                .distinct()
+            )
+            new = step.join(
+                closure, ["src", "dst"], "left_anti"
+            ).localCheckpoint()
+            if new.isEmpty():
+                return closure
+            closure = closure.unionByName(new).localCheckpoint()
+            frontier = new
+        raise RuntimeError("path closure did not converge in 12 rounds")
+    raise ValueError(f"unknown path element {path!r}")
+
+
+def _bind_path(rel: DataFrame, subj, obj, cmap) -> DataFrame:
+    """(src, dst) relation -> binding columns per the subject/object
+    terms, mirroring bgp._pattern_step's constant/variable handling."""
+    df = rel
+    proj = []
+    if isinstance(subj, Var):
+        proj.append(F.col("src").alias(subj.name))
+    else:
+        df = df.filter(F.col("src") == F.lit(int(cmap[subj])))
+    if isinstance(obj, Var):
+        if isinstance(subj, Var) and obj.name == subj.name:
+            df = df.filter(F.col("src") == F.col("dst"))
+        else:
+            proj.append(F.col("dst").alias(obj.name))
+    else:
+        df = df.filter(F.col("dst") == F.lit(int(cmap[obj])))
+    if not proj:
+        raise ValueError("path pattern binds no variables")
+    return df.select(*proj)
+
+
 def compile_sparql_encoded(
     spark: SparkSession, sf_dir: str, text: str
 ) -> DataFrame:
@@ -402,10 +576,15 @@ def compile_sparql_encoded(
     q = parse_sparql(text)
     d, enc = encoded_store(spark, sf_dir)
 
-    all_groups = q.unions if q.unions else [list(q.patterns)]
+    plain = [p for p in q.patterns if not isinstance(p[1], _PATH_TYPES)]
+    path_pats = [p for p in q.patterns if isinstance(p[1], _PATH_TYPES)]
+    all_groups = q.unions if q.unions else [list(plain)]
     consts = set()
     for pat in [p for g in all_groups for p in g] + list(q.optionals):
         consts.update(t for t in pat if not isinstance(t, Var))
+    for subj, path, obj in path_pats:
+        consts |= _path_preds(path)
+        consts.update(t for t in (subj, obj) if not isinstance(t, Var))
     # single-comparison (in)equality FILTER groups against literals run
     # encoded (long-space) inside the join pipeline; multi-term groups
     # and <,>,REGEX need string collation and run post-decode
@@ -440,12 +619,31 @@ def compile_sparql_encoded(
         bound = parts[0].select(*sorted(parts[0].columns))
         for part in parts[1:]:
             bound = bound.unionByName(part.select(*sorted(part.columns)))
-    else:
+    elif plain:
         bound = compile_bgp(
             enc,
-            [enc_pat(p) for p in q.patterns],
+            [enc_pat(p) for p in plain],
             [enc_pat(p) for p in q.optionals],
         )
+    else:
+        if q.optionals:
+            raise ValueError(
+                "OPTIONAL requires at least one plain pattern"
+            )
+        bound = None
+    for subj, path, obj in path_pats:
+        step = _bind_path(
+            _path_rel(enc, path, cmap), subj, obj, cmap
+        )
+        if bound is None:
+            bound = step
+        else:
+            shared = sorted(set(bound.columns) & set(step.columns))
+            bound = (
+                bound.join(step, on=shared, how="inner")
+                if shared
+                else bound.crossJoin(step)
+            )
     for g in eq_groups:
         f = g[0]
         var = f.lhs if isinstance(f.lhs, Var) else f.rhs

@@ -254,3 +254,45 @@ def test_tokenizer_rejects_loudly_on_arbitrary_text(s):
         parse_sparql(s)
     except ValueError:
         pass
+
+
+def test_parse_paths():
+    from nosql_triple_store_spark.plans.sparql import (
+        PathAlt,
+        PathInv,
+        PathPlus,
+        PathPred,
+        PathSeq,
+    )
+
+    q = parse_sparql("SELECT ?a ?b WHERE { ?a (p|q)+/^r ?b . }")
+    (s, path, o) = q.patterns[0]
+    assert path == PathSeq(
+        PathPlus(PathAlt(PathPred("p"), PathPred("q"))),
+        PathInv(PathPred("r")),
+    )
+    # a bare predicate stays a plain string constant
+    q2 = parse_sparql("SELECT ?a WHERE { ?a p ?b . }")
+    assert q2.patterns[0][1] == "p"
+
+
+@pytest.mark.parametrize(
+    "bad",
+    [
+        "SELECT ?a WHERE { ?a ?p/q ?b . }",  # var inside path
+        'SELECT ?a WHERE { ?a "lit"/q ?b . }',  # literal in path
+        "SELECT ?a WHERE { ?a p/ ?b . }",  # dangling operator
+        "SELECT ?a WHERE { OPTIONAL { ?a p+ ?b } ?a q ?b }",  # path in OPTIONAL
+        "SELECT ?a WHERE { { ?a p+ ?b } UNION { ?a q ?b } }",  # path in UNION
+    ],
+)
+def test_rejects_bad_paths(bad):
+    with pytest.raises(ValueError):
+        parse_sparql(bad)
+
+
+def test_path_queries_match_handbuilt_relation(spark):
+    closure_text = SPECS["q_sparql_path_closure"].fn(spark, SF_DIR)
+    closure_hand = SPECS["q_bgp_path_closure"].fn(spark, SF_DIR)
+    assert closure_text.exceptAll(closure_hand).count() == 0
+    assert closure_hand.exceptAll(closure_text).count() == 0
