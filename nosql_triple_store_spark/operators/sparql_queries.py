@@ -189,3 +189,52 @@ def q_sparql_path_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     not a different engine."""
     return compile_sparql_encoded(spark, sf_dir, SPARQL_PATH_CLOSURE)
 
+
+
+SPARQL_ASK = """
+ASK { ?n inRegion ?r . ?r hasName "ASIA" }
+"""
+
+_ASK_ORACLE = f"""
+WITH {TRIPLES_SQL}
+SELECT CAST(EXISTS (
+  SELECT 1 FROM triples n JOIN triples r ON n.o = r.s
+  WHERE n.p = 'inRegion' AND r.p = 'hasName' AND r.o = 'ASIA'
+) AS BIGINT) AS answer
+"""
+
+
+@register("q_sparql_ask", oracle=_ASK_ORACLE)
+def q_sparql_ask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL ASK parsed from text: pattern join under LIMIT 1 (Spark
+    stops at the first match; the limit propagates toward the scan),
+    emitted as one 0/1 row — the q_bgp_ask plan reached from query
+    text via the encoded store."""
+    return compile_sparql_encoded(spark, sf_dir, SPARQL_ASK)
+
+
+SPARQL_VALUES = """
+SELECT ?c ?n WHERE {
+  ?c inSegment "BUILDING" .
+  ?c inNation ?n .
+  VALUES ?n { "nation:3" "nation:7" "nation:11" }
+}
+"""
+
+_VALUES_ORACLE = f"""
+WITH {TRIPLES_SQL}
+SELECT a.s AS c, b.o AS n
+FROM triples a JOIN triples b ON a.s = b.s
+WHERE a.p = 'inSegment' AND a.o = 'BUILDING' AND b.p = 'inNation'
+  AND b.o IN ('nation:3', 'nation:7', 'nation:11')
+"""
+
+
+@register("q_sparql_values", oracle=_VALUES_ORACLE)
+def q_sparql_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL VALUES inline bindings parsed from text: the literal set
+    encodes to dictionary ids once and lowers to an IN-list filter on
+    the encoded binding column — it rides the long-space join pipeline
+    instead of adding a join (k literals, Catalyst folds the IN to a
+    hash set)."""
+    return compile_sparql_encoded(spark, sf_dir, SPARQL_VALUES)

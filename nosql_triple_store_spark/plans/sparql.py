@@ -16,6 +16,9 @@ Scope (documented subset, rejected loudly outside it):
 - ``{ group } UNION { group } [UNION ...]`` at the top of WHERE — bag
   union (UNION ALL) of conjunctive groups binding IDENTICAL variable
   sets (SPARQL's unbound-column semantics are rejected, not guessed)
+- ``ASK { ... }`` (boolean existence, LIMIT-1 plan) and
+  ``VALUES ?v { "lit" ... }`` inline bindings (single variable,
+  encoded to an IN-list filter pushed into the join pipeline)
 - property paths in the predicate position: sequence ``p/q``,
   alternation ``p|q``, inverse ``^p``, one-or-more ``p+`` (semi-naive
   closure), and ``( path )`` grouping — compiled as relational path
@@ -147,6 +150,8 @@ class SparqlQuery:
     limit: int | None = None
     aggs: list[Agg] = field(default_factory=list)
     group_by: list[str] = field(default_factory=list)
+    ask: bool = False
+    values: list[tuple[str, list[str]]] = field(default_factory=list)
     # N>=2 alternative conjunctive groups ({A} UNION {B}); exclusive
     # with top-level `patterns`
     unions: list[list[tuple[Term, Term, Term]]] = field(
@@ -176,6 +181,20 @@ class _Parser:
 
     # ---- grammar ----
     def query(self) -> SparqlQuery:
+        if (self.peek() or "").upper() == "ASK":
+            self.next()
+            if (self.peek() or "").upper() == "WHERE":
+                self.next()
+            self.expect("{")
+            q = SparqlQuery(select=[], distinct=False, patterns=[])
+            q.ask = True
+            self._where_body(q)
+            if self.peek() is not None:
+                raise ValueError(
+                    f"ASK takes no solution modifiers, got {self.peek()!r}"
+                )
+            self._validate(q)
+            return q
         self.expect("SELECT")
         distinct = False
         if (self.peek() or "").upper() == "DISTINCT":
@@ -227,6 +246,12 @@ class _Parser:
         self.expect("{")
         q = SparqlQuery(select=select, distinct=distinct, patterns=[])
         q.aggs = aggs
+        self._where_body(q)
+        self._modifiers(q)
+        self._validate(q)
+        return q
+
+    def _where_body(self, q: SparqlQuery) -> None:
         while True:
             t = self.peek()
             if t is None:
@@ -263,9 +288,29 @@ class _Parser:
                 self.expect("(")
                 q.filters.append(self.filter_expr())
                 self.expect(")")
+            elif up == "VALUES":
+                self.next()
+                v = self.next()
+                if not v.startswith("?"):
+                    raise ValueError("VALUES needs a ?var")
+                self.expect("{")
+                lits = []
+                while self.peek() != "}":
+                    t2 = self.next()
+                    if not t2.startswith('"'):
+                        raise ValueError(
+                            f"VALUES entries must be string literals, "
+                            f"got {t2!r}"
+                        )
+                    lits.append(_unquote(t2))
+                self.expect("}")
+                if not lits:
+                    raise ValueError("empty VALUES block")
+                q.values.append((v[1:], lits))
             else:
                 q.patterns.append(self.triple())
-        # solution modifiers
+
+    def _modifiers(self, q: SparqlQuery) -> None:
         while (t := self.peek()) is not None:
             up = t.upper()
             if up == "GROUP":
@@ -301,6 +346,8 @@ class _Parser:
                 q.limit = int(n)
             else:
                 raise ValueError(f"SPARQL parser: trailing token {t!r}")
+
+    def _validate(self, q: SparqlQuery) -> None:
         if not q.patterns and not q.unions:
             raise ValueError("SPARQL parser: WHERE block has no patterns")
         for pat in q.optionals + [pp for g in q.unions for pp in g]:
@@ -331,7 +378,6 @@ class _Parser:
                 )
         elif q.group_by:
             raise ValueError("GROUP BY without aggregates is unsupported")
-        return q
 
     def term(self) -> Term:
         t = self.next()
@@ -585,6 +631,8 @@ def compile_sparql_encoded(
     for subj, path, obj in path_pats:
         consts |= _path_preds(path)
         consts.update(t for t in (subj, obj) if not isinstance(t, Var))
+    for _var, lits in q.values:
+        consts.update(lits)
     # single-comparison (in)equality FILTER groups against literals run
     # encoded (long-space) inside the join pipeline; multi-term groups
     # and <,>,REGEX need string collation and run post-decode
@@ -650,6 +698,14 @@ def compile_sparql_encoded(
         lit = f.rhs if isinstance(f.lhs, Var) else f.lhs
         cond = F.col(var.name) == F.lit(int(cmap[lit]))
         bound = bound.filter(cond if f.op == "=" else ~cond)
+    # VALUES: inline bindings lower to an encoded IN-list filter that
+    # rides the join pipeline (broadcast-join-free: k literal ids)
+    for var, lits in q.values:
+        if var not in bound.columns:
+            raise ValueError(f"VALUES over unbound variable ?{var}")
+        bound = bound.filter(
+            F.col(var).isin([int(cmap[lit]) for lit in lits])
+        )
     # decode every surviving binding column (broadcast dictionary)
     bind_cols = list(bound.columns)
     for v in bind_cols:
@@ -665,6 +721,16 @@ def compile_sparql_encoded(
         if g in eq_groups:
             continue
         decoded = decoded.filter(_group_col(g))
+    if q.ask:
+        return (
+            decoded.limit(1)
+            .agg(
+                F.when(F.count(F.lit(1)) > 0, 1)
+                .otherwise(0)
+                .cast("long")
+                .alias("answer")
+            )
+        )
     if q.aggs:
         for a in q.aggs:
             if a.var is not None and a.var not in decoded.columns:

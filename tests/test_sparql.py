@@ -56,7 +56,6 @@ def test_parse_full_surface():
 @pytest.mark.parametrize(
     "bad",
     [
-        "ASK { ?s ?p ?o }",  # not SELECT
         "SELECT WHERE { ?s ?p ?o }",  # empty select list
         "SELECT ?s { ?s ?p ?o }",  # missing WHERE
         "SELECT ?s WHERE { }",  # no patterns
@@ -296,3 +295,46 @@ def test_path_queries_match_handbuilt_relation(spark):
     closure_hand = SPECS["q_bgp_path_closure"].fn(spark, SF_DIR)
     assert closure_text.exceptAll(closure_hand).count() == 0
     assert closure_hand.exceptAll(closure_text).count() == 0
+
+
+def test_parse_ask_and_values():
+    q = parse_sparql('ASK { ?a p ?b }')
+    assert q.ask and not q.select
+    q2 = parse_sparql(
+        'SELECT ?a WHERE { ?a p ?b . VALUES ?b { "x" "y" } }'
+    )
+    assert q2.values == [("b", ["x", "y"])]
+
+
+@pytest.mark.parametrize(
+    "bad",
+    [
+        "ASK { ?a p ?b } LIMIT 1",  # ASK takes no modifiers
+        "SELECT ?a WHERE { ?a p ?b . VALUES b { \"x\" } }",  # not a var
+        "SELECT ?a WHERE { ?a p ?b . VALUES ?b { } }",  # empty VALUES
+        "SELECT ?a WHERE { ?a p ?b . VALUES ?b { x } }",  # bare word
+    ],
+)
+def test_rejects_bad_ask_values(bad):
+    with pytest.raises(ValueError):
+        parse_sparql(bad)
+
+
+def test_ask_false_case(spark):
+    from nosql_triple_store_spark.plans.sparql import compile_sparql_encoded
+
+    df = compile_sparql_encoded(
+        spark, SF_DIR, 'ASK { ?n inRegion ?r . ?r hasName "ATLANTIS" }'
+    )
+    assert [r.answer for r in df.collect()] == [0]
+
+
+def test_values_over_unbound_var_raises(spark):
+    from nosql_triple_store_spark.plans.sparql import compile_sparql_encoded
+
+    with pytest.raises(ValueError, match="unbound"):
+        compile_sparql_encoded(
+            spark,
+            SF_DIR,
+            'SELECT ?a WHERE { ?a inNation ?b . VALUES ?zz { "x" } }',
+        ).collect()
