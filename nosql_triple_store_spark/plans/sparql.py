@@ -692,6 +692,18 @@ def compile_sparql_encoded(
                 if shared
                 else bound.crossJoin(step)
             )
+    # every FILTER variable must be bound by the patterns (rejects
+    # loudly as ValueError, not an engine AnalysisException)
+    fvars = {
+        x.name
+        for g in q.filters
+        for f in g
+        for x in (f.lhs, f.rhs)
+        if isinstance(x, Var)
+    }
+    unbound_f = sorted(fvars - set(bound.columns))
+    if unbound_f:
+        raise ValueError(f"FILTER over unbound variables: {unbound_f}")
     for g in eq_groups:
         f = g[0]
         var = f.lhs if isinstance(f.lhs, Var) else f.rhs

@@ -338,3 +338,14 @@ def test_values_over_unbound_var_raises(spark):
             SF_DIR,
             'SELECT ?a WHERE { ?a inNation ?b . VALUES ?zz { "x" } }',
         ).collect()
+
+
+def test_filter_over_unbound_var_raises(spark):
+    from nosql_triple_store_spark.plans.sparql import compile_sparql_encoded
+
+    with pytest.raises(ValueError, match="FILTER over unbound"):
+        compile_sparql_encoded(
+            spark,
+            SF_DIR,
+            'SELECT ?a WHERE { ?a inNation ?b . FILTER(?zz = "x") }',
+        ).collect()
