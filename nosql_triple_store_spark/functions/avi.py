@@ -64,12 +64,16 @@ def encode_avi_mjpeg(
     )
     strh = _chunk(
         b"strh",
-        b"vids"
-        + b"MJPG"
+        # full AVISTREAMHEADER layout so external parsers read
+        # dwScale/dwRate/dwLength at their spec offsets
+        b"vids"  # fccType
+        + b"MJPG"  # fccHandler
         + struct.pack(
-            "<IHHIIIIIIIII",
-            0, 0, 0,  # flags, priority, language+initialframes packed
-            0,  # dwInitialFrames (here: part of layout above)
+            "<IHHIIIIIIII4h",
+            0,  # dwFlags
+            0,  # wPriority
+            0,  # wLanguage
+            0,  # dwInitialFrames
             1,  # dwScale
             fps,  # dwRate
             0,  # dwStart
@@ -77,7 +81,7 @@ def encode_avi_mjpeg(
             max_bytes,  # dwSuggestedBufferSize
             0xFFFFFFFF,  # dwQuality (-1 default)
             0,  # dwSampleSize (0: variable-size frames)
-            0,  # rcFrame packed (0,0,w,h) simplified
+            0, 0, width, height,  # rcFrame (left, top, right, bottom)
         ),
     )
     strf = _chunk(

@@ -959,6 +959,16 @@ def _decode_progressive_coefs(fr: _Frame):
         cw = (fr.w * hi + hmax - 1) // hmax
         ch = (fr.h * vi + vmax - 1) // vmax
         dims[ci] = ((ch + 7) // 8, (cw + 7) // 8)
+        if dims[ci] != (mcuy * vi, mcux * hi):
+            # foreign progressive files with non-MCU-aligned dims:
+            # non-interleaved scans would decode fewer blocks than
+            # the interleaved padded allocation expects, silently
+            # diverging at the edges — reject loudly instead
+            raise ValueError(
+                "progressive JPEG with non-MCU-aligned dimensions "
+                f"unsupported (component {ci}: raster blocks "
+                f"{dims[ci]}, MCU-padded {(mcuy * vi, mcux * hi)})"
+            )
     coefs = {
         ci: np.zeros((mcuy * fr.comps[ci][2], mcux * fr.comps[ci][1], 64),
                      dtype=np.int64)

@@ -308,6 +308,13 @@ class _Parser:
                     raise ValueError("empty VALUES block")
                 q.values.append((v[1:], lits))
             else:
+                if q.unions:
+                    # a triple AFTER the UNION block would be silently
+                    # dropped by compile (all_groups covers unions only)
+                    # — reject loudly instead of returning wrong answers
+                    raise ValueError(
+                        "UNION groups cannot mix with top-level patterns"
+                    )
                 q.patterns.append(self.triple())
 
     def _modifiers(self, q: SparqlQuery) -> None:
@@ -350,6 +357,12 @@ class _Parser:
     def _validate(self, q: SparqlQuery) -> None:
         if not q.patterns and not q.unions:
             raise ValueError("SPARQL parser: WHERE block has no patterns")
+        if q.unions and q.patterns:
+            # belt-and-braces twin of the parser-side guards: unions
+            # and top-level patterns are exclusive by construction
+            raise ValueError(
+                "UNION groups cannot mix with top-level patterns"
+            )
         for pat in q.optionals + [pp for g in q.unions for pp in g]:
             if isinstance(pat[1], _PATH_TYPES):
                 raise ValueError(
@@ -777,6 +790,16 @@ def compile_sparql_encoded(
     if q.distinct:
         decoded = decoded.distinct()
     if q.order_by:
+        # ORDER BY runs after the projection: a sort variable missing
+        # from the result columns is a contract violation — raise the
+        # promised ValueError, not an engine AnalysisException
+        bad = sorted(
+            {v for v, _ in q.order_by} - set(decoded.columns)
+        )
+        if bad:
+            raise ValueError(
+                f"ORDER BY over variables not in the result: {bad}"
+            )
         decoded = decoded.orderBy(
             *[
                 F.col(v).desc() if desc else F.col(v).asc()

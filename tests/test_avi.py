@@ -36,6 +36,24 @@ def test_riff_structure():
     assert b"MJPG" in payload and b"movi" in payload and b"idx1" in payload
 
 
+def test_strh_spec_layout():
+    """AVISTREAMHEADER packed at spec offsets so external parsers read
+    dwScale/dwRate/dwLength correctly (ADVICE r6 #3)."""
+    payload = encode_avi_mjpeg(_frames(3), 32, 16, fps=25)
+    pos = payload.find(b"strh")
+    (ln,) = struct.unpack_from("<I", payload, pos + 4)
+    assert ln == 56  # fccs(8)+dwFlags(4)+2 WORDs+7 DWORDs+rcFrame 4h
+    body = payload[pos + 8 : pos + 8 + ln]
+    assert body[:4] == b"vids" and body[4:8] == b"MJPG"
+    flags, prio, lang, init, scale, rate, start, length = (
+        struct.unpack_from("<IHHIIIII", body, 8)
+    )
+    assert (scale, rate) == (1, 25)
+    assert length == 3  # dwLength = frame count at its spec offset
+    left, top, right, bottom = struct.unpack_from("<4h", body, 48)
+    assert (left, top, right, bottom) == (0, 0, 32, 16)
+
+
 def test_real_jpeg_frames_decode_through_container():
     from nosql_triple_store_spark.functions.jpeg import (
         decode_jpeg_color,

@@ -228,6 +228,29 @@ def test_progressive_color_planes_exact_and_equals_baseline():
     )
 
 
+def test_progressive_non_mcu_aligned_rejected():
+    """Foreign progressive files whose dims are not MCU-aligned would
+    decode divergent edge blocks in non-interleaved scans — the codec
+    must reject them loudly (ADVICE r6 #4)."""
+    import struct
+
+    from nosql_triple_store_spark.functions.jpeg import (
+        decode_jpeg_color,
+        encode_jpeg_ycbcr420_progressive,
+    )
+
+    y = np.zeros((32, 32), dtype=np.uint8)
+    cb = np.full((16, 16), 128, dtype=np.uint8)
+    cr = np.full((16, 16), 128, dtype=np.uint8)
+    payload = bytearray(encode_jpeg_ycbcr420_progressive(y, cb, cr))
+    sof = payload.find(b"\xff\xc2")
+    assert sof > 0
+    # SOF2 segment: marker(2) len(2) precision(1) height(2) width(2)
+    struct.pack_into(">HH", payload, sof + 5, 20, 20)
+    with pytest.raises(ValueError, match="non-MCU-aligned"):
+        decode_jpeg_color(bytes(payload))
+
+
 def test_progressive_eobrun_spanning_blocks():
     """EOBn with r>0 (an EOB run covering several blocks) needs a
     custom AC Huffman table — the standard K.5 table has no EOB1+

@@ -79,6 +79,34 @@ def test_select_unbound_variable_raises(spark):
         ).collect()
 
 
+def test_order_by_unprojected_variable_raises(spark):
+    """ORDER BY on a variable dropped by the projection must raise
+    the module's ValueError, not a Spark AnalysisException
+    (ADVICE r6 #2)."""
+    from nosql_triple_store_spark.plans.sparql import compile_sparql_encoded
+
+    with pytest.raises(ValueError, match="ORDER BY"):
+        compile_sparql_encoded(
+            spark,
+            SF_DIR,
+            "SELECT ?c WHERE { ?c inNation ?n } ORDER BY ?n",
+        )
+    # same contract through the aggregate projection path
+    with pytest.raises(ValueError, match="ORDER BY"):
+        compile_sparql_encoded(
+            spark,
+            SF_DIR,
+            "SELECT ?n (COUNT(*) AS ?cnt) WHERE { ?c inNation ?n } "
+            "GROUP BY ?n ORDER BY ?c",
+        )
+    # sorting on a projected var still compiles
+    compile_sparql_encoded(
+        spark,
+        SF_DIR,
+        "SELECT ?c ?n WHERE { ?c inNation ?n } ORDER BY ?n LIMIT 3",
+    )
+
+
 # ------------------------------------------------- plan equivalence
 
 
@@ -168,6 +196,11 @@ def test_parse_union():
         "SELECT ?a WHERE { { ?a p ?b } }",
         # mixing top-level pattern with union groups
         "SELECT ?a WHERE { ?a s ?x . { ?a p ?b } UNION { ?a q ?b } }",
+        # a pattern AFTER the union block must reject too (it would
+        # otherwise be silently dropped by compile — ADVICE r6 #1)
+        "SELECT ?a WHERE { { ?a p ?b } UNION { ?a q ?b } ?a s ?x . }",
+        "SELECT ?e ?g WHERE { { ?e inRegion ?g } UNION "
+        "{ ?e inSegment ?g } ?e hasName ?x . }",
         # empty group
         "SELECT ?a WHERE { { } UNION { ?a p ?b } }",
         # OPTIONAL + UNION
