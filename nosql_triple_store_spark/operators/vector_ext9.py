@@ -45,22 +45,58 @@ _SQDIST = lambda a, b: F.aggregate(  # noqa: E731 - plan-side lambda
     lambda acc, x: acc + x,
 )
 
-# Coarse-codebook cache: Lloyd training scans the corpus _KM_ITERS
-# times; the fitted k x dim centroid list is tiny and reusable across
-# the query / bench / test invocations of one process. Guarded by a
-# lock (the check-then-build race fixed for relational_ext55's caches).
+# Coarse-codebook cache, two tiers (VERDICT r6 nit #1): an in-process
+# dict (lock-guarded — the check-then-build race fixed for
+# relational_ext55's caches) in front of a CROSS-process JSON artifact
+# keyed by the embeddings table's size+mtime fingerprint. Lloyd is
+# deterministic (fixed seeds), so concurrent processes racing on the
+# file write identical bytes and os.replace makes the race benign; a
+# data refresh changes the fingerprint and forces a refit. This is the
+# 100 TB shape: the k x dim codebook lives NEXT TO the data and is
+# loaded by jobs, not refit per session.
 _CENTROIDS: dict[str, list[list[float]]] = {}
 _CENTROIDS_LOCK = threading.Lock()
 
 
 def _coarse_centroids(spark: SparkSession, sf_dir: str) -> list[list[float]]:
+    import json
+    import os
+
+    from ..scratch import persistent_artifact_path, source_fingerprint
+
     with _CENTROIDS_LOCK:
-        if sf_dir not in _CENTROIDS:
+        if sf_dir in _CENTROIDS:
+            return _CENTROIDS[sf_dir]
+        path = persistent_artifact_path(
+            "codebook",
+            sf_dir,
+            f"coarse-k{_NCELLS}-i{_KM_ITERS}-"
+            f"{source_fingerprint(sf_dir, 'embeddings')}.json",
+        )
+        cents: list[list[float]] | None = None
+        try:
+            with open(path, encoding="utf-8") as fh:
+                cents = json.load(fh)
+            if (
+                len(cents) != _NCELLS
+                or any(len(c) != _M * _SUBDIM for c in cents)
+            ):
+                cents = None  # foreign/corrupt artifact: refit
+        except (OSError, ValueError):
+            cents = None
+        if cents is None:
             cents, _ = kmeans_fit(
                 spark, sf_dir, k=_NCELLS, iterations=_KM_ITERS
             )
-            _CENTROIDS[sf_dir] = cents
-        return _CENTROIDS[sf_dir]
+            tmp = f"{path}.tmp{os.getpid()}"
+            try:
+                with open(tmp, "w", encoding="utf-8") as fh:
+                    json.dump(cents, fh)
+                os.replace(tmp, path)
+            except OSError:
+                pass  # cache write failure must not fail the query
+        _CENTROIDS[sf_dir] = cents
+        return cents
 
 
 def _residual_subvectors(df: DataFrame) -> DataFrame:
