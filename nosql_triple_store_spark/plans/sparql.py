@@ -21,9 +21,17 @@ Scope (documented subset, rejected loudly outside it):
   encoded to an IN-list filter pushed into the join pipeline)
 - property paths in the predicate position: sequence ``p/q``,
   alternation ``p|q``, inverse ``^p``, one-or-more ``p+`` (semi-naive
-  closure), and ``( path )`` grouping — compiled as relational path
-  algebra over the encoded store; paths inside OPTIONAL/UNION groups
+  closure), zero-or-more ``p*`` (closure plus zero-length pairs scoped
+  to nodes incident to the path's relation — the spec's
+  all-graph-terms zero-length universe is out of scope), and
+  ``( path )`` grouping — compiled as relational path algebra over the
+  encoded store; paths inside OPTIONAL/UNION/MINUS/NOT-EXISTS groups
   are rejected
+- ``MINUS { ... }`` (anti-join on shared variables; no-op when the
+  group shares none, per SPARQL 1.1 §8.3) and
+  ``FILTER NOT EXISTS { ... }`` (anti-join on shared variables; with
+  none shared, removes everything iff the group matches at all) —
+  conjunctive groups only, not combinable with UNION
 
 Execution strategy mirrors q_bgp_star_encoded (operators/
 relational_ext3.py): pattern constants are looked up in the
@@ -107,13 +115,18 @@ class PathPlus:
     inner: object
 
 
-_PATH_TYPES = (PathPred, PathInv, PathSeq, PathAlt, PathPlus)
+@dataclass(frozen=True)
+class PathStar:
+    inner: object
+
+
+_PATH_TYPES = (PathPred, PathInv, PathSeq, PathAlt, PathPlus, PathStar)
 
 
 def _path_preds(path) -> set[str]:
     if isinstance(path, PathPred):
         return {path.name}
-    if isinstance(path, (PathInv, PathPlus)):
+    if isinstance(path, (PathInv, PathPlus, PathStar)):
         return _path_preds(path.inner)
     return _path_preds(path.left) | _path_preds(path.right)
 
@@ -155,6 +168,16 @@ class SparqlQuery:
     # N>=2 alternative conjunctive groups ({A} UNION {B}); exclusive
     # with top-level `patterns`
     unions: list[list[tuple[Term, Term, Term]]] = field(
+        default_factory=list
+    )
+    # MINUS { ... } groups: anti-join on SHARED vars; no-op when the
+    # group shares no variable (SPARQL 1.1 §8.3)
+    minus: list[list[tuple[Term, Term, Term]]] = field(
+        default_factory=list
+    )
+    # FILTER NOT EXISTS { ... } groups: anti-join on shared vars; with
+    # NO shared vars, removes everything iff the group matches at all
+    not_exists: list[list[tuple[Term, Term, Term]]] = field(
         default_factory=list
     )
 
@@ -283,11 +306,19 @@ class _Parser:
                         continue
                     q.optionals.append(self.triple())
                 self.expect("}")
+            elif up == "MINUS":
+                self.next()
+                q.minus.append(self.group("MINUS"))
             elif up == "FILTER":
                 self.next()
-                self.expect("(")
-                q.filters.append(self.filter_expr())
-                self.expect(")")
+                if (self.peek() or "").upper() == "NOT":
+                    self.next()
+                    self.expect("EXISTS")
+                    q.not_exists.append(self.group("FILTER NOT EXISTS"))
+                else:
+                    self.expect("(")
+                    q.filters.append(self.filter_expr())
+                    self.expect(")")
             elif up == "VALUES":
                 self.next()
                 v = self.next()
@@ -363,14 +394,24 @@ class _Parser:
             raise ValueError(
                 "UNION groups cannot mix with top-level patterns"
             )
-        for pat in q.optionals + [pp for g in q.unions for pp in g]:
+        for pat in q.optionals + [
+            pp
+            for gs in (q.unions, q.minus, q.not_exists)
+            for g in gs
+            for pp in g
+        ]:
             if isinstance(pat[1], _PATH_TYPES):
                 raise ValueError(
-                    "property paths inside OPTIONAL/UNION are unsupported"
+                    "property paths inside OPTIONAL/UNION/MINUS/"
+                    "NOT EXISTS are unsupported"
                 )
         if q.unions:
             if q.optionals:
                 raise ValueError("OPTIONAL with UNION is unsupported")
+            if q.minus or q.not_exists:
+                raise ValueError(
+                    "MINUS / FILTER NOT EXISTS with UNION is unsupported"
+                )
             var_sets = [
                 {t.name for pat in g for t in pat if isinstance(t, Var)}
                 for g in q.unions
@@ -414,7 +455,7 @@ class _Parser:
         t = self.peek()
         if t is not None and t.startswith("?"):
             nxt = self.toks[self.i + 1] if self.i + 1 < len(self.toks) else ""
-            if nxt in ("/", "|", "+", "^"):
+            if nxt in ("/", "|", "+", "*", "^"):
                 raise ValueError("variables cannot appear inside a path")
             return self.term()
         path = self._path_alt()
@@ -444,6 +485,9 @@ class _Parser:
         if self.peek() == "+":
             self.next()
             prim = PathPlus(prim)
+        elif self.peek() == "*":
+            self.next()
+            prim = PathStar(prim)
         return prim
 
     def _path_primary(self):
@@ -462,7 +506,7 @@ class _Parser:
             raise ValueError(f"expected path element, got {t!r}")
         return PathPred(t)
 
-    def group(self) -> list[tuple[Term, Term, Term]]:
+    def group(self, kind: str = "UNION") -> list[tuple[Term, Term, Term]]:
         self.expect("{")
         pats = []
         while self.peek() != "}":
@@ -472,7 +516,7 @@ class _Parser:
             pats.append(self.triple())
         self.expect("}")
         if not pats:
-            raise ValueError("empty UNION group")
+            raise ValueError(f"empty {kind} group")
         return pats
 
     def filter_expr(self) -> list[Filter]:
@@ -579,27 +623,51 @@ def _path_rel(enc: DataFrame, path, cmap) -> DataFrame:
             F.col("a.src").alias("src"), F.col("b.dst").alias("dst")
         )
     if isinstance(path, PathPlus):
+        return _closure_rel(
+            _path_rel(enc, path.inner, cmap).distinct().localCheckpoint()
+        )
+    if isinstance(path, PathStar):
+        # zero-or-more: transitive closure UNION the zero-length pairs.
+        # Documented subset semantics: zero-length matches are scoped
+        # to nodes INCIDENT to the path's own relation (the SPARQL
+        # spec's all-graph-terms zero-length universe is out of scope;
+        # constants with no inner-path edge contribute no (c, c) row).
         base = _path_rel(enc, path.inner, cmap).distinct().localCheckpoint()
-        closure = base
-        frontier = base
-        for _ in range(12):
-            step = (
-                frontier.alias("f")
-                .join(base.alias("b"), F.col("f.dst") == F.col("b.src"))
-                .select(
-                    F.col("f.src").alias("src"), F.col("b.dst").alias("dst")
-                )
-                .distinct()
-            )
-            new = step.join(
-                closure, ["src", "dst"], "left_anti"
-            ).localCheckpoint()
-            if new.isEmpty():
-                return closure
-            closure = closure.unionByName(new).localCheckpoint()
-            frontier = new
-        raise RuntimeError("path closure did not converge in 12 rounds")
+        closure = _closure_rel(base)
+        nodes = (
+            base.select("src")
+            .unionByName(base.select(F.col("dst").alias("src")))
+            .distinct()
+        )
+        ident = nodes.select("src", F.col("src").alias("dst"))
+        return closure.unionByName(ident).distinct()
     raise ValueError(f"unknown path element {path!r}")
+
+
+def _closure_rel(base: DataFrame) -> DataFrame:
+    """Semi-naive transitive closure of a (src, dst) relation:
+    frontier ⋈ base per round, left-anti dedup against the accumulated
+    closure, lineage cut per round, cap 12 — the q_bgp_path_closure
+    contract, shared by `p+` and `p*`."""
+    closure = base
+    frontier = base
+    for _ in range(12):
+        step = (
+            frontier.alias("f")
+            .join(base.alias("b"), F.col("f.dst") == F.col("b.src"))
+            .select(
+                F.col("f.src").alias("src"), F.col("b.dst").alias("dst")
+            )
+            .distinct()
+        )
+        new = step.join(
+            closure, ["src", "dst"], "left_anti"
+        ).localCheckpoint()
+        if new.isEmpty():
+            return closure
+        closure = closure.unionByName(new).localCheckpoint()
+        frontier = new
+    raise RuntimeError("path closure did not converge in 12 rounds")
 
 
 def _bind_path(rel: DataFrame, subj, obj, cmap) -> DataFrame:
@@ -639,7 +707,12 @@ def compile_sparql_encoded(
     path_pats = [p for p in q.patterns if isinstance(p[1], _PATH_TYPES)]
     all_groups = q.unions if q.unions else [list(plain)]
     consts = set()
-    for pat in [p for g in all_groups for p in g] + list(q.optionals):
+    anti_groups = list(q.minus) + list(q.not_exists)
+    for pat in (
+        [p for g in all_groups for p in g]
+        + list(q.optionals)
+        + [p for g in anti_groups for p in g]
+    ):
         consts.update(t for t in pat if not isinstance(t, Var))
     for subj, path, obj in path_pats:
         consts |= _path_preds(path)
@@ -705,6 +778,27 @@ def compile_sparql_encoded(
                 if shared
                 else bound.crossJoin(step)
             )
+    # MINUS / FILTER NOT EXISTS: the excluded group compiles to its own
+    # encoded BGP join; exclusion is a left-anti join on the SHARED
+    # variable columns (dictionary encoding preserves equality, so the
+    # anti-join runs in long space — same lowering as the hand-built
+    # q_bgp_minus / q_bgp_notexists). With NO shared variables the two
+    # constructs diverge per SPARQL 1.1 §8.3: MINUS removes nothing;
+    # NOT EXISTS removes every row iff the group matches at all.
+    for g, is_minus in [(g, True) for g in q.minus] + [
+        (g, False) for g in q.not_exists
+    ]:
+        right = compile_bgp(enc, [enc_pat(p) for p in g])
+        shared = sorted(set(bound.columns) & set(right.columns))
+        if shared:
+            bound = bound.join(
+                right.select(*shared).distinct(), shared, "left_anti"
+            )
+        elif not is_minus:
+            # uncorrelated NOT EXISTS: anti against a 1-row marker —
+            # all rows survive iff the group is empty
+            marker = right.limit(1).select(F.lit(1).alias("__m"))
+            bound = bound.join(marker, F.lit(True), "left_anti")
     # every FILTER variable must be bound by the patterns (rejects
     # loudly as ValueError, not an engine AnalysisException)
     fvars = {

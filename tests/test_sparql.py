@@ -262,7 +262,7 @@ _TOK = st.sampled_from(
      "UNION", "ORDER", "BY", "LIMIT", "GROUP", "AS", "COUNT", "MIN",
      "DESC", "REGEX", ".", "=", "!=", "<", ">=", "&&", "||", "*",
      "?a", "?b", "?c", "p", "q", '"x"', '"y \\" z"', "<http://e/i>",
-     "7", "LIMIT"]
+     "7", "LIMIT", "MINUS", "NOT", "EXISTS", "+", "/", "^", "|"]
 )
 
 
@@ -382,3 +382,109 @@ def test_filter_over_unbound_var_raises(spark):
             SF_DIR,
             'SELECT ?a WHERE { ?a inNation ?b . FILTER(?zz = "x") }',
         ).collect()
+
+
+# ------------------------------------- p* / MINUS / NOT EXISTS (r7)
+
+
+def test_parse_path_star_and_minus_notexists():
+    from nosql_triple_store_spark.plans.sparql import PathAlt, PathStar
+
+    q = parse_sparql("SELECT ?a ?b WHERE { ?a (p|q)* ?b . }")
+    assert isinstance(q.patterns[0][1], PathStar)
+    assert isinstance(q.patterns[0][1].inner, PathAlt)
+
+    q = parse_sparql(
+        'SELECT ?c ?s WHERE { ?c p ?s . MINUS { ?c q "x" } '
+        "FILTER NOT EXISTS { ?c r ?z } }"
+    )
+    assert len(q.minus) == 1 and len(q.not_exists) == 1
+    assert q.minus[0][0] == (Var("c"), "q", "x")
+    assert q.not_exists[0][0] == (Var("c"), "r", Var("z"))
+
+
+@pytest.mark.parametrize(
+    "bad",
+    [
+        # variable followed by * is a path position
+        "SELECT ?a WHERE { ?a ?p* ?b . }",
+        # paths inside MINUS / NOT EXISTS groups
+        "SELECT ?a WHERE { ?a p ?b . MINUS { ?a q/r ?c } }",
+        "SELECT ?a WHERE { ?a p ?b . FILTER NOT EXISTS { ?a q+ ?c } }",
+        # MINUS / NOT EXISTS cannot combine with UNION
+        "SELECT ?a WHERE { { ?a p ?b } UNION { ?a q ?b } MINUS { ?a r ?c } }",
+        "SELECT ?a WHERE { { ?a p ?b } UNION { ?a q ?b } "
+        "FILTER NOT EXISTS { ?a r ?c } }",
+        # empty groups
+        "SELECT ?a WHERE { ?a p ?b . MINUS { } }",
+        "SELECT ?a WHERE { ?a p ?b . FILTER NOT EXISTS { } }",
+        # NOT without EXISTS
+        "SELECT ?a WHERE { ?a p ?b . FILTER NOT { ?a q ?c } }",
+    ],
+)
+def test_rejects_bad_star_minus_notexists(bad):
+    with pytest.raises(ValueError):
+        parse_sparql(bad)
+
+
+def test_minus_no_shared_vars_is_noop(spark):
+    """SPARQL 1.1 §8.3: MINUS with no shared variables removes
+    nothing; uncorrelated NOT EXISTS removes everything iff the group
+    matches at all."""
+    from nosql_triple_store_spark.plans.sparql import compile_sparql_encoded
+
+    base = 'SELECT ?c WHERE { ?c inSegment "BUILDING" }'
+    n_base = compile_sparql_encoded(spark, SF_DIR, base).count()
+    assert n_base > 0
+    n_minus = compile_sparql_encoded(
+        spark,
+        SF_DIR,
+        'SELECT ?c WHERE { ?c inSegment "BUILDING" . '
+        "MINUS { ?x inRegion ?y } }",
+    ).count()
+    assert n_minus == n_base  # no shared vars -> no-op
+    n_ne_match = compile_sparql_encoded(
+        spark,
+        SF_DIR,
+        'SELECT ?c WHERE { ?c inSegment "BUILDING" . '
+        "FILTER NOT EXISTS { ?x inRegion ?y } }",
+    ).count()
+    assert n_ne_match == 0  # group matches -> removes every row
+    n_ne_empty = compile_sparql_encoded(
+        spark,
+        SF_DIR,
+        'SELECT ?c WHERE { ?c inSegment "BUILDING" . '
+        "FILTER NOT EXISTS { ?x noSuchPredicate ?y } }",
+    ).count()
+    assert n_ne_empty == n_base  # empty group -> keeps every row
+
+
+def test_minus_notexists_lower_to_left_anti(spark):
+    """The textual MINUS / FILTER NOT EXISTS must produce the
+    hand-built twins' plan shape: one left-anti join in encoded
+    space, no extra exchanges beyond the member joins."""
+    for name in ("q_sparql_minus", "q_sparql_notexists"):
+        plan = (
+            SPECS[name].fn(spark, SF_DIR)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert plan.count("LeftAnti") == 1, name
+        assert "CartesianProduct" not in plan, name
+        assert "bgp_enc" in plan, name  # runs against the encoded store
+
+
+def test_path_star_equals_closure_plus_identity(spark):
+    """p* == p+ UNION the zero-length pairs over incident nodes — the
+    textual star against the hand-built closure twin."""
+    star = {
+        (r.s, r.o)
+        for r in SPECS["q_sparql_path_star"].fn(spark, SF_DIR).collect()
+    }
+    plus = {
+        (r.s, r.o)
+        for r in SPECS["q_sparql_path_closure"].fn(spark, SF_DIR).collect()
+    }
+    nodes = {s for s, _ in plus} | {o for _, o in plus}
+    assert star == plus | {(n, n) for n in nodes}
