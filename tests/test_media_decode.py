@@ -196,3 +196,22 @@ def test_decode_media_routes_color_jpeg():
     exp_b = int(np.floor(100 + 1.772 * 34 + 0.5))
     assert (rgb[:, :, 0] == exp_r).all()
     assert (rgb[:, :, 2] == exp_b).all()
+
+
+def test_decode_media_routes_flac():
+    import numpy as np
+
+    from nosql_triple_store_spark.functions.flac import encode_flac
+    from nosql_triple_store_spark.operators.multimodal import decode_media
+
+    sig = (np.arange(400) % 2000 - 1000).astype(np.int16)
+    assert np.array_equal(decode_media(encode_flac(sig, 8000, 128), "flac"), sig)
+
+
+def test_decode_media_scope_rationale_is_loud():
+    import pytest
+
+    from nosql_triple_store_spark.operators.multimodal import decode_media
+
+    with pytest.raises(NotImplementedError, match="mp3"):
+        decode_media(b"\xff\xfb\x90\x00" + b"\x00" * 100, "mp3")
