@@ -22,6 +22,8 @@ partition pruning.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StringType, StructField, StructType
@@ -122,6 +124,22 @@ def read_jdbc_table(
     for k, v in options.items():
         reader = reader.option(k, v)
     return reader.load()
+
+
+def mongo_connector_available() -> bool:
+    """Classpath probe for the mongo-spark connector jar, mirroring
+    relational_ext9's spark-avro probe: the live read path registers
+    only on runtimes that deploy the jar (plus a reachable mongod via
+    $SPARK_GRAFT_MONGO_URI); elsewhere the registry records an
+    explicit skip with the provisioning reason."""
+    import glob as _glob
+
+    import pyspark
+
+    home = os.path.dirname(pyspark.__file__)
+    return bool(
+        _glob.glob(os.path.join(home, "jars", "mongo-spark-connector*.jar"))
+    )
 
 
 def read_mongo_collection(

@@ -108,3 +108,84 @@ def test_nullable_long_precision_past_2_53(spark):
         (r.v for r in back.collect()), key=lambda v: (v is None, v)
     )
     assert got == [-(2**60) - 3, 7, big, None]
+
+
+# ------------------- jar-present auto-upgrade gate (VERDICT r6 #5)
+
+
+def test_spark_avro_probe_matches_classpath():
+    """The auto-upgrade probe must agree with the actual classpath —
+    a stale probe would silently bench the wrong code path."""
+    import pyspark
+
+    from nosql_triple_store_spark.operators.relational_ext9 import (
+        _spark_avro_available,
+    )
+
+    jars = glob.glob(
+        os.path.join(os.path.dirname(pyspark.__file__), "jars", "spark-avro*.jar")
+    )
+    assert _spark_avro_available() == bool(jars)
+
+
+def _native_avro_present():
+    from nosql_triple_store_spark.operators.relational_ext9 import (
+        _spark_avro_available,
+    )
+
+    return _spark_avro_available()
+
+
+import pytest  # noqa: E402
+
+
+@pytest.mark.skipif(
+    not _native_avro_present(),
+    reason="spark-avro jar absent: q_source_avro runs (and the bench "
+    "measures) the pure-Python OCF codec, which IS oracle-verified; "
+    "on a jar-present runtime this test differentials the two engines",
+)
+def test_native_and_python_avro_agree(spark):  # pragma: no cover - jar absent
+    """Jar-present runtimes: the native spark-avro reader and the
+    pure-Python codec must produce identical rows from each other's
+    files, and both paths' timings are printed for the scale record
+    (SCALE.md names sources as the first family to go native)."""
+    import time
+
+    orders = load_table(spark, SF_DIR, "orders")
+    out_py = scratch_tmp("avro_py_gate")
+    out_nat = scratch_tmp("avro_nat_gate")
+    t0 = time.perf_counter()
+    write_avro_dir(orders, out_py)
+    py_rows = sorted(
+        map(tuple, read_avro_dir(spark, out_py, orders.schema).collect())
+    )
+    t_py = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    orders.write.mode("overwrite").format("avro").save(out_nat)
+    nat_rows = sorted(
+        map(tuple, spark.read.format("avro").load(out_nat).collect())
+    )
+    t_nat = time.perf_counter() - t0
+    assert py_rows == nat_rows
+    # cross-engine: native reads the python-written files and vice versa
+    cross = sorted(
+        map(tuple, spark.read.format("avro").load(out_py).collect())
+    )
+    assert cross == py_rows
+    print(f"avro timings: python={t_py:.2f}s native={t_nat:.2f}s")
+
+
+def test_mongo_path_registered_or_skipped_with_reason():
+    """q_source_mongo (VERDICT r6 #7): on every runtime the registry
+    must either expose the live-connector query or record an explicit
+    probe-reason skip — never silence."""
+    from nosql_triple_store_spark.registry import all_specs, skipped_queries
+
+    specs, skips = all_specs(), skipped_queries()
+    if "q_source_mongo" in specs:
+        assert specs["q_source_mongo"].oracle is not None
+    else:
+        reason = skips["q_source_mongo"]
+        assert "mongo" in reason.lower()
+        assert "Provisioning" in reason or "URI" in reason
