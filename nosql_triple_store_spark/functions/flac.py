@@ -39,14 +39,6 @@ import struct
 
 import numpy as np
 
-_FIXED_COEFS = {
-    0: [],
-    1: [1],
-    2: [2, -1],
-    3: [3, -3, 1],
-    4: [4, -6, 4, -1],
-}
-
 _CRC8_POLY = 0x07
 _CRC16_POLY = 0x8005
 
@@ -377,14 +369,21 @@ def _decode_subframe(br: _BitReader, block_size: int, bps: int) -> np.ndarray:
         )
     elif 0b001000 <= ftype <= 0b001100:  # FIXED 0-4
         order = ftype & 0x07
-        warm = [br.read_signed(bps) for _ in range(order)]
+        warm = np.array(
+            [br.read_signed(bps) for _ in range(order)], dtype=np.int64
+        )
         res = _read_residual(br, block_size, order)
+        # an order-o fixed predictor's residual is the o-th finite
+        # difference, so reconstruction is o chained cumsums seeded
+        # from the warmup's difference pyramid — vectorized, no
+        # per-sample Python loop
+        cur = res
+        for j in range(order - 1, -1, -1):
+            init = np.diff(warm, n=j)[-1] if order else 0
+            cur = init + np.cumsum(cur)
         out = np.empty(block_size, dtype=np.int64)
         out[:order] = warm
-        coefs = _FIXED_COEFS[order]
-        for i in range(order, block_size):
-            pred = sum(c * out[i - 1 - j] for j, c in enumerate(coefs))
-            out[i] = res[i - order] + pred
+        out[order:] = cur
     elif ftype & 0b100000:  # LPC
         order = (ftype & 0x1F) + 1
         warm = [br.read_signed(bps) for _ in range(order)]
