@@ -136,6 +136,11 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
+    # SPARK_GRAFT_BENCH_RUNS=1 bounds wall-clock for the upward scaling
+    # sweeps (sf0.3/sf1 derived data, VERDICT r6 #1) where per-query
+    # work dwarfs the noise the median was guarding against; the
+    # committed sf0.1 artifact stays median-of-3.
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     for name in sorted(specs):
         # Median of 3 runs for EVERY query (VERDICT r5 #3: the 1-2 s
         # mid-band was the last single-run band and drifted +56% on
@@ -145,9 +150,9 @@ def main() -> None:
         # in both bands were noise with no plan change). The per-query
         # max-min spread is recorded in the full artifact so
         # cross-round claims carry error bars.
-        runs = sorted([_run_once(name), _run_once(name), _run_once(name)])
-        timings[name] = round(runs[1], 4)
-        spreads[name] = round(runs[2] - runs[0], 4)
+        runs = sorted(_run_once(name) for _ in range(n_runs))
+        timings[name] = round(runs[len(runs) // 2], 4)
+        spreads[name] = round(runs[-1] - runs[0], 4)
 
     total = round(sum(timings.values()), 4)
     # Full per-query timings go to a side file; the stdout JSON line keeps
@@ -170,6 +175,7 @@ def main() -> None:
                     "n_queries": len(timings),
                     "queries": timings,
                     "spread_max_minus_min_sec": spreads,
+                    "bench_runs": n_runs,
                     "layout_build_sec": layout,
                     "sf": sf,
                 },

@@ -334,3 +334,92 @@ def q_sparql_notexists(spark: SparkSession, sf_dir: str) -> DataFrame:
     encoded long space with the REGEX filter post-decode. Same oracle
     as the hand-built twin."""
     return compile_sparql_encoded(spark, sf_dir, SPARQL_NOTEXISTS)
+
+
+SPARQL_UNION_PATH = """
+SELECT ?x ?r WHERE {
+  { ?x inNation/inRegion ?r } UNION { ?x inRegion ?r }
+}
+"""
+
+_UNION_PATH_ORACLE = f"""
+WITH {TRIPLES_SQL}
+SELECT a.s AS x, b.o AS r
+FROM triples a
+JOIN triples b ON a.o = b.s AND b.p = 'inRegion'
+WHERE a.p = 'inNation'
+UNION ALL
+SELECT s AS x, o AS r FROM triples WHERE p = 'inRegion'
+"""
+
+
+@register("q_sparql_union_path", oracle=_UNION_PATH_ORACLE)
+def q_sparql_union_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A property path INSIDE a UNION branch (closes the VERDICT r6
+    gap 'paths inside OPTIONAL/UNION rejected'): customers/suppliers
+    reach regions through the inNation/inRegion sequence path in one
+    branch, nations directly in the other. Each branch compiles
+    through the same per-pattern lowering (plain -> BGP step, path ->
+    path algebra) and the branches concat columnar-wise (UNION ALL in
+    long space); oracle is the two-branch SQL union."""
+    return compile_sparql_encoded(spark, sf_dir, SPARQL_UNION_PATH)
+
+
+SPARQL_OPTIONAL_PATH = """
+SELECT ?n ?nm ?rn WHERE {
+  ?n hasName ?nm .
+  OPTIONAL { ?n inRegion/hasName ?rn }
+}
+"""
+
+_OPTIONAL_PATH_ORACLE = f"""
+WITH {TRIPLES_SQL}
+SELECT a.s AS n, a.o AS nm, c.o AS rn
+FROM triples a
+LEFT JOIN (
+  SELECT x.s, y.o FROM triples x
+  JOIN triples y ON x.o = y.s AND y.p = 'hasName'
+  WHERE x.p = 'inRegion') c ON a.s = c.s
+WHERE a.p = 'hasName'
+"""
+
+
+@register("q_sparql_optional_path", oracle=_OPTIONAL_PATH_ORACLE)
+def q_sparql_optional_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A property path INSIDE an OPTIONAL block: every named node,
+    left-extended with its region's name through the inRegion/hasName
+    sequence path — nations bind ?rn, regions themselves leave it
+    NULL. The path relation left-joins the required bindings on the
+    shared ?n column in long space, the same rule plain OPTIONALs
+    follow inside compile_bgp."""
+    return compile_sparql_encoded(spark, sf_dir, SPARQL_OPTIONAL_PATH)
+
+
+SPARQL_MINUS_PATH = """
+SELECT ?c ?seg WHERE {
+  ?c inSegment ?seg .
+  MINUS { ?c inNation/inRegion/hasName "ASIA" }
+}
+"""
+
+_MINUS_PATH_ORACLE = f"""
+WITH {TRIPLES_SQL}
+SELECT s AS c, o AS seg
+FROM triples t
+WHERE p = 'inSegment'
+  AND NOT EXISTS (
+    SELECT 1 FROM triples a
+    JOIN triples b ON a.o = b.s AND b.p = 'inRegion'
+    JOIN triples h ON b.o = h.s AND h.p = 'hasName' AND h.o = 'ASIA'
+    WHERE a.p = 'inNation' AND a.s = t.s)
+"""
+
+
+@register("q_sparql_minus_path", oracle=_MINUS_PATH_ORACLE)
+def q_sparql_minus_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A 3-hop sequence path INSIDE a MINUS group: customer segments
+    excluding customers whose inNation/inRegion/hasName chain lands on
+    "ASIA". The MINUS group compiles its path through the path algebra
+    (constant object pushed as a dst filter), then excludes via one
+    left-anti join on the shared ?c column in long space."""
+    return compile_sparql_encoded(spark, sf_dir, SPARQL_MINUS_PATH)

@@ -25,8 +25,9 @@ Scope (documented subset, rejected loudly outside it):
   to nodes incident to the path's relation — the spec's
   all-graph-terms zero-length universe is out of scope), and
   ``( path )`` grouping — compiled as relational path algebra over the
-  encoded store; paths inside OPTIONAL/UNION/MINUS/NOT-EXISTS groups
-  are rejected
+  encoded store; paths compose with OPTIONAL / UNION / MINUS /
+  NOT-EXISTS groups (each group compiles plain and path patterns
+  through the same per-pattern lowering)
 - ``MINUS { ... }`` (anti-join on shared variables; no-op when the
   group shares none, per SPARQL 1.1 §8.3) and
   ``FILTER NOT EXISTS { ... }`` (anti-join on shared variables; with
@@ -394,17 +395,6 @@ class _Parser:
             raise ValueError(
                 "UNION groups cannot mix with top-level patterns"
             )
-        for pat in q.optionals + [
-            pp
-            for gs in (q.unions, q.minus, q.not_exists)
-            for g in gs
-            for pp in g
-        ]:
-            if isinstance(pat[1], _PATH_TYPES):
-                raise ValueError(
-                    "property paths inside OPTIONAL/UNION/MINUS/"
-                    "NOT EXISTS are unsupported"
-                )
         if q.unions:
             if q.optionals:
                 raise ValueError("OPTIONAL with UNION is unsupported")
@@ -708,14 +698,18 @@ def compile_sparql_encoded(
     all_groups = q.unions if q.unions else [list(plain)]
     consts = set()
     anti_groups = list(q.minus) + list(q.not_exists)
-    for pat in (
+    for subj, mid, obj in (
         [p for g in all_groups for p in g]
         + list(q.optionals)
         + [p for g in anti_groups for p in g]
+        + path_pats
     ):
-        consts.update(t for t in pat if not isinstance(t, Var))
-    for subj, path, obj in path_pats:
-        consts |= _path_preds(path)
+        # a path in predicate position contributes its predicate NAMES
+        # (not the path object) to the dictionary probe
+        if isinstance(mid, _PATH_TYPES):
+            consts |= _path_preds(mid)
+        elif not isinstance(mid, Var):
+            consts.add(mid)
         consts.update(t for t in (subj, obj) if not isinstance(t, Var))
     for _var, lits in q.values:
         consts.update(lits)
@@ -746,29 +740,55 @@ def compile_sparql_encoded(
             t if isinstance(t, Var) else int(cmap[t]) for t in pat
         )
 
+    def pat_step(pat):
+        """One pattern -> its encoded bindings relation: plain triples
+        via the BGP lowering, paths via the path algebra."""
+        if isinstance(pat[1], _PATH_TYPES):
+            return _bind_path(
+                _path_rel(enc, pat[1], cmap), pat[0], pat[2], cmap
+            )
+        return compile_bgp(enc, [enc_pat(pat)])
+
+    def compile_group(g):
+        """A conjunctive group (plain triples AND path patterns) ->
+        encoded bindings; shared by the top-level patterns, each UNION
+        branch, and each MINUS / NOT EXISTS group."""
+        b = None
+        for pat in g:
+            step = pat_step(pat)
+            if b is None:
+                b = step
+            else:
+                shared = sorted(set(b.columns) & set(step.columns))
+                b = (
+                    b.join(step, on=shared, how="inner")
+                    if shared
+                    else b.crossJoin(step)
+                )
+        return b
+
     if q.unions:
-        parts = [
-            compile_bgp(enc, [enc_pat(p) for p in g]) for g in all_groups
-        ]
+        parts = [compile_group(g) for g in all_groups]
         bound = parts[0].select(*sorted(parts[0].columns))
         for part in parts[1:]:
             bound = bound.unionByName(part.select(*sorted(part.columns)))
     elif plain:
+        # keep the hand-built lowering for the all-plain conjunction
+        # (tests pin this plan shape equal to q_bgp_star_encoded);
+        # plain OPTIONALs ride the same call
         bound = compile_bgp(
             enc,
             [enc_pat(p) for p in plain],
-            [enc_pat(p) for p in q.optionals],
+            [
+                enc_pat(p)
+                for p in q.optionals
+                if not isinstance(p[1], _PATH_TYPES)
+            ],
         )
     else:
-        if q.optionals:
-            raise ValueError(
-                "OPTIONAL requires at least one plain pattern"
-            )
         bound = None
-    for subj, path, obj in path_pats:
-        step = _bind_path(
-            _path_rel(enc, path, cmap), subj, obj, cmap
-        )
+    for pat in path_pats:
+        step = pat_step(pat)
         if bound is None:
             bound = step
         else:
@@ -778,6 +798,23 @@ def compile_sparql_encoded(
                 if shared
                 else bound.crossJoin(step)
             )
+    # OPTIONALs left-extend the bindings after every required pattern
+    # is joined: extend where the pattern matches, NULL where not.
+    # Plain OPTIONALs over an all-plain conjunction were consumed by
+    # compile_bgp above (pinned plan shape); path-valued OPTIONALs —
+    # and plain ones whose required group is path-only — take the same
+    # left-join rule here.
+    plain_opts_done = bool(plain) and not q.unions
+    for pat in q.optionals:
+        if not isinstance(pat[1], _PATH_TYPES) and plain_opts_done:
+            continue
+        step = pat_step(pat)
+        shared = sorted(set(bound.columns) & set(step.columns))
+        if not shared:
+            raise ValueError(
+                "OPTIONAL pattern shares no variable with BGP"
+            )
+        bound = bound.join(step, on=shared, how="left")
     # MINUS / FILTER NOT EXISTS: the excluded group compiles to its own
     # encoded BGP join; exclusion is a left-anti join on the SHARED
     # variable columns (dictionary encoding preserves equality, so the
@@ -788,7 +825,7 @@ def compile_sparql_encoded(
     for g, is_minus in [(g, True) for g in q.minus] + [
         (g, False) for g in q.not_exists
     ]:
-        right = compile_bgp(enc, [enc_pat(p) for p in g])
+        right = compile_group(g)
         shared = sorted(set(bound.columns) & set(right.columns))
         if shared:
             bound = bound.join(

@@ -314,8 +314,9 @@ def test_parse_paths():
         "SELECT ?a WHERE { ?a ?p/q ?b . }",  # var inside path
         'SELECT ?a WHERE { ?a "lit"/q ?b . }',  # literal in path
         "SELECT ?a WHERE { ?a p/ ?b . }",  # dangling operator
-        "SELECT ?a WHERE { OPTIONAL { ?a p+ ?b } ?a q ?b }",  # path in OPTIONAL
-        "SELECT ?a WHERE { { ?a p+ ?b } UNION { ?a q ?b } }",  # path in UNION
+        # UNION groups binding different var sets stay rejected even
+        # when one side is a path
+        "SELECT ?a WHERE { { ?a p+ ?b } UNION { ?a q ?c } }",
     ],
 )
 def test_rejects_bad_paths(bad):
@@ -408,9 +409,6 @@ def test_parse_path_star_and_minus_notexists():
     [
         # variable followed by * is a path position
         "SELECT ?a WHERE { ?a ?p* ?b . }",
-        # paths inside MINUS / NOT EXISTS groups
-        "SELECT ?a WHERE { ?a p ?b . MINUS { ?a q/r ?c } }",
-        "SELECT ?a WHERE { ?a p ?b . FILTER NOT EXISTS { ?a q+ ?c } }",
         # MINUS / NOT EXISTS cannot combine with UNION
         "SELECT ?a WHERE { { ?a p ?b } UNION { ?a q ?b } MINUS { ?a r ?c } }",
         "SELECT ?a WHERE { { ?a p ?b } UNION { ?a q ?b } "
@@ -488,3 +486,92 @@ def test_path_star_equals_closure_plus_identity(spark):
     }
     nodes = {s for s, _ in plus} | {o for _, o in plus}
     assert star == plus | {(n, n) for n in nodes}
+
+
+# -------------------------------------- paths inside groups (r7)
+
+
+def test_path_inside_union_optional_minus(spark):
+    """Paths compose with OPTIONAL / UNION / MINUS / NOT EXISTS
+    groups (closes the r6 'paths inside groups rejected' scope gap);
+    each shape is checked against an equivalent hand-composed
+    DataFrame result over the decoded triples."""
+    from nosql_triple_store_spark.plans.sparql import compile_sparql_encoded
+
+    # path inside UNION: (x -inNation/inRegion-> r) UNION (x -inRegion-> r)
+    got = compile_sparql_encoded(
+        spark,
+        SF_DIR,
+        "SELECT ?x ?r WHERE "
+        "{ { ?x inNation/inRegion ?r } UNION { ?x inRegion ?r } }",
+    )
+    seq = compile_sparql_encoded(
+        spark, SF_DIR, "SELECT ?x ?r WHERE { ?x inNation/inRegion ?r }"
+    )
+    direct = compile_sparql_encoded(
+        spark, SF_DIR, "SELECT ?x ?r WHERE { ?x inRegion ?r }"
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, seq.collect() + direct.collect())
+    )
+
+    # path inside OPTIONAL: left-extend, NULL where the path misses
+    opt = compile_sparql_encoded(
+        spark,
+        SF_DIR,
+        "SELECT ?n ?nm ?rn WHERE { ?n hasName ?nm . "
+        "OPTIONAL { ?n inRegion/hasName ?rn } }",
+    ).collect()
+    named = {
+        (r["n"], r["nm"]): r["rn"]
+        for r in opt
+    }
+    base = compile_sparql_encoded(
+        spark, SF_DIR, "SELECT ?n ?nm WHERE { ?n hasName ?nm }"
+    ).collect()
+    assert len(opt) == len(base)  # regions stay, unextended
+    assert any(v is None for v in named.values())  # region rows: NULL rn
+    assert any(v is not None for v in named.values())  # nation rows bind
+
+    # path inside MINUS: exclusion via the 3-hop chain
+    n_all = compile_sparql_encoded(
+        spark, SF_DIR, "SELECT ?c ?seg WHERE { ?c inSegment ?seg }"
+    ).count()
+    n_minus = compile_sparql_encoded(
+        spark,
+        SF_DIR,
+        "SELECT ?c ?seg WHERE { ?c inSegment ?seg . "
+        'MINUS { ?c inNation/inRegion/hasName "ASIA" } }',
+    ).count()
+    n_asia = compile_sparql_encoded(
+        spark,
+        SF_DIR,
+        'SELECT ?c WHERE { ?c inNation/inRegion/hasName "ASIA" . '
+        "?c inSegment ?s }",
+    ).count()
+    assert 0 < n_minus < n_all and n_minus == n_all - n_asia
+
+    # plain OPTIONAL over a path-only required group (previously
+    # rejected with 'OPTIONAL requires at least one plain pattern')
+    row = compile_sparql_encoded(
+        spark,
+        SF_DIR,
+        "SELECT ?x ?r ?seg WHERE { ?x inNation/inRegion ?r . "
+        "OPTIONAL { ?x inSegment ?seg } }",
+    )
+    n_req = compile_sparql_encoded(
+        spark, SF_DIR, "SELECT ?x ?r WHERE { ?x inNation/inRegion ?r }"
+    ).count()
+    assert row.count() == n_req  # suppliers have no segment: NULL, kept
+
+
+def test_path_group_queries_lower_to_left_anti(spark):
+    """The path-in-MINUS registered query keeps the single left-anti
+    exclusion of the plain twins."""
+    plan = (
+        SPECS["q_sparql_minus_path"].fn(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("LeftAnti") == 1
