@@ -141,6 +141,17 @@ def main() -> None:
     # work dwarfs the noise the median was guarding against; the
     # committed sf0.1 artifact stays median-of-3.
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    # crash-safe progress: one JSONL line per completed query next to
+    # the full artifact, so an OOM'd sweep names its culprit and keeps
+    # the timings it already paid for (the artifact itself is written
+    # once at the end)
+    progress_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_FULL",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"),
+    )
+    progress = (
+        open(progress_path + ".partial", "w") if progress_path != "skip" else None
+    )
     for name in sorted(specs):
         # Median of 3 runs for EVERY query (VERDICT r5 #3: the 1-2 s
         # mid-band was the last single-run band and drifted +56% on
@@ -153,6 +164,11 @@ def main() -> None:
         runs = sorted(_run_once(name) for _ in range(n_runs))
         timings[name] = round(runs[len(runs) // 2], 4)
         spreads[name] = round(runs[-1] - runs[0], 4)
+        if progress is not None:
+            progress.write(
+                json.dumps({"q": name, "sec": timings[name]}) + "\n"
+            )
+            progress.flush()
 
     total = round(sum(timings.values()), 4)
     # Full per-query timings go to a side file; the stdout JSON line keeps
@@ -165,6 +181,9 @@ def main() -> None:
         "SPARK_GRAFT_BENCH_FULL",
         os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"),
     )
+    if progress is not None:
+        progress.close()
+        os.remove(progress_path + ".partial")
     if full_path != "skip":
         with open(full_path, "w") as f:
             json.dump(

@@ -69,9 +69,13 @@ def main() -> None:
     rows = sorted(fam_lo, key=lambda f: -fam_hi[f])
     for f in rows:
         r = fam_hi[f] / fam_lo[f] if fam_lo[f] else float("nan")
+        # the r6-verdict done-bar: flag any family whose observed
+        # wall-clock ratio exceeds data-proportional (with 15%
+        # measurement slack) — a complexity-class break, not noise
+        flag = " **SUPER-LINEAR**" if r > ratio_sf * 1.15 else ""
         print(
             f"| {f} | {fam_n[f]} | {fam_lo[f]:.1f} | {fam_hi[f]:.1f} "
-            f"| {r:.2f}x | {expected.get(f, 'mixed')} |"
+            f"| {r:.2f}x{flag} | {expected.get(f, 'mixed')} |"
         )
     t_lo = sum(lo_q[q] for q in common)
     t_hi = sum(hi_q[q] for q in common)
