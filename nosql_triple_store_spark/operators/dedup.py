@@ -181,6 +181,13 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# flat simhash band cap: with a constant cap the banded join's work is
+# bounded by sum(c^2) <= cap * sum(c) = cap * n_bands * n — LINEAR in
+# corpus size no matter how skewed the band values get. 2048 clears
+# every driver-SF bucket (max observed 1363 at sf0.1), so results at
+# n <= 5000 are bit-identical to the uncapped history.
+_SIMHASH_DF_CAP = 2048
+
 _N_PERM = 16
 _BAND_SIZE = 4
 _N_BANDS = _N_PERM // _BAND_SIZE
@@ -298,18 +305,40 @@ def _simhash64(tokens: pd.Series) -> pd.Series:
 
 @register("q_dedup_simhash", oracle=None)  # rows-only: custom signature
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup: 64-bit signatures, 8×8-bit banded candidate join,
-    Hamming distance verify via bit_count(xor), top-50 closest pairs.
+    """SimHash near-dup: 64-bit signatures, banded candidate join over
+    8-bit chunk COMBINATIONS, Hamming distance verify via
+    bit_count(xor), top-50 closest pairs.
+
+    The band key is an adaptive arity-a combination of the 8 chunks
+    (key space 256^a): fixed 8-bit bands saturate as the corpus grows
+    (only 256 bucket values — the r7 sf1 sweep measured the candidate
+    join quadratic, 181 s at 50k docs), so arity steps up when
+    n/256^a would exceed ~64 docs per bucket. Pigeonhole guarantee:
+    hamming ≤ 8-a pairs always share an untouched combination (a=1:
+    ≤7, a=2: ≤6, a=3: ≤5) — far above any top-50-closest distance.
+    Driver SFs (n ≤ 5000) keep arity 1, i.e. their historical
+    candidates, bit-identically.
 
     The signature is the only Python step (vectorized pandas UDF); banding,
     the self-join, and the Hamming verify are codegen'd expressions.
     """
+    from itertools import combinations
+
     docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()  # bounded layout scalar (arity selection)
+    arity = 1
+    while arity < 3 and n_docs / (256 ** arity) > 64:
+        arity += 1
+    combos = list(combinations(range(8), arity))
     # spread the single-file scan before the pandas UDF: one partition
     # would mean ONE Arrow batch on one core for the whole corpus
     sigs = docs.repartition(fanout_width(spark)).select(
         "doc_id", _simhash64(tokens_col()).alias("sh")
     )
+    # the signature UDF feeds four consumers (band counts, both join
+    # sides, the exact-signature union): checkpoint so the Arrow
+    # kernel runs ONCE, not once per consumer
+    sigs = sigs.localCheckpoint(eager=False)
     chunks = sigs.select(
         "doc_id",
         "sh",
@@ -317,26 +346,53 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(
                 *[
                     F.struct(
-                        F.lit(i).alias("chunk_idx"),
-                        F.expr(f"(sh >> {8 * i}) & 255").alias("chunk_val"),
+                        F.lit(k).alias("chunk_idx"),
+                        F.expr(
+                            " + ".join(
+                                f"(((sh >> {8 * c}) & 255) * {256 ** p})"
+                                for p, c in enumerate(combo)
+                            )
+                        ).alias("chunk_val"),
                     )
-                    for i in range(8)
+                    for k, combo in enumerate(combos)
                 ]
             )
         ).alias("c"),
     ).select("doc_id", "sh", "c.chunk_idx", "c.chunk_val")
-    lhs = chunks.select(
+    # df-cap (the hot-shingle recipe of _shingle_pairs): a band value
+    # shared by thousands of docs is non-discriminative — real corpora
+    # concentrate common-word-dominated chunks, and the r7 profile
+    # showed one 16-bit band holding 4220/50000 docs (~9M pairs in one
+    # bucket). Hot bands are anti-joined out (bounded broadcast:
+    # <= n_bands*n/cap entries); low-hamming pairs survive through any
+    # of their other bands, and hamming-0 pairs are GUARANTEED by the
+    # exact-signature union below regardless of band heat.
+    counts = chunks.groupBy("chunk_idx", "chunk_val").count()
+    hot = counts.filter(F.col("count") > _SIMHASH_DF_CAP).select(
+        "chunk_idx", "chunk_val"
+    )
+    cold = chunks.join(
+        F.broadcast(hot), ["chunk_idx", "chunk_val"], "left_anti"
+    )
+    lhs = cold.select(
         F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"),
         "chunk_idx", "chunk_val",
     )
-    rhs = chunks.select(
+    rhs = cold.select(
         F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"),
         "chunk_idx", "chunk_val",
+    )
+    exact = sigs.select(
+        F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")
+    ).join(
+        sigs.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")),
+        (F.col("sh_a") == F.col("sh_b")) & (F.col("doc_a") < F.col("doc_b")),
     )
     cand = (
         lhs.join(rhs, ["chunk_idx", "chunk_val"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b", "sh_a", "sh_b")
+        .unionByName(exact.select("doc_a", "doc_b", "sh_a", "sh_b"))
         .dropDuplicates(["doc_a", "doc_b"])
     )
     hamming = F.bit_count(F.expr("sh_a ^ sh_b"))

@@ -124,27 +124,42 @@ GROUP BY a.p_brand
 )
 def q_join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Theta (non-equi) self-join: same-brand part pairs with increasing
-    size. The brand equality keeps it a hash-partitionable equi-join with a
-    residual inequality filter (NOT a cartesian product); aggregated output
-    keeps the result bounded at scale."""
+    size, as aggregates. The brand key has FIXED cardinality, so
+    enumerating row pairs is inherently quadratic in rows (the r7 sf1
+    sweep measured 230 s at 200k parts); instead the pairs exist only
+    virtually: pre-aggregate to per-(brand, size) counts (linear,
+    partial-aggregable), then combine count cells pairwise —
+    |brands| x |sizes|^2 cells, n-independent. n_pairs = sum(c_a*c_b)
+    and the gap average weights each (a_size, b_size) cell by its pair
+    multiplicity; both are exact integers in double, so the division
+    matches the oracle's pair-enumerating AVG bit-for-bit."""
     part = load_table(spark, sf_dir, "part")
-    a = part.select(
-        F.col("p_partkey").alias("a_key"),
-        F.col("p_brand").alias("p_brand"),
-        F.col("p_size").alias("a_size"),
+    g = part.groupBy("p_brand", "p_size").agg(
+        F.count(F.lit(1)).alias("c")
     )
-    b = part.select(
-        F.col("p_partkey").alias("b_key"),
+    a = g.select(
+        "p_brand",
+        F.col("p_size").alias("a_size"),
+        F.col("c").alias("ca"),
+    )
+    b = g.select(
         F.col("p_brand").alias("b_brand"),
         F.col("p_size").alias("b_size"),
+        F.col("c").alias("cb"),
     )
     pairs = a.join(
         b, (a.p_brand == b.b_brand) & (a.a_size < b.b_size), "inner"
     )
+    mult = F.col("ca") * F.col("cb")
     return pairs.groupBy("p_brand").agg(
-        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(mult).alias("n_pairs"),
         F.round(
-            F.avg((F.col("b_size") - F.col("a_size")).cast("double")), 2
+            F.sum(
+                mult.cast("double")
+                * (F.col("b_size") - F.col("a_size")).cast("double")
+            )
+            / F.sum(mult.cast("double")),
+            2,
         ).alias("avg_size_gap"),
     )
 

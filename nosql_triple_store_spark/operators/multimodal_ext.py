@@ -405,11 +405,28 @@ def q_multimodal_av_align(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _PHASH_CLASSES = 25
+# template classes scale with the corpus at a constant ~200 docs per
+# class (the sf0.1 ratio, so every driver SF keeps its historical 25
+# classes bit-identically): with FIXED classes every same-class pair
+# lies within the Hamming threshold, making the RESULT itself
+# quadratic in docs — the r7 sf1 sweep measured 89.5 s at 50k docs.
+# Constant class size keeps near-dup pairs (and band buckets) O(n).
+_PHASH_TARGET_CLASS_SIZE = 200
 _PHASH_HAM = 7
 _PHASH_BANDS = 8  # 8 bands x 8 bits: any pair with hamming <= 7 shares one
 # gray value: per-class template + tiny per-doc jitter (near-dup classes)
+# template gray ramp: per-class OFFSET (cls*37 mod 200) and per-class
+# SLOPE (11 + 13*(cls mod 17)). The slope term is what makes classes
+# differ STRUCTURALLY under aHash: bits are (pixel > mean), which is
+# insensitive to a constant offset except at the mod-200 wrap points —
+# with a shared slope the whole family spans only ~200 hash patterns,
+# so the ham<=7 pair count is Θ(n²/200) no matter how many classes
+# exist (measured 13.25M pairs at 15k docs before the fix). Distinct
+# wrap counts per slope family make hashes differ across families;
+# 17 slopes x 200 offsets = 3400 distinct templates.
 _GRAY_SQL = (
-    "((({cls}) * 37 + ({p}) * 11) % 200 + (({doc}) * 7 + ({p})) % 5)"
+    "((({cls}) * 37 + ({p}) * (11 + 13 * (({cls}) % 17))) % 200"
+    " + (({doc}) * 7 + ({p})) % 5)"
 )
 
 
@@ -419,7 +436,12 @@ _PHASH_G = _GRAY_SQL.format(cls="d.cls", p="i", doc="d.doc_id")
 @register(
     "q_multimodal_image_phash",
     oracle=f"""
-WITH d AS (SELECT doc_id, doc_id % {_PHASH_CLASSES} AS cls FROM documents),
+WITH ncls AS (
+  SELECT GREATEST({_PHASH_CLASSES},
+                  CAST(FLOOR(COUNT(*) / {_PHASH_TARGET_CLASS_SIZE}.0)
+                       AS BIGINT)) AS k
+  FROM documents),
+d AS (SELECT doc_id, doc_id % k AS cls FROM documents, ncls),
 g AS (
   SELECT d.doc_id,
          (SELECT SUM({_PHASH_G})
@@ -466,6 +488,13 @@ def q_multimodal_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket. Decode stays embarrassingly parallel in mapInPandas.
     """
 
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    # bounded layout scalar: class count at constant class size (see
+    # _PHASH_TARGET_CLASS_SIZE note)
+    n_classes = max(
+        _PHASH_CLASSES, docs.count() // _PHASH_TARGET_CLASS_SIZE
+    )
+
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from .multimodal import decode_ppm, encode_ppm
 
@@ -473,9 +502,11 @@ def q_multimodal_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
             out = {"doc_id": [], "cls": [], "lo": [], "hi": []}
             for doc_id in pdf["doc_id"]:
                 doc_id = int(doc_id)
-                cls = doc_id % _PHASH_CLASSES
+                cls = doc_id % n_classes
                 p = np.arange(64, dtype=np.int64)
-                gray = (cls * 37 + p * 11) % 200 + (doc_id * 7 + p) % 5
+                gray = (cls * 37 + p * (11 + 13 * (cls % 17))) % 200 + (
+                    doc_id * 7 + p
+                ) % 5
                 img = np.stack([gray, gray, gray], axis=1).reshape(8, 8, 3)
                 dec = decode_ppm(encode_ppm(img)).astype(np.int64)
                 gvals = dec[:, :, 0].reshape(64)
@@ -489,7 +520,6 @@ def q_multimodal_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out["hi"].append(hi)
             yield pd.DataFrame(out)
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
     m = docs.repartition(fanout_width(spark)).mapInPandas(
         kernel, schema="doc_id long, cls long, lo long, hi long"
     ).localCheckpoint()

@@ -112,16 +112,18 @@ def q_join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     4.5) open 1-hour incident windows; count how many same-type events
     fall inside ≥1 window. The interval predicate `s <= t < s+1h` is
     NOT executed as an inequality join (a BroadcastNestedLoop at scale)
-    — each incident explodes into the 1-2 hour-buckets it covers, the
-    join is an EQUI-join on (event_type, bucket) with the containment
-    check as a residual filter, and a distinct collapses points matched
-    by overlapping windows or bucket seams. tests/test_plans.py asserts
-    the physical plan has no nested-loop/cartesian node. At 100 TB this
-    is the range-join recipe: bucket width ≈ interval length bounds the
-    expansion factor at 2× while keeping bucket keys selective; skew =
-    hot (type, hour) cells, bounded because both sides pre-filter
-    before the explode. All-integer µs arithmetic; ratios are exact
-    ints rounded at 4 dp."""
+    and — since the window length EQUALS the bucket width — not even as
+    a point×window pair join (which the r7 sf1 sweep measured quadratic
+    in event density: 53 s at 1M events): a point t in hour-bucket b is
+    covered iff some same-bucket incident starts at-or-before t (any
+    such start is automatically within the hour) OR the latest
+    incident start in bucket b-1 lies after t - 1h. Both conditions
+    read one per-(type, bucket) min/max AGGREGATE row, so the plan is
+    two equi-joins of points against an incident-bucket summary —
+    O(points + incident_buckets), no pair enumeration, exact.
+    tests/test_plans.py asserts the physical plan has no
+    nested-loop/cartesian node. All-integer µs arithmetic; ratios are
+    exact ints rounded at 4 dp."""
     ev = load_table(spark, sf_dir, "events")
     x = ev.select(
         "event_id",
@@ -132,25 +134,28 @@ def q_join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     inc = x.filter(F.col("value") >= _INCIDENT_VALUE).select(
         "event_type", F.col("t").alias("s"), (F.col("t") + _HOUR_US).alias("en")
     )
-    # interval [s, en) covers buckets floor(s/H) .. floor((en-1)/H)
-    inc_b = inc.select(
-        "event_type",
-        "s",
-        "en",
-        F.explode(
-            F.sequence(
-                F.expr(f"s div {_HOUR_US}"), F.expr(f"(en - 1) div {_HOUR_US}")
-            )
-        ).alias("b"),
+    bs = (
+        inc.select(
+            "event_type", "s", F.expr(f"s div {_HOUR_US}").alias("b")
+        )
+        .groupBy("event_type", "b")
+        .agg(F.min("s").alias("mn_s"), F.max("s").alias("mx_s"))
+    )
+    cur = bs.select("event_type", "b", "mn_s")
+    prv = bs.select(
+        "event_type", (F.col("b") + 1).alias("b"), F.col("mx_s").alias("pv_s")
     )
     pts = x.select(
         "event_type", "event_id", "t", F.expr(f"t div {_HOUR_US}").alias("b")
     )
     cov = (
-        pts.join(inc_b, ["event_type", "b"])
-        .filter((F.col("t") >= F.col("s")) & (F.col("t") < F.col("en")))
+        pts.join(cur, ["event_type", "b"], "left")
+        .join(prv, ["event_type", "b"], "left")
+        .filter(
+            (F.col("mn_s") <= F.col("t"))
+            | (F.col("pv_s") > F.col("t") - _HOUR_US)
+        )
         .select("event_type", "event_id")
-        .distinct()
     )
     tot = x.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_points"))
     ni = inc.groupBy("event_type").agg(

@@ -21,22 +21,44 @@ _HASH_SQL = (
     "CAST(((({key}) % 2147483648) * 2654435761 + 12345) % 4294967296"
     " AS BIGINT)"
 )
-_RADIUS = 1.0  # planar degrees; see docstring
+_RADIUS = 0.25  # planar degrees; cell width = radius (see docstring)
+# the synthetic region's side grows with sqrt(n) so per-DEGREE density
+# — and with it each point's candidate count — stays CONSTANT as rows
+# scale (the real-geo invariant: more points cover more area). The
+# fixed 10x10 domain measured quadratic at the r7 sf1 sweep: 150k
+# points in the same 100 deg^2 = 100x the candidate pairs of sf0.1.
+_TARGET_DEG2_DENSITY = 150
+# the two affine hashes of u land points on a LATTICE (affine maps of
+# the same input are linearly dependent mod 2^32: at side=32 only
+# 288/1024 cells were occupied, hot cells pairing quadratically —
+# 117M result rows at sf1). Reducing each hash by its own large prime
+# BEFORE the grid modulus breaks the affinity; measured occupancy is
+# every cell within ~10% of the ideal density at both side=10 and 32.
+_LAT_PRIME = 999983
+_LON_PRIME = 999979
 
 
 @register(
     "q_join_spatial_grid",
     oracle=f"""
 WITH c AS (SELECT DISTINCT c_custkey AS u FROM customer),
+side AS (
+  SELECT GREATEST(
+           10,
+           CAST(CEIL(SQRT(COUNT(*) / {_TARGET_DEG2_DENSITY}.0)) AS BIGINT)
+         ) AS s
+  FROM c),
 pts AS (
   SELECT u,
-         ({_HASH_SQL.format(key='u')} % 1000) / 100.0 AS lat,
-         ({_HASH_SQL.format(key='u * 2 + 1')} % 1000) / 100.0 AS lon
-  FROM c),
+         (({_HASH_SQL.format(key='u')} % {_LAT_PRIME}) % (100 * s))
+           / 100.0 AS lat,
+         (({_HASH_SQL.format(key='u * 2 + 1')} % {_LON_PRIME}) % (100 * s))
+           / 100.0 AS lon
+  FROM c, side),
 cells AS (
   SELECT u, lat, lon,
-         CAST(FLOOR(lat) AS BIGINT) AS cx,
-         CAST(FLOOR(lon) AS BIGINT) AS cy
+         CAST(FLOOR(lat / {_RADIUS}) AS BIGINT) AS cx,
+         CAST(FLOOR(lon / {_RADIUS}) AS BIGINT) AS cy
   FROM pts),
 pairs AS (
   SELECT a.u AS u1, b.u AS u2,
@@ -54,40 +76,57 @@ SELECT u1, u2, d2 FROM pairs
 """,
 )
 def q_join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spatial proximity self-join on a unit grid: each customer gets a
-    deterministic location in a 10x10-degree region (affine hash →
-    exact decimal coordinates), points land in integer grid cells, and
-    candidate pairs come from each cell joined against its 3x3
-    neighborhood — the geohash-bucketing recipe that turns an O(n²)
-    distance matrix into O(n · local-density). The exact planar
+    """Spatial proximity self-join on a radius-width grid: each
+    customer gets a deterministic location (prime-decorrelated hash →
+    exact decimal coordinates) in a region whose side grows with
+    sqrt(n) at constant density, points land in cells of width
+    _RADIUS, and candidate pairs come from each cell joined against
+    its 3x3 neighborhood — the geohash-bucketing recipe that turns an
+    O(n²) distance matrix into O(n · local-density). The exact planar
     distance predicate (squared — no sqrt, so the comparison is a pure
     product-sum both engines evaluate bit-identically) filters
     candidates; d2 is emitted raw (identical IEEE expression, no
-    rounding needed). Geodesic (haversine) distance is a drop-in
-    predicate swap; the GRID mechanics — the scale part — don't
-    change.
+    rounding needed; lat/0.25 is lat*4, exponent-exact, so the cell
+    floor matches bit-for-bit too). Geodesic (haversine) distance is a
+    drop-in predicate swap; the GRID mechanics — the scale part —
+    don't change.
 
     Scale: the join key is (cell_x, cell_y) — an equi-join after a
     tiny 9-cell neighbor explode, shuffled by cell. Skewed cells
     (urban density) are the familiar hot-key problem; the dedup.py
-    df-cap / salting guards apply per cell.
+    df-cap / salting guards apply per cell. The synthetic region's
+    side grows with sqrt(n) (one bounded count() layout scalar) so
+    per-cell density is constant — the r7 sf1 sweep measured the
+    fixed-domain version quadratic (735 s at 150k points); with
+    constant density, candidates AND result rows are O(n).
     """
+    import math
+
     cust = load_table(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("u")
     ).distinct()
+    # bounded layout scalar (like the ETL split-point sample): region
+    # side in cells, sized so per-cell density is constant in n
+    side = max(
+        10, math.ceil(math.sqrt(cust.count() / float(_TARGET_DEG2_DENSITY)))
+    )
+    mod = 100 * side
     pts = cust.select(
         "u",
-        (F.expr(_HASH_SQL.format(key="u")) % 1000 / 100.0).alias("lat"),
-        (F.expr(_HASH_SQL.format(key="u * 2 + 1")) % 1000 / 100.0).alias(
-            "lon"
-        ),
+        (
+            F.expr(_HASH_SQL.format(key="u")) % _LAT_PRIME % mod / 100.0
+        ).alias("lat"),
+        (
+            F.expr(_HASH_SQL.format(key="u * 2 + 1")) % _LON_PRIME % mod
+            / 100.0
+        ).alias("lon"),
     )
     cells = pts.select(
         "u",
         "lat",
         "lon",
-        F.floor("lat").alias("cx"),
-        F.floor("lon").alias("cy"),
+        F.floor(F.col("lat") / _RADIUS).alias("cx"),
+        F.floor(F.col("lon") / _RADIUS).alias("cy"),
     )
     probe = cells.select(
         F.col("u").alias("pu"),

@@ -29,15 +29,26 @@ def test_spatial_grid_matches_bruteforce(spark):
         .distinct()
         .collect()
     ]
-    pts = {u: (_h(u) % 1000 / 100.0, _h(u * 2 + 1) % 1000 / 100.0) for u in users}
+    import math
+
+    side = max(10, math.ceil(math.sqrt(len(users) / 150.0)))
+    mod = 100 * side
+    pts = {
+        u: (
+            _h(u) % 999983 % mod / 100.0,
+            _h(u * 2 + 1) % 999979 % mod / 100.0,
+        )
+        for u in users
+    }
     expected = set()
     for i, u1 in enumerate(users):
         for u2 in users[i + 1 :]:
             a, b = pts[u1], pts[u2]
             d2 = (a[0] - b[0]) ** 2 + (a[1] - b[1]) ** 2
-            if d2 <= 1.0:
+            if d2 <= 0.25 * 0.25:
                 expected.add((min(u1, u2), max(u1, u2)))
     assert rows == expected
+    assert len(rows) > 0
 
 
 def test_log2_histogram_buckets(spark):
