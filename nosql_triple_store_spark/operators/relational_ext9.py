@@ -162,7 +162,15 @@ def q_source_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
             from ..scratch import scratch_dir
 
             out = scratch_dir("avro", sf_dir)
-            orders_src = load_table(spark, sf_dir, "orders")
+            from ..widths import cluster_cores
+
+            # width the encode: the source arrives in a handful of scan
+            # partitions, which would serialize the bytes-proportional
+            # Python encode AND cap the binaryFile reader at that file
+            # count (r7 sf1 sweep: 17x for 10x data; ~linear after)
+            orders_src = load_table(spark, sf_dir, "orders").repartition(
+                cluster_cores(spark)
+            )
             if _spark_avro_available():  # pragma: no cover - jar absent
                 orders_src.write.mode("overwrite").format("avro").save(out)
             else:
@@ -223,7 +231,14 @@ def q_source_bson(spark: SparkSession, sf_dir: str) -> DataFrame:
             from ..scratch import scratch_dir
 
             out = scratch_dir("bson", sf_dir)
-            src = load_table(spark, sf_dir, "orders").select(*cols)
+            from ..widths import cluster_cores
+
+            # width the encode (see the Avro twin above)
+            src = (
+                load_table(spark, sf_dir, "orders")
+                .select(*cols)
+                .repartition(cluster_cores(spark))
+            )
             write_bson_dir(src, out)
             _BSON_DIRS[sf_dir] = (out, src.schema)
     out, schema = _BSON_DIRS[sf_dir]

@@ -13,9 +13,11 @@ duplicate pairs sit at cosine 0.9+ (angle < 26 deg, per-plane p = 0.86,
 6-bit band p = 0.4) where recall saturates cheaply. The recall floor and
 the subset-of-exact invariant are asserted in tests/test_vector_lsh.py.
 
-Pipeline: 30-bit sign signature per vector (one vectorized numpy matmul in
-a pandas UDF), 5x6-bit banded self-join for candidates (codegen'd),
-vectorized exact cosine verify on the candidate set only.
+Pipeline: sign signature per vector (one vectorized numpy matmul in a
+pandas UDF; 5 bands x adaptive band width — 6 bits / 30 planes at the
+fixture sizes, widening with log2(n) so buckets never saturate), banded
+self-join for candidates (codegen'd), vectorized exact cosine verify on
+the candidate set only.
 At 100 TB the candidate join replaces the n² GEMM with
 sum-per-bucket(k²) — the same inverted-index shape as MinHash LSH, with
 the verify GEMM confined to bucket-sized blocks."""
@@ -31,27 +33,44 @@ from pyspark.sql.types import DoubleType, LongType
 from ..catalog import load_table
 from ..registry import register
 
-_N_PLANES = 30
 _N_BANDS = 5
-_BAND_BITS = _N_PLANES // _N_BANDS
+_BAND_BITS_MIN = 6  # the historical 30-plane signature (n <= 2048)
+_BAND_BITS_MAX = 12  # 5 x 12 = 60 planes still fit one int64 signature
+_TARGET_BUCKET = 32  # band bits sized so n / 2^bits stays ~bounded
 _DIM = 64
 _TAU = 0.4
 
 
-def _planes() -> np.ndarray:
+def _band_bits(n: int) -> int:
+    """Adaptive band width: FIXED 6-bit bands have only 64 bucket
+    values, so buckets saturate as the corpus grows and the candidate
+    join turns quadratic (the r7 sf1 sweep measured 51 s at 20k
+    vectors). Widen bands with log2(n) so expected bucket load stays
+    ~_TARGET_BUCKET; n <= 2048 keeps the historical 6 bits (and with
+    the fixed seed, the historical planes) bit-identically."""
+    bits = _BAND_BITS_MIN
+    while bits < _BAND_BITS_MAX and n / (1 << bits) > _TARGET_BUCKET:
+        bits += 1
+    return bits
+
+
+def _planes(n_planes: int) -> np.ndarray:
     # deterministic hyperplanes; seed fixed so signatures are stable
     # across runs, executors and sessions
     rng = np.random.default_rng(42)
-    return rng.standard_normal((_DIM, _N_PLANES))
+    return rng.standard_normal((_DIM, n_planes))
 
 
-@F.pandas_udf(LongType())
-def _srp_sig(emb: pd.Series) -> pd.Series:
-    r = _planes()
-    mat = np.vstack(emb.to_numpy())  # (batch, dim)
-    bits = (mat @ r) > 0  # (batch, planes)
-    weights = (1 << np.arange(_N_PLANES, dtype=np.int64))
-    return pd.Series((bits @ weights).astype(np.int64))
+def _srp_sig_udf(n_planes: int):
+    @F.pandas_udf(LongType())
+    def _srp_sig(emb: pd.Series) -> pd.Series:
+        r = _planes(n_planes)
+        mat = np.vstack(emb.to_numpy())  # (batch, dim)
+        bits = (mat @ r) > 0  # (batch, planes)
+        weights = (1 << np.arange(n_planes, dtype=np.int64))
+        return pd.Series((bits @ weights).astype(np.int64))
+
+    return _srp_sig
 
 
 @F.pandas_udf(DoubleType())
@@ -73,7 +92,12 @@ def q_dedup_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     the candidate set, which is what makes the whole thing
     sub-quadratic."""
     emb = load_table(spark, sf_dir, "embeddings")
-    sigs = emb.select("vec_id", "embedding", _srp_sig("embedding").alias("sig"))
+    band_bits = _band_bits(emb.count())  # bounded layout scalar
+    sigs = emb.select(
+        "vec_id",
+        "embedding",
+        _srp_sig_udf(_N_BANDS * band_bits)("embedding").alias("sig"),
+    )
     bands = sigs.select(
         "vec_id",
         F.explode(
@@ -82,7 +106,7 @@ def q_dedup_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.struct(
                         F.lit(i).alias("band_idx"),
                         F.expr(
-                            f"(sig >> {_BAND_BITS * i}) & {(1 << _BAND_BITS) - 1}"
+                            f"(sig >> {band_bits * i}) & {(1 << band_bits) - 1}"
                         ).alias("band_val"),
                     )
                     for i in range(_N_BANDS)

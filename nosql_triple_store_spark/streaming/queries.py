@@ -729,7 +729,13 @@ def q_stream_source_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ensure_runtime_confs(spark)
     out = scratch_dir("avro_stream", sf_dir)
-    src = load_table(spark, sf_dir, "orders")
+    from ..widths import cluster_cores
+
+    # width the encode so write and binaryFile read parallelize past
+    # the source's scan-partition count (see relational_ext9)
+    src = load_table(spark, sf_dir, "orders").repartition(
+        cluster_cores(spark)
+    )
     if not _os.path.isdir(out) or not _os.listdir(out):
         write_avro_dir(src, out)
     # the streaming twin of read_avro_dir: binaryFile as a stream,
@@ -790,7 +796,13 @@ def q_stream_source_bson(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_runtime_confs(spark)
     out = scratch_dir("bson_stream", sf_dir)
     cols = ["o_orderkey", "o_orderstatus"]
-    src = load_table(spark, sf_dir, "orders").select(*cols)
+    from ..widths import cluster_cores
+
+    src = (
+        load_table(spark, sf_dir, "orders")
+        .select(*cols)
+        .repartition(cluster_cores(spark))
+    )
     if not _os.path.isdir(out) or not _os.listdir(out):
         write_bson_dir(src, out)
     files = (
