@@ -208,9 +208,20 @@ def q_vector_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
     columnar storage of sliced embeddings this is a 4× scan saving
     before any index enters the picture."""
     emb = load_table(spark, sf_dir, "embeddings")
-    probes = emb.filter(F.col("vec_id") % 251 == 0).select(
-        F.col("vec_id").alias("probe_id"),
-        F.col("embedding").alias("p_emb"),
+    # FIXED-size probe panel: the audit's cost is probes x corpus, so
+    # the probe count must not scale with the corpus (vec_id % 251
+    # alone grows with n — the r7 sf1 sweep measured 15 s at 20k
+    # vectors from 80 probes x 2 interpreted dot products each).
+    # The 8 lowest qualifying ids are exactly the historical panel at
+    # every driver SF.
+    probes = (
+        emb.filter(F.col("vec_id") % 251 == 0)
+        .select(
+            F.col("vec_id").alias("probe_id"),
+            F.col("embedding").alias("p_emb"),
+        )
+        .orderBy("probe_id")
+        .limit(8)
     )
     pairs = emb.crossJoin(F.broadcast(probes)).filter(
         F.col("vec_id") != F.col("probe_id")

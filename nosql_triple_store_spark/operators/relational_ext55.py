@@ -113,11 +113,12 @@ def q_meta_partition_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     made verifiable.
 
     Scale: partitionBy writes are the standard layout for partition
-    pruning; one file per bucket here comes from the pre-write
-    ``repartition(1)`` (fixture-sized — a cluster writes
-    ``repartition(n, "bucket")`` and gets a bounded file count per
-    directory instead; the census then reports real per-bucket file
-    counts, the small-files diagnostic). The read side's bucket
+    pruning; one file per bucket comes from the pre-write
+    ``repartition(_N_BUCKETS, "bucket")`` — each bucket's rows
+    co-locate in one task, so the write parallelizes across buckets
+    while every directory gets exactly one file (the census then
+    reports real per-bucket file counts, the small-files
+    diagnostic). The read side's bucket
     recovery is a projection over the scan's constant metadata column —
     no shuffle beyond the final {_N_BUCKETS}-group aggregate.
     """
@@ -129,7 +130,13 @@ def q_meta_partition_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .withColumn(
                     "bucket", F.pmod("l_orderkey", F.lit(_N_BUCKETS))
                 )
-                .repartition(1)
+                # hash-repartition BY BUCKET: every bucket's rows land
+                # in one task, so each directory still gets exactly one
+                # file (the oracle's n_files=1 contract) while the
+                # write parallelizes across buckets — repartition(1)
+                # serialized the whole table through a single task
+                # (r7 sf1 sweep: 15 s at 6M rows)
+                .repartition(_N_BUCKETS, "bucket")
                 .write.mode("overwrite")
                 .partitionBy("bucket")
                 .parquet(out)
@@ -295,9 +302,14 @@ def q_source_parquet_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     with _CACHE_LOCK:
         if sf_dir not in _BLOOM_DIRS:
             out = scratch_dir("bloom_layout", sf_dir)
+            from ..widths import cluster_cores
+
             (
                 load_table(spark, sf_dir, "lineitem")
-                .repartition(_N_BLOOM_FILES)
+                # at least the fixture's 4 files for row-group skipping;
+                # cluster-core width so the one-time rewrite of a large
+                # table doesn't serialize on 4 tasks
+                .repartition(max(_N_BLOOM_FILES, cluster_cores(spark)))
                 .write.mode("overwrite")
                 .option("parquet.bloom.filter.enabled#l_suppkey", "true")
                 .option(

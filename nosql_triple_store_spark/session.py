@@ -27,6 +27,15 @@ RUNTIME_CONFS: dict[str, str] = {
     # UTC everywhere: makes tz-aware <-> ntz casts and date_format
     # deterministic regardless of host timezone.
     "spark.sql.session.timeZone": "UTC",
+    # 16 MB scan splits: the fixture tables are single parquet files,
+    # and the 128 MB default gives a 110 MB file ONE split — every
+    # pure-scan query then runs on one core (the r7 sf1 sweep measured
+    # 10-25x wall for 10x data across the scalar/aggregate scan
+    # family). Driver-SF files are <= 11 MB, so their plans keep a
+    # single split either way. At 100 TB the knob is sized to executor
+    # memory instead — see SCALE.md; the principle (splits ~ row
+    # groups, not whole files) is the same.
+    "spark.sql.files.maxPartitionBytes": "16m",
     # NOTE: a global adaptive.coalescePartitions.initialPartitionNum=192
     # was tried for the wide wedge-join stages and REJECTED: it fixed
     # q_graph_triangles (48 s -> ~10 s) but regressed q_dedup_near 7.9 s

@@ -148,7 +148,12 @@ def main() -> None:
                 [_copy_of(name, tab, c, strides) for c in range(k)]
             )
         dest = os.path.join(out, f"{name}.parquet")
-        pq.write_table(scaled, dest, compression="snappy")
+        # small row groups keep the single-file tables splittable into
+        # many scan tasks (Spark assigns row groups to byte-range
+        # splits; one huge group = one task no matter the conf)
+        pq.write_table(
+            scaled, dest, compression="snappy", row_group_size=131072
+        )
         print(f"{name}: {tab.num_rows} -> {scaled.num_rows} rows -> {dest}")
 
 
