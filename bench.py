@@ -74,11 +74,20 @@ def main() -> None:
     t0 = time.perf_counter()
     triangle_list(spark, sf_dir).count()
     layout["triangle_list"] = round(time.perf_counter() - t0, 4)
-    from nosql_triple_store_spark.operators.dedup import _shingle_stream
+    from nosql_triple_store_spark.operators.dedup import (
+        _shingle_pairs,
+        _shingle_stream,
+    )
 
     t0 = time.perf_counter()
     _shingle_stream(spark, sf_dir).count()
     layout["shingle_stream"] = round(time.perf_counter() - t0, 4)
+    # the exact pair stream is the shared artifact of q_dedup_near /
+    # q_text_containment / q_dedup_clusters; materialized once like
+    # the stream above so consumers scan instead of re-joining
+    t0 = time.perf_counter()
+    _shingle_pairs(spark, sf_dir).count()
+    layout["shingle_pairs"] = round(time.perf_counter() - t0, 4)
     from nosql_triple_store_spark.operators.dedup_pipeline import band_index
 
     t0 = time.perf_counter()
