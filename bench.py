@@ -110,6 +110,29 @@ def main() -> None:
     t0 = time.perf_counter()
     _coarse_centroids(spark, sf_dir)
     layout["ivf_coarse_codebook"] = round(time.perf_counter() - t0, 4)
+    # Remaining build-once physical layouts (hive-partitioned bucket
+    # census, bloom-filtered rewrite, versioned vacuum register): at
+    # sf0.1 median-of-3 the cached runs 2-3 hid these builds inside the
+    # median while the single-run upward sweeps charged them to the
+    # query — making the scaling ratio compare different things. All
+    # are CREATE TABLE-class ETL; timed here on both sides instead.
+    from nosql_triple_store_spark.operators.relational_ext29 import (
+        vacuum_register,
+    )
+    from nosql_triple_store_spark.operators.relational_ext55 import (
+        bloom_layout,
+        bucket_layout,
+    )
+
+    t0 = time.perf_counter()
+    bucket_layout(spark, sf_dir)
+    layout["bucket_layout"] = round(time.perf_counter() - t0, 4)
+    t0 = time.perf_counter()
+    bloom_layout(spark, sf_dir)
+    layout["bloom_layout"] = round(time.perf_counter() - t0, 4)
+    t0 = time.perf_counter()
+    vacuum_register(spark, sf_dir)
+    layout["vacuum_register"] = round(time.perf_counter() - t0, 4)
 
     # Heap-sensitive heavy queries get a JVM full-GC immediately before
     # they run (outside their timed region): the wedge joins are

@@ -150,6 +150,31 @@ _VACUUM_BATCHES = 4
 _VACUUM_RESULTS: dict[str, list[tuple]] = {}
 
 
+def vacuum_register(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once versioned LWW register the vacuum operates on
+    (4 event-time compact batches), cached per (process, sf_dir) via
+    the scratch path. Exposed for bench.py's layout phase: the
+    register BUILD is table-history setup (the state any production
+    table already has); the vacuum + reclamation report is the
+    operation q_maintenance_vacuum measures."""
+    from ..scratch import scratch_dir
+    from ..sources.compaction import compact
+
+    base = os.path.join(scratch_dir("vacuum", sf_dir), "register")
+    if not os.path.isdir(base):
+        ev = load_table(spark, sf_dir, "events").select(
+            "user_id", "event_type", "event_id", "ts", "value"
+        )
+        keys, order = ["user_id", "event_type"], ["ts", "event_id"]
+        # residue-class batches by event_id keep the build deterministic
+        for q in range(_VACUUM_BATCHES):
+            delta = ev.filter(
+                F.pmod(F.col("event_id"), F.lit(_VACUUM_BATCHES)) == q
+            )
+            compact(spark, base, delta, keys, order)
+    return base
+
+
 @register("q_maintenance_vacuum", oracle=None)  # rows-only: fs maintenance
 def q_maintenance_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Register retention cleanup — the VACUUM / expire-snapshots twin
@@ -163,8 +188,7 @@ def q_maintenance_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
     metadata/manifest operation (here: local fs walk), never a data
     shuffle. The read-back correctness invariant (latest version
     survives untouched) is pinned in tests/test_ext29.py."""
-    from ..scratch import scratch_dir
-    from ..sources.compaction import compact, read_register
+    from ..sources.compaction import read_register
 
     schema = (
         "version string, disposition string, n_files int, "
@@ -173,18 +197,7 @@ def q_maintenance_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
     if sf_dir in _VACUUM_RESULTS:
         return spark.createDataFrame(_VACUUM_RESULTS[sf_dir], schema)
 
-    base = os.path.join(scratch_dir("vacuum", sf_dir), "register")
-    keys, order = ["user_id", "event_type"], ["ts", "event_id"]
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id", "event_type", "event_id", "ts", "value"
-    )
-    if not os.path.isdir(base):
-        # residue-class batches by event_id keep the build deterministic
-        for q in range(_VACUUM_BATCHES):
-            delta = ev.filter(
-                F.pmod(F.col("event_id"), F.lit(_VACUUM_BATCHES)) == q
-            )
-            compact(spark, base, delta, keys, order)
+    base = vacuum_register(spark, sf_dir)
 
     versions = sorted(
         d for d in os.listdir(base) if d.startswith("v")

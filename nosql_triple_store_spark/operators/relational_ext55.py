@@ -91,6 +91,37 @@ _CACHE_LOCK = threading.Lock()
 _N_BUCKETS = 8
 
 
+def bucket_layout(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once hive-partitioned lineitem layout
+    (``bucket = l_orderkey % {_N_BUCKETS}``), cached per (process,
+    sf_dir). Exposed so bench.py's layout phase can amortize the
+    one-time partitioned write as layout ETL (like bucketed_tables) —
+    charging it to whichever query first touches it made the sf0.1
+    (median-of-3, runs 2-3 cached) vs sf1 (single-run) scaling ratio
+    incomparable."""
+    with _CACHE_LOCK:
+        if sf_dir not in _LAYOUT_DIRS:
+            out = scratch_dir("bucket_layout", sf_dir)
+            (
+                load_table(spark, sf_dir, "lineitem")
+                .withColumn(
+                    "bucket", F.pmod("l_orderkey", F.lit(_N_BUCKETS))
+                )
+                # hash-repartition BY BUCKET: every bucket's rows land
+                # in one task, so each directory still gets exactly one
+                # file (the oracle's n_files=1 contract) while the
+                # write parallelizes across buckets — repartition(1)
+                # serialized the whole table through a single task
+                # (r7 sf1 sweep: 15 s at 6M rows)
+                .repartition(_N_BUCKETS, "bucket")
+                .write.mode("overwrite")
+                .partitionBy("bucket")
+                .parquet(out)
+            )
+            _LAYOUT_DIRS[sf_dir] = out
+    return _LAYOUT_DIRS[sf_dir]
+
+
 @register(
     "q_meta_partition_layout",
     oracle=f"""
@@ -122,27 +153,7 @@ def q_meta_partition_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     recovery is a projection over the scan's constant metadata column —
     no shuffle beyond the final {_N_BUCKETS}-group aggregate.
     """
-    with _CACHE_LOCK:
-        if sf_dir not in _LAYOUT_DIRS:
-            out = scratch_dir("bucket_layout", sf_dir)
-            (
-                load_table(spark, sf_dir, "lineitem")
-                .withColumn(
-                    "bucket", F.pmod("l_orderkey", F.lit(_N_BUCKETS))
-                )
-                # hash-repartition BY BUCKET: every bucket's rows land
-                # in one task, so each directory still gets exactly one
-                # file (the oracle's n_files=1 contract) while the
-                # write parallelizes across buckets — repartition(1)
-                # serialized the whole table through a single task
-                # (r7 sf1 sweep: 15 s at 6M rows)
-                .repartition(_N_BUCKETS, "bucket")
-                .write.mode("overwrite")
-                .partitionBy("bucket")
-                .parquet(out)
-            )
-            _LAYOUT_DIRS[sf_dir] = out
-    back = spark.read.parquet(_LAYOUT_DIRS[sf_dir]).select(
+    back = spark.read.parquet(bucket_layout(spark, sf_dir)).select(
         "l_orderkey", F.col("_metadata.file_path").alias("fp")
     )
     path_bucket = F.regexp_extract("fp", r"bucket=(\d+)", 1).cast("long")
@@ -274,6 +285,34 @@ _N_BLOOM_FILES = 4
 _BLOOM_KEY = 17
 
 
+def bloom_layout(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once bloom-filtered lineitem rewrite, cached per
+    (process, sf_dir). Exposed for bench.py's layout phase — the
+    one-time rewrite is layout ETL (CREATE TABLE ... TBLPROPERTIES
+    bloom), not part of the point-lookup being measured."""
+    with _CACHE_LOCK:
+        if sf_dir not in _BLOOM_DIRS:
+            out = scratch_dir("bloom_layout", sf_dir)
+            from ..widths import cluster_cores
+
+            (
+                load_table(spark, sf_dir, "lineitem")
+                # at least the fixture's 4 files for row-group skipping;
+                # cluster-core width so the one-time rewrite of a large
+                # table doesn't serialize on 4 tasks
+                .repartition(max(_N_BLOOM_FILES, cluster_cores(spark)))
+                .write.mode("overwrite")
+                .option("parquet.bloom.filter.enabled#l_suppkey", "true")
+                .option(
+                    "parquet.bloom.filter.expected.ndv#l_suppkey", "2000"
+                )
+                .option("parquet.block.size", 1 << 20)
+                .parquet(out)
+            )
+            _BLOOM_DIRS[sf_dir] = out
+    return _BLOOM_DIRS[sf_dir]
+
+
 @register(
     "q_source_parquet_bloom",
     oracle=f"""
@@ -299,27 +338,7 @@ def q_source_parquet_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     side still shows PushedFilters and skips row groups whose bloom
     rejects the key.
     """
-    with _CACHE_LOCK:
-        if sf_dir not in _BLOOM_DIRS:
-            out = scratch_dir("bloom_layout", sf_dir)
-            from ..widths import cluster_cores
-
-            (
-                load_table(spark, sf_dir, "lineitem")
-                # at least the fixture's 4 files for row-group skipping;
-                # cluster-core width so the one-time rewrite of a large
-                # table doesn't serialize on 4 tasks
-                .repartition(max(_N_BLOOM_FILES, cluster_cores(spark)))
-                .write.mode("overwrite")
-                .option("parquet.bloom.filter.enabled#l_suppkey", "true")
-                .option(
-                    "parquet.bloom.filter.expected.ndv#l_suppkey", "2000"
-                )
-                .option("parquet.block.size", 1 << 20)
-                .parquet(out)
-            )
-            _BLOOM_DIRS[sf_dir] = out
-    li = spark.read.parquet(_BLOOM_DIRS[sf_dir]).filter(
+    li = spark.read.parquet(bloom_layout(spark, sf_dir)).filter(
         F.col("l_suppkey") == _BLOOM_KEY
     )
     return li.groupBy("l_returnflag").agg(
