@@ -338,11 +338,18 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     (key space 256^a): fixed 8-bit bands saturate as the corpus grows
     (only 256 bucket values — the r7 sf1 sweep measured the candidate
     join quadratic, 181 s at 50k docs), so arity steps up when
-    n/256^a would exceed ~64 docs per bucket. Pigeonhole guarantee:
-    hamming ≤ 8-a pairs always share an untouched combination (a=1:
-    ≤7, a=2: ≤6, a=3: ≤5) — far above any top-50-closest distance.
-    Driver SFs (n ≤ 5000) keep arity 1, i.e. their historical
-    candidates, bit-identically.
+    n/256^a would exceed ~64 docs per bucket. At arity 2 the combo set
+    is a COVERING DESIGN, not all C(8,2)=28 pairs: the 12 within-half
+    pairs ({0..3} x {0..3} and {4..7} x {4..7}). Pigeonhole guarantee:
+    a hamming ≤ 5 pair leaves ≥ 3 chunks untouched, and 3 chunks across
+    2 halves put two in the same half — an untouched chosen pair. (The
+    complement, the 16 cross-half pairs, is exactly the maximal
+    triangle-free graph on 8 vertices, so 12 is optimal for the ≤5
+    bound; all 28 pairs would only raise the bound to ≤6 at 2.3x the
+    join input, and ≤5 is far above any top-50-closest distance.)
+    Arity 1 (a ≤ 7 bound) and arity 3 (all C(8,3), ≤5) use the full
+    combination set. Driver SFs (n ≤ 5000) keep arity 1, i.e. their
+    historical candidates, bit-identically.
 
     The signature is the only Python step (vectorized pandas UDF); banding,
     the self-join, and the Hamming verify are codegen'd expressions.
@@ -354,7 +361,14 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     arity = 1
     while arity < 3 and n_docs / (256 ** arity) > 64:
         arity += 1
-    combos = list(combinations(range(8), arity))
+    if arity == 2:
+        combos = [
+            c
+            for half in (range(0, 4), range(4, 8))
+            for c in combinations(half, 2)
+        ]
+    else:
+        combos = list(combinations(range(8), arity))
     # spread the single-file scan before the pandas UDF: one partition
     # would mean ONE Arrow batch on one core for the whole corpus
     sigs = docs.repartition(fanout_width(spark)).select(

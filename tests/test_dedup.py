@@ -128,3 +128,22 @@ def test_simhash_deterministic(spark):
     )
     assert r1 == r2
     assert len(r1) > 0
+
+
+def test_simhash_arity2_covering_design():
+    # the arity-2 band set must be a covering design: every 3-subset of
+    # the 8 chunks contains at least one chosen pair, so any hamming<=5
+    # pair (>=3 untouched chunks) shares an untouched band — the
+    # pigeonhole guarantee the docstring claims, independent of data
+    from itertools import combinations
+
+    combos = {
+        c
+        for half in (range(0, 4), range(4, 8))
+        for c in combinations(half, 2)
+    }
+    assert len(combos) == 12
+    for triple in combinations(range(8), 3):
+        assert any(
+            pair in combos for pair in combinations(triple, 2)
+        ), triple

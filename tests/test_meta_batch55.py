@@ -120,3 +120,21 @@ def test_partition_layout_scan_prunes_directories(spark):
     assert "PartitionFilters: [" in p
     seg = p.split("PartitionFilters")[1][:120]
     assert "bucket" in seg
+
+
+def test_layout_builders_cache_per_process(spark):
+    # bench.py's layout phase and the queries must share ONE build per
+    # (process, sf_dir): a second call returns the identical path with
+    # no rewrite (the cached-vs-rebuilt split was the r7 scaling-ratio
+    # artifact on these three queries)
+    from nosql_triple_store_spark.operators.relational_ext29 import (
+        vacuum_register,
+    )
+    from nosql_triple_store_spark.operators.relational_ext55 import (
+        bloom_layout,
+        bucket_layout,
+    )
+
+    for builder in (bucket_layout, bloom_layout, vacuum_register):
+        first = builder(spark, SF_DIR)
+        assert builder(spark, SF_DIR) == first
