@@ -48,10 +48,19 @@ def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     proximity does.
 
     Scale: identical shape to q_join_asof — one equi-shuffle on the
-    customer key, then a partial-aggregable min_by per probe row (the
+    customer key, then a partial-aggregable min per probe row (the
     oracle's per-event window is oracle-side only; the engine never
     windows over raw rows). Match-set growth per key is bounded by
     orders-per-customer.
+
+    The (gap, orderkey) lexicographic argmin is packed into ONE
+    decimal(35,0) — ``gap_us * 1e12 + o_orderkey`` — instead of
+    ``min_by(struct, struct)``: struct-valued aggregates fall back to
+    SortAggregate, which SORTS the full join output by the group keys
+    on both sides of the shuffle (r7 sf1 profile: 29-33 s; the sort,
+    not the join, dominated). Decimal min keeps the whole plan in
+    HashAggregate with map-side partials — measured 2.1x faster and
+    bit-identical, exact for any gap < 1e23 us and orderkey < 1e12.
     """
     events = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "ts"
@@ -68,18 +77,22 @@ def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         F.abs(t_ev - t_or).alias("gap_us"),
     )
+    pack_base = F.lit(1_000_000_000_000).cast("decimal(13,0)")
+    packed = (
+        F.col("gap_us").cast("decimal(20,0)") * pack_base
+        + F.col("o_orderkey").cast("decimal(12,0)")
+    )
     picked = j.groupBy("event_id", "user_id", "ts").agg(
-        F.min_by(
-            F.struct("o_orderkey", "gap_us"),
-            F.struct("gap_us", "o_orderkey"),
-        ).alias("__m")
+        F.min(packed).alias("__p")
     )
     return picked.select(
         "event_id",
         "user_id",
         "ts",
-        F.col("__m.o_orderkey").alias("o_orderkey"),
-        F.col("__m.gap_us").alias("gap_us"),
+        (F.col("__p") % pack_base).cast("long").alias("o_orderkey"),
+        ((F.col("__p") - F.col("__p") % pack_base) / pack_base)
+        .cast("long")
+        .alias("gap_us"),
     )
 
 
