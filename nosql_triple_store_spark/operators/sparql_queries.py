@@ -117,6 +117,44 @@ def q_sparql_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
     return compile_sparql_encoded(spark, sf_dir, SPARQL_GROUPBY)
 
 
+SPARQL_AGG_NUMERIC = """
+SELECT ?seg (SUM(?b) AS ?total_cents) (AVG(?b) AS ?avg_cents)
+       (COUNT(*) AS ?n) WHERE {
+  ?c inSegment ?seg .
+  ?c hasBalanceCents ?b .
+}
+GROUP BY ?seg
+ORDER BY ?seg
+"""
+
+_AGG_NUMERIC_ORACLE = f"""
+WITH {TRIPLES_SQL}
+SELECT a.o AS seg,
+       SUM(CAST(b.o AS DOUBLE)) AS total_cents,
+       AVG(CAST(b.o AS DOUBLE)) AS avg_cents,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM triples a
+JOIN triples b ON b.s = a.s AND b.p = 'hasBalanceCents'
+WHERE a.p = 'inSegment'
+GROUP BY a.o
+ORDER BY seg
+"""
+
+
+@register("q_sparql_agg_numeric", oracle=_AGG_NUMERIC_ORACLE)
+def q_sparql_agg_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL 1.1 numeric aggregates (SUM/AVG) over literal terms:
+    per-segment balance totals through the ``hasBalanceCents``
+    predicate — the remaining standard aggregate set beyond
+    COUNT/MIN/MAX (VERDICT r6 gap #3). Terms are strings, so the
+    compiler routes SUM/AVG through try_cast(double) with SQL
+    NULL-skip semantics (non-numeric terms are ignored, documented
+    deviation from SPARQL's error propagation); the cents encoding
+    keeps every literal integer-exact in IEEE double, so SUM is
+    order-independent and hash-matches the oracle exactly."""
+    return compile_sparql_encoded(spark, sf_dir, SPARQL_AGG_NUMERIC)
+
+
 SPARQL_UNION = """
 SELECT ?e ?g ?nm WHERE {
   { ?e inRegion ?g . ?e hasName ?nm }

@@ -54,7 +54,11 @@ triples AS (
   UNION ALL
   SELECT 'nation:' || n_nationkey, 'hasName', n_name FROM nation
   UNION ALL
-  SELECT 'region:' || r_regionkey, 'hasName', r_name FROM region)
+  SELECT 'region:' || r_regionkey, 'hasName', r_name FROM region
+  UNION ALL
+  SELECT 'customer:' || c_custkey, 'hasBalanceCents',
+         CAST(CAST(FLOOR(c_acctbal * 100) AS BIGINT) AS VARCHAR)
+  FROM customer)
 """
 
 
@@ -97,6 +101,19 @@ def triples_view(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.lit("region:"), F.col("r_regionkey")).alias("s"),
             F.lit("hasName").alias("p"),
             F.col("r_name").alias("o"),
+        ),
+        # the one numeric-literal predicate (SPARQL SUM/AVG target):
+        # integer cents via FLOOR(x*100) — identical IEEE-double math
+        # in Spark and the DuckDB oracle, so the string literal is
+        # byte-equal in both engines (formatting a fractional double
+        # would not be)
+        cust.select(
+            F.concat(F.lit("customer:"), F.col("c_custkey")).alias("s"),
+            F.lit("hasBalanceCents").alias("p"),
+            F.floor(F.col("c_acctbal") * 100)
+            .cast("long")
+            .cast("string")
+            .alias("o"),
         ),
     ]
     out = parts[0]

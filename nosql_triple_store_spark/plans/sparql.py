@@ -11,8 +11,10 @@ Scope (documented subset, rejected loudly outside it):
   variable and a string literal (or two variables), combined with
   ``&&`` / ``||``, plus ``REGEX(?v, "pat")``
 - ``ORDER BY ?v [DESC(?v)]``, ``LIMIT n``, ``DISTINCT``
-- aggregates ``(COUNT(*)|COUNT(?v)|MIN(?v)|MAX(?v) AS ?alias)`` with
-  ``GROUP BY ?v ...`` (terms are strings, so SUM/AVG are rejected)
+- aggregates ``(COUNT(*)|COUNT(?v)|MIN(?v)|MAX(?v)|SUM(?v)|AVG(?v)
+  AS ?alias)`` with ``GROUP BY ?v ...`` — SUM/AVG try_cast the
+  string terms to double and skip non-numeric ones (SQL NULL-skip
+  semantics; documented deviation from SPARQL 1.1 error propagation)
 - ``{ group } UNION { group } [UNION ...]`` at the top of WHERE — bag
   union (UNION ALL) of conjunctive groups binding IDENTICAL variable
   sets (SPARQL's unbound-column semantics are rejected, not guessed)
@@ -240,10 +242,10 @@ class _Parser:
             if t == "(":  # (AGG(?v) AS ?alias)
                 self.next()
                 fn = self.next().upper()
-                if fn not in ("COUNT", "MIN", "MAX"):
+                if fn not in ("COUNT", "MIN", "MAX", "SUM", "AVG"):
                     raise ValueError(
-                        f"unsupported aggregate {fn!r} (COUNT/MIN/MAX; "
-                        "terms are strings, SUM/AVG have no meaning)"
+                        f"unsupported aggregate {fn!r} "
+                        "(COUNT/MIN/MAX/SUM/AVG)"
                     )
                 self.expect("(")
                 a = self.next()
@@ -904,8 +906,20 @@ def compile_sparql_encoded(
                 )
             elif a.fn == "MIN":
                 col = F.min(F.col(a.var))
-            else:
+            elif a.fn == "MAX":
                 col = F.max(F.col(a.var))
+            else:
+                # SUM/AVG: terms are strings, so numeric aggregation
+                # goes through try_cast — non-numeric terms become
+                # NULL and are skipped, SQL aggregate semantics
+                # (documented deviation from SPARQL 1.1's
+                # error-propagation: an engine that errors the whole
+                # group on one stray literal is useless on real
+                # corpora; the NULL-skip rule matches what the SQL
+                # oracle computes). try_cast, not cast: ANSI-mode
+                # cast would throw mid-job on the first bad term.
+                num = F.col(a.var).try_cast("double")
+                col = F.sum(num) if a.fn == "SUM" else F.avg(num)
             aggcols.append(col.alias(a.alias))
         decoded = (
             decoded.groupBy(*q.group_by).agg(*aggcols)

@@ -168,8 +168,9 @@ def test_parse_aggregates():
 @pytest.mark.parametrize(
     "bad",
     [
-        "SELECT (SUM(?x) AS ?s) WHERE { ?x p ?g }",  # non-string agg
+        "SELECT (SAMPLE(?x) AS ?s) WHERE { ?x p ?g }",  # unsupported fn
         "SELECT (MIN(*) AS ?m) WHERE { ?x p ?g }",  # MIN(*)
+        "SELECT (SUM(*) AS ?s) WHERE { ?x p ?g }",  # SUM(*)
         "SELECT ?x (COUNT(*) AS ?n) WHERE { ?x p ?g }",  # x not grouped
         "SELECT ?x WHERE { ?x p ?g } GROUP BY ?x",  # group w/o agg
         "SELECT * (COUNT(*) AS ?n) WHERE { ?x p ?g }",  # * with agg
@@ -575,3 +576,56 @@ def test_path_group_queries_lower_to_left_anti(spark):
         .toString()
     )
     assert plan.count("LeftAnti") == 1
+
+
+def test_parse_numeric_aggregates():
+    q = parse_sparql(
+        "SELECT ?g (SUM(?x) AS ?t) (AVG(?x) AS ?m) "
+        "WHERE { ?s p ?g . ?s q ?x } GROUP BY ?g"
+    )
+    assert [(a.fn, a.var, a.alias) for a in q.aggs] == [
+        ("SUM", "x", "t"),
+        ("AVG", "x", "m"),
+    ]
+
+
+def test_sum_avg_null_skip_semantics(spark):
+    """SUM/AVG over a non-numeric variable must follow the documented
+    SQL NULL-skip semantics: every term try_casts to NULL, so the
+    aggregate is NULL — never a mid-job ANSI cast error."""
+    from nosql_triple_store_spark.plans.sparql import (
+        compile_sparql_encoded,
+    )
+
+    row = compile_sparql_encoded(
+        spark,
+        SF_DIR,
+        'SELECT (SUM(?nm) AS ?t) WHERE { ?r hasName ?nm }',
+    ).collect()
+    assert len(row) == 1 and row[0].t is None
+
+
+def test_sparql_numeric_agg_matches_direct_aggregation(spark):
+    """The SPARQL SUM/AVG result must equal aggregating the customer
+    table directly (cents encoding is floor(acctbal*100))."""
+    from pyspark.sql import functions as F
+
+    from nosql_triple_store_spark.catalog import load_table
+
+    got = {
+        r.seg: (r.total_cents, r.avg_cents, r.n)
+        for r in SPECS["q_sparql_agg_numeric"].fn(spark, SF_DIR).collect()
+    }
+    cents = F.floor(F.col("c_acctbal") * 100).cast("long").cast("double")
+    want = {
+        r.seg: (r.t, r.m, r.n)
+        for r in load_table(spark, SF_DIR, "customer")
+        .groupBy(F.col("c_mktsegment").alias("seg"))
+        .agg(
+            F.sum(cents).alias("t"),
+            F.avg(cents).alias("m"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    }
+    assert got == want
