@@ -100,16 +100,21 @@ def main() -> None:
     t0 = time.perf_counter()
     encoded_store(spark, sf_dir)
     layout["bgp_encoded_store"] = round(time.perf_counter() - t0, 4)
-    # IVF coarse-codebook training (q_vector_ivfpq) is index-build ETL
-    # like the layouts above: k-means over the corpus, cached per
-    # sf_dir, amortized across every search the index serves
+    # IVF-PQ index build (q_vector_ivfpq) is index ETL like the layouts
+    # above: k-means cells + residual codebook (fingerprint-cached
+    # cross-process) and the cell-partitioned code-table parquet —
+    # queries scan codes, never re-encode
     from nosql_triple_store_spark.operators.vector_ext9 import (
-        _coarse_centroids,
+        _ivfpq_model,
+        pq_index,
     )
 
     t0 = time.perf_counter()
-    _coarse_centroids(spark, sf_dir)
+    _ivfpq_model(spark, sf_dir)
     layout["ivf_coarse_codebook"] = round(time.perf_counter() - t0, 4)
+    t0 = time.perf_counter()
+    pq_index(spark, sf_dir).count()
+    layout["pq_code_table"] = round(time.perf_counter() - t0, 4)
     # Remaining build-once physical layouts (hive-partitioned bucket
     # census, bloom-filtered rewrite, versioned vacuum register): at
     # sf0.1 median-of-3 the cached runs 2-3 hid these builds inside the

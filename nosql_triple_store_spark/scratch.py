@@ -67,15 +67,31 @@ def persistent_artifact_path(kind: str, sf_dir: str, name: str) -> str:
     atomic rename (``os.replace``) so concurrent deterministic writers
     race benignly. At 100 TB the analog is a codebook/model object
     stored next to the data under the warehouse prefix and loaded by
-    jobs, not refit per session."""
+    jobs, not refit per session.
+
+    Trust boundary (ADVICE r7): artifacts influence query RESULTS (the
+    IVF-PQ codebook skews neighbor sets), so the cache must not live
+    in the world-writable system tempdir where any local user could
+    pre-seed a bogus file. It lives under the caller's own
+    ``~/.cache/spark_graft`` created 0700; if the resolved directory is
+    somehow not owned by the current uid (e.g. a hostile pre-created
+    path), we fall back to a per-process scratch dir — the artifact is
+    then merely re-derived, never trusted."""
     absdir = os.path.abspath(os.path.normpath(sf_dir))
     digest = hashlib.sha1(absdir.encode("utf-8")).hexdigest()[:10]
-    d = os.path.join(
-        tempfile.gettempdir(),
-        f"spark_graft_{kind}",
-        f"{os.path.basename(absdir)}-{digest}",
+    tag = f"{os.path.basename(absdir)}-{digest}"
+    base = os.path.join(
+        os.path.expanduser("~"), ".cache", "spark_graft", kind
     )
-    os.makedirs(d, exist_ok=True)
+    d = os.path.join(base, tag)
+    try:
+        os.makedirs(d, mode=0o700, exist_ok=True)
+        st = os.stat(d)
+        if st.st_uid != os.getuid():
+            raise OSError("artifact dir not owned by current uid")
+    except OSError:
+        d = os.path.join(scratch_dir(f"untrusted_{kind}", sf_dir))
+        os.makedirs(d, exist_ok=True)
     return os.path.join(d, name)
 
 

@@ -44,36 +44,58 @@ def test_ivfpq_deterministic(spark):
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
 
 
-def test_coarse_codebook_persists_across_processes(spark, monkeypatch):
-    """VERDICT r6 nit #1: the fitted coarse codebook must be loadable
-    from the cross-process artifact without re-running Lloyd."""
+def test_model_persists_across_processes(spark, monkeypatch):
+    """VERDICT r6 nit #1: the fitted model (coarse centroids + PQ
+    codebook) must be loadable from the cross-process artifact without
+    re-running Lloyd or the codebook fit."""
     import json
     import os
 
     from nosql_triple_store_spark.operators import vector_ext9 as v9
-    from nosql_triple_store_spark.scratch import (
-        persistent_artifact_path,
-        source_fingerprint,
-    )
 
-    cents = v9._coarse_centroids(spark, SF_DIR)
-    path = persistent_artifact_path(
-        "codebook",
-        SF_DIR,
-        f"coarse-k{v9._NCELLS}-i{v9._KM_ITERS}-"
-        f"{source_fingerprint(SF_DIR, 'embeddings')}.json",
-    )
+    model = v9._ivfpq_model(spark, SF_DIR)
+    path = v9._model_path(SF_DIR)
     assert os.path.exists(path)
     with open(path, encoding="utf-8") as fh:
-        assert json.load(fh) == cents
+        assert json.load(fh) == model
     # a fresh process (emulated: clear the in-process tier) must load
-    # the artifact, never refit — kmeans_fit poisoned to prove it
-    monkeypatch.setattr(
-        v9,
-        "kmeans_fit",
-        lambda *a, **k: (_ for _ in ()).throw(
-            AssertionError("refit despite persisted codebook")
-        ),
+    # the artifact, never refit — both fit paths poisoned to prove it
+    for fit in ("kmeans_fit", "_fit_codebook"):
+        monkeypatch.setattr(
+            v9,
+            fit,
+            lambda *a, **k: (_ for _ in ()).throw(
+                AssertionError("refit despite persisted model")
+            ),
+        )
+    v9._MODELS.clear()
+    assert v9._ivfpq_model(spark, SF_DIR) == model
+
+
+def test_query_scans_persisted_codes_never_reencodes(spark, monkeypatch):
+    """VERDICT r7 #1: after the index is built, q_vector_ivfpq must
+    scan the persisted code table — the raw-vector encode pipeline
+    (_assign/_with_residual) is poisoned to prove it never reruns."""
+    from nosql_triple_store_spark.operators import vector_ext9 as v9
+
+    v9.pq_index(spark, SF_DIR).count()  # index ETL (layout phase)
+    boom = lambda *a, **k: (_ for _ in ()).throw(  # noqa: E731
+        AssertionError("query re-encoded raw vectors")
     )
-    v9._CENTROIDS.clear()
-    assert v9._coarse_centroids(spark, SF_DIR) == cents
+    monkeypatch.setattr(v9, "_assign", boom)
+    monkeypatch.setattr(v9, "_with_residual", boom)
+    rows = SPECS["q_vector_ivfpq"].fn(spark, SF_DIR).collect()
+    assert len(rows) == 10
+
+
+def test_pq_index_partitioned_by_cell(spark):
+    """The code table is hive-partitioned by coarse cell so a probe's
+    `cid IN (...)` prunes unprobed cells' files at the manifest."""
+    import os
+
+    from nosql_triple_store_spark.operators import vector_ext9 as v9
+
+    v9.pq_index(spark, SF_DIR).count()
+    out = v9._CODE_DIRS[SF_DIR]
+    parts = [d for d in os.listdir(out) if d.startswith("cid=")]
+    assert len(parts) > 1, f"expected cid= partition dirs, got {parts}"
