@@ -461,3 +461,108 @@ def q_sparql_minus_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     (constant object pushed as a dst filter), then excludes via one
     left-anti join on the shared ?c column in long space."""
     return compile_sparql_encoded(spark, sf_dir, SPARQL_MINUS_PATH)
+
+
+SPARQL_BIND = """
+SELECT ?c ?tag ?dollars (STRLEN(?seg) AS ?seglen) WHERE {
+  ?c inSegment ?seg .
+  ?c hasBalanceCents ?b .
+  BIND(?b / 100 AS ?dollars)
+  BIND(CONCAT(?seg, "-", ?c) AS ?tag)
+}
+"""
+
+_BIND_ORACLE = f"""
+WITH {TRIPLES_SQL}
+SELECT a.s AS c,
+       a.o || '-' || a.s AS tag,
+       CAST(b.o AS DOUBLE) / 100 AS dollars,
+       CAST(LENGTH(a.o) AS INT) AS seglen
+FROM triples a
+JOIN triples b ON b.s = a.s AND b.p = 'hasBalanceCents'
+WHERE a.p = 'inSegment'
+"""
+
+
+@register("q_sparql_bind", oracle=_BIND_ORACLE)
+def q_sparql_bind(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL 1.1 BIND + SELECT expressions (VERDICT r7 #2): per-row
+    derived columns over the decoded bindings — numeric arithmetic
+    (?b / 100 through try_cast-double, integer-exact cents so the
+    division is bit-deterministic), string construction (CONCAT), and
+    a SELECT-item expression (STRLEN). BINDs are column extensions
+    AFTER the long-space join pipeline — the encoded plan is
+    untouched; expressions are whole-stage-codegen projections, never
+    Python."""
+    return compile_sparql_encoded(spark, sf_dir, SPARQL_BIND)
+
+
+SPARQL_HAVING = """
+SELECT ?seg (COUNT(*) AS ?n) (SUM(?b) AS ?total_cents) WHERE {
+  ?c inSegment ?seg .
+  ?c hasBalanceCents ?b .
+}
+GROUP BY ?seg
+HAVING(?n >= 10 && AVG(?b) > 0)
+ORDER BY ?seg
+"""
+
+_HAVING_ORACLE = f"""
+WITH {TRIPLES_SQL}
+SELECT a.o AS seg,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       SUM(CAST(b.o AS DOUBLE)) AS total_cents
+FROM triples a
+JOIN triples b ON b.s = a.s AND b.p = 'hasBalanceCents'
+WHERE a.p = 'inSegment'
+GROUP BY a.o
+HAVING COUNT(*) >= 10 AND AVG(CAST(b.o AS DOUBLE)) > 0
+ORDER BY seg
+"""
+
+
+@register("q_sparql_having", oracle=_HAVING_ORACLE)
+def q_sparql_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL 1.1 HAVING (VERDICT r7 #2): post-aggregation constraints
+    referencing BOTH an aggregate alias (?n) and an anonymous
+    aggregate call (AVG(?b), computed as a hidden agg column and
+    projected away after the filter). One partial-aggregable groupBy;
+    the HAVING predicate runs on the k-row aggregate output, so its
+    cost is nil at any scale."""
+    return compile_sparql_encoded(spark, sf_dir, SPARQL_HAVING)
+
+
+SPARQL_SUBSELECT = """
+SELECT ?nm ?n_members WHERE {
+  ?nt hasName ?nm .
+  ?nt inRegion ?r .
+  { SELECT ?nt (COUNT(*) AS ?n_members) WHERE { ?e inNation ?nt } GROUP BY ?nt }
+}
+ORDER BY ?nm
+"""
+
+_SUBSELECT_ORACLE = f"""
+WITH {TRIPLES_SQL},
+sub AS (
+  SELECT o AS nt, CAST(COUNT(*) AS BIGINT) AS n_members
+  FROM triples WHERE p = 'inNation' GROUP BY o)
+SELECT a.o AS nm, sub.n_members
+FROM triples a
+JOIN triples b ON b.s = a.s AND b.p = 'inRegion'
+JOIN sub ON sub.nt = a.s
+WHERE a.p = 'hasName'
+ORDER BY nm
+"""
+
+
+@register("q_sparql_subselect", oracle=_SUBSELECT_ORACLE)
+def q_sparql_subselect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL 1.1 sub-SELECT (VERDICT r7 #2): an aggregating inner
+    query (members per nation: customers + suppliers through
+    inNation) joined to the outer name/region patterns on the shared
+    ?nt. The sub-query compiles recursively through the same
+    encoded-store pipeline (its own constant probe, long-space joins,
+    decode), then joins the outer solutions on decoded terms — the
+    dictionary is a bijection, so term equality is id equality and
+    the join loses nothing."""
+    return compile_sparql_encoded(spark, sf_dir, SPARQL_SUBSELECT)

@@ -35,6 +35,18 @@ Scope (documented subset, rejected loudly outside it):
   ``FILTER NOT EXISTS { ... }`` (anti-join on shared variables; with
   none shared, removes everything iff the group matches at all) —
   conjunctive groups only, not combinable with UNION
+- ``BIND(expr AS ?alias)`` and SELECT expressions ``(expr AS ?alias)``
+  with arithmetic (+ - * /, try_cast-double NULL-skip semantics over
+  the string terms), ``CONCAT/UCASE/LCASE/STRLEN/SUBSTR/STR``, string
+  and numeric literals — post-decode column extensions, evaluated
+  after the group join (textual order; aggregates not allowed inside)
+- ``HAVING(...)`` constraints over aggregate aliases and anonymous
+  aggregate calls (hidden agg columns, projected away); numeric
+  comparison when either side is a number or aggregate
+- ``{ SELECT ... }`` sub-queries (one nesting level per group body,
+  recursion handles deeper nesting), joined to the outer group on
+  shared variables over decoded terms; OPTIONAL/MINUS/NOT EXISTS/
+  VALUES still require outer triple patterns
 
 Execution strategy mirrors q_bgp_star_encoded (operators/
 relational_ext3.py): pattern constants are looked up in the
@@ -69,7 +81,8 @@ _TOKEN = re.compile(
       (?P<string>"(?:[^"\\]|\\.)*")
     | (?P<var>\?[A-Za-z_][A-Za-z0-9_]*)
     | (?P<iri><[^>]*>)
-    | (?P<punct>&&|\|\||!=|<=|>=|[{}().=<>*,/|+^])
+    | (?P<num>[0-9]+\.[0-9]+)
+    | (?P<punct>&&|\|\||!=|<=|>=|[{}().=<>*,/|+^-])
     | (?P<word>[A-Za-z_][A-Za-z0-9_:]*|[0-9]+)
     )""",
     re.VERBOSE,
@@ -153,6 +166,52 @@ class Agg:
     alias: str
 
 
+# --- expression AST (BIND + SELECT expressions + HAVING operands) ---
+@dataclass(frozen=True)
+class ExprVar:
+    name: str
+
+
+@dataclass(frozen=True)
+class ExprStr:
+    value: str
+
+
+@dataclass(frozen=True)
+class ExprNum:
+    value: float  # integer-valued floats stay exact
+
+
+@dataclass(frozen=True)
+class ExprFunc:
+    fn: str  # CONCAT | UCASE | LCASE | STRLEN | SUBSTR | STR
+    args: tuple
+
+
+@dataclass(frozen=True)
+class ExprBin:
+    op: str  # + - * /
+    left: object
+    right: object
+
+
+_EXPR_FUNCS = ("CONCAT", "UCASE", "LCASE", "STRLEN", "SUBSTR", "STR")
+_AGG_FNS = ("COUNT", "MIN", "MAX", "SUM", "AVG")
+
+
+def _expr_vars(e) -> set[str]:
+    if isinstance(e, ExprVar):
+        return {e.name}
+    if isinstance(e, ExprBin):
+        return _expr_vars(e.left) | _expr_vars(e.right)
+    if isinstance(e, ExprFunc):
+        out: set[str] = set()
+        for a in e.args:
+            out |= _expr_vars(a)
+        return out
+    return set()
+
+
 @dataclass
 class SparqlQuery:
     select: list[str]  # variable names, or ["*"]
@@ -183,6 +242,16 @@ class SparqlQuery:
     not_exists: list[list[tuple[Term, Term, Term]]] = field(
         default_factory=list
     )
+    # BIND(expr AS ?alias) statements, textual order (later binds may
+    # reference earlier aliases)
+    binds: list[tuple[str, object]] = field(default_factory=list)
+    # (expr AS ?alias) SELECT items — projected after the plain vars
+    select_exprs: list[tuple[str, object]] = field(default_factory=list)
+    # HAVING(...) groups: Filter chains whose operands may additionally
+    # be Agg calls or ExprNum literals; ANDed across groups
+    having: list[list[Filter]] = field(default_factory=list)
+    # { SELECT ... } sub-queries, joined to the group on shared vars
+    subselects: list["SparqlQuery"] = field(default_factory=list)
 
 
 class _Parser:
@@ -206,7 +275,7 @@ class _Parser:
             raise ValueError(f"SPARQL parser: expected {want!r}, got {t!r}")
 
     # ---- grammar ----
-    def query(self) -> SparqlQuery:
+    def query(self, inner: bool = False) -> SparqlQuery:
         if (self.peek() or "").upper() == "ASK":
             self.next()
             if (self.peek() or "").upper() == "WHERE":
@@ -228,6 +297,7 @@ class _Parser:
             distinct = True
         select: list[str] = []
         aggs: list[Agg] = []
+        select_exprs: list[tuple[str, object]] = []
         while True:
             t = self.peek()
             if t is None:
@@ -239,43 +309,67 @@ class _Parser:
             if t.startswith("?"):
                 select.append(self.next()[1:])
                 continue
-            if t == "(":  # (AGG(?v) AS ?alias)
+            if t == "(":  # (AGG(?v) AS ?alias) or (expr AS ?alias)
                 self.next()
-                fn = self.next().upper()
-                if fn not in ("COUNT", "MIN", "MAX", "SUM", "AVG"):
-                    raise ValueError(
-                        f"unsupported aggregate {fn!r} "
-                        "(COUNT/MIN/MAX/SUM/AVG)"
-                    )
-                self.expect("(")
-                a = self.next()
-                if a == "*":
-                    if fn != "COUNT":
-                        raise ValueError(f"{fn}(*) is not valid SPARQL")
-                    var = None
+                nxt = (self.peek() or "").upper()
+                follows = (
+                    self.toks[self.i + 1]
+                    if self.i + 1 < len(self.toks)
+                    else ""
+                )
+                if nxt in _AGG_FNS and follows == "(":
+                    aggs.append(self._agg_call())
                 else:
-                    if not a.startswith("?"):
-                        raise ValueError(f"aggregate needs ?var, got {a!r}")
-                    var = a[1:]
+                    expr = self.expr()
+                    self.expect("AS")
+                    alias = self.next()
+                    if not alias.startswith("?"):
+                        raise ValueError(
+                            "SELECT expression alias must be a ?var"
+                        )
+                    select_exprs.append((alias[1:], expr))
                 self.expect(")")
-                self.expect("AS")
-                alias = self.next()
-                if not alias.startswith("?"):
-                    raise ValueError("aggregate alias must be a ?var")
-                self.expect(")")
-                aggs.append(Agg(fn, var, alias[1:]))
                 continue
             break
-        if not select and not aggs:
+        if not select and not aggs and not select_exprs:
             raise ValueError("SPARQL parser: empty SELECT list")
         self.expect("WHERE")
         self.expect("{")
         q = SparqlQuery(select=select, distinct=distinct, patterns=[])
         q.aggs = aggs
+        q.select_exprs = select_exprs
         self._where_body(q)
-        self._modifiers(q)
+        self._modifiers(q, inner=inner)
         self._validate(q)
         return q
+
+    def _agg_call(self, with_alias: bool = True) -> Agg:
+        """AGG(?v|*) [AS ?alias] — shared by SELECT items (aliased)
+        and HAVING operands (anonymous; compile assigns a hidden
+        column)."""
+        fn = self.next().upper()
+        if fn not in _AGG_FNS:
+            raise ValueError(
+                f"unsupported aggregate {fn!r} (COUNT/MIN/MAX/SUM/AVG)"
+            )
+        self.expect("(")
+        a = self.next()
+        if a == "*":
+            if fn != "COUNT":
+                raise ValueError(f"{fn}(*) is not valid SPARQL")
+            var = None
+        else:
+            if not a.startswith("?"):
+                raise ValueError(f"aggregate needs ?var, got {a!r}")
+            var = a[1:]
+        self.expect(")")
+        if not with_alias:
+            return Agg(fn, var, "")
+        self.expect("AS")
+        alias = self.next()
+        if not alias.startswith("?"):
+            raise ValueError("aggregate alias must be a ?var")
+        return Agg(fn, var, alias[1:])
 
     def _where_body(self, q: SparqlQuery) -> None:
         while True:
@@ -288,6 +382,14 @@ class _Parser:
             up = t.upper()
             if t == ".":
                 self.next()
+            elif t == "{" and (
+                self.toks[self.i + 1 : self.i + 2] or [""]
+            )[0].upper() == "SELECT":
+                # { SELECT ... } sub-query: parsed recursively; its
+                # modifiers stop at the closing brace
+                self.next()
+                q.subselects.append(self.query(inner=True))
+                self.expect("}")
             elif t == "{":  # { group } UNION { group } ...
                 if q.patterns or q.unions:
                     raise ValueError(
@@ -322,6 +424,16 @@ class _Parser:
                     self.expect("(")
                     q.filters.append(self.filter_expr())
                     self.expect(")")
+            elif up == "BIND":
+                self.next()
+                self.expect("(")
+                expr = self.expr()
+                self.expect("AS")
+                v = self.next()
+                if not v.startswith("?"):
+                    raise ValueError("BIND alias must be a ?var")
+                self.expect(")")
+                q.binds.append((v[1:], expr))
             elif up == "VALUES":
                 self.next()
                 v = self.next()
@@ -351,10 +463,17 @@ class _Parser:
                     )
                 q.patterns.append(self.triple())
 
-    def _modifiers(self, q: SparqlQuery) -> None:
+    def _modifiers(self, q: SparqlQuery, inner: bool = False) -> None:
         while (t := self.peek()) is not None:
             up = t.upper()
-            if up == "GROUP":
+            if inner and t == "}":
+                return  # sub-SELECT: the caller consumes the brace
+            if up == "HAVING":
+                self.next()
+                self.expect("(")
+                q.having.append(self._having_expr())
+                self.expect(")")
+            elif up == "GROUP":
                 self.next()
                 self.expect("BY")
                 while (nt := self.peek()) is not None and nt.startswith("?"):
@@ -389,7 +508,7 @@ class _Parser:
                 raise ValueError(f"SPARQL parser: trailing token {t!r}")
 
     def _validate(self, q: SparqlQuery) -> None:
-        if not q.patterns and not q.unions:
+        if not q.patterns and not q.unions and not q.subselects:
             raise ValueError("SPARQL parser: WHERE block has no patterns")
         if q.unions and q.patterns:
             # belt-and-braces twin of the parser-side guards: unions
@@ -416,6 +535,10 @@ class _Parser:
         if q.aggs:
             if q.select == ["*"]:
                 raise ValueError("SELECT * cannot be mixed with aggregates")
+            if q.select_exprs:
+                raise ValueError(
+                    "SELECT expressions cannot be mixed with aggregates"
+                )
             ungrouped = [v for v in q.select if v not in q.group_by]
             if ungrouped:
                 raise ValueError(
@@ -424,6 +547,21 @@ class _Parser:
                 )
         elif q.group_by:
             raise ValueError("GROUP BY without aggregates is unsupported")
+        if q.having and not q.aggs:
+            raise ValueError("HAVING requires aggregates with GROUP BY")
+        if q.select_exprs and q.select == ["*"]:
+            raise ValueError(
+                "SELECT * cannot be mixed with SELECT expressions"
+            )
+        seen_aliases: set[str] = set()
+        for alias, _expr in q.binds + q.select_exprs:
+            if alias in seen_aliases:
+                raise ValueError(f"duplicate BIND/expression alias ?{alias}")
+            seen_aliases.add(alias)
+        if q.subselects:
+            for sub in q.subselects:
+                if sub.ask:
+                    raise ValueError("ASK cannot appear as a sub-query")
 
     def term(self) -> Term:
         t = self.next()
@@ -552,6 +690,104 @@ class _Parser:
         raise ValueError(
             f"FILTER operands must be ?var or \"literal\", got {t!r}"
         )
+
+    def _having_expr(self) -> list[Filter]:
+        """HAVING constraint chain: comparisons whose operands are
+        ?vars (aggregate aliases or grouped vars), anonymous aggregate
+        calls, numeric literals, or string literals; && / || fold like
+        FILTER groups."""
+        out: list[Filter] = []
+        conj = "&&"
+        while True:
+            lhs = self._having_operand()
+            op = self.next()
+            if op not in ("=", "!=", "<", "<=", ">", ">="):
+                raise ValueError(f"unsupported HAVING operator {op!r}")
+            rhs = self._having_operand()
+            out.append(Filter(op, lhs, rhs, conj))
+            nxt = self.peek()
+            if nxt in ("&&", "||"):
+                conj = self.next()
+                continue
+            return out
+
+    def _having_operand(self):
+        t = self.peek()
+        if t is None:
+            raise ValueError("SPARQL parser: unterminated HAVING")
+        if t.upper() in _AGG_FNS and (
+            self.toks[self.i + 1 : self.i + 2] or [""]
+        )[0] == "(":
+            return self._agg_call(with_alias=False)
+        if t.startswith("?"):
+            return Var(self.next()[1:])
+        if t.startswith('"'):
+            return _unquote(self.next())
+        if re.fullmatch(r"[0-9]+(\.[0-9]+)?", t):
+            return ExprNum(float(self.next()))
+        raise ValueError(
+            f"HAVING operands must be ?var, aggregate, number or "
+            f"\"literal\", got {t!r}"
+        )
+
+    # --- BIND / SELECT expression grammar ---
+    # expr := mul (('+'|'-') mul)* ; mul := prim (('*'|'/') prim)* ;
+    # prim := ?var | "lit" | number | FUNC(expr, ...) | '(' expr ')'
+    def expr(self):
+        left = self._expr_mul()
+        while self.peek() in ("+", "-"):
+            op = self.next()
+            left = ExprBin(op, left, self._expr_mul())
+        return left
+
+    def _expr_mul(self):
+        left = self._expr_prim()
+        while self.peek() in ("*", "/"):
+            op = self.next()
+            left = ExprBin(op, left, self._expr_prim())
+        return left
+
+    def _expr_prim(self):
+        t = self.next()
+        if t == "(":
+            inner = self.expr()
+            self.expect(")")
+            return inner
+        if t.startswith("?"):
+            return ExprVar(t[1:])
+        if t.startswith('"'):
+            return ExprStr(_unquote(t))
+        if re.fullmatch(r"[0-9]+(\.[0-9]+)?", t):
+            return ExprNum(float(t))
+        fn = t.upper()
+        if fn in _EXPR_FUNCS and self.peek() == "(":
+            self.next()
+            args = [self.expr()]
+            while self.peek() == ",":
+                self.next()
+                args.append(self.expr())
+            self.expect(")")
+            if fn in ("UCASE", "LCASE", "STRLEN", "STR") and len(args) != 1:
+                raise ValueError(f"{fn} takes exactly one argument")
+            if fn == "SUBSTR":
+                if len(args) not in (2, 3):
+                    raise ValueError("SUBSTR takes (?v, start[, length])")
+                for a in args[1:]:
+                    if not isinstance(a, ExprNum) or a.value != int(
+                        a.value
+                    ):
+                        raise ValueError(
+                            "SUBSTR start/length must be integer literals"
+                        )
+            if fn == "CONCAT" and len(args) < 2:
+                raise ValueError("CONCAT takes two or more arguments")
+            return ExprFunc(fn, tuple(args))
+        if fn in _AGG_FNS:
+            raise ValueError(
+                f"aggregates are not allowed in BIND/expressions "
+                f"(got {fn})"
+            )
+        raise ValueError(f"expected expression, got {t!r}")
 
 
 def _unquote(tok: str) -> str:
@@ -683,6 +919,75 @@ def _bind_path(rel: DataFrame, subj, obj, cmap) -> DataFrame:
     return df.select(*proj)
 
 
+def _expr_col(e):
+    """Expression AST -> Column over the DECODED (string) bindings.
+    Numeric contexts try_cast operands to double (terms are strings;
+    non-numeric terms become NULL, the SQL NULL-skip rule documented
+    for SUM/AVG); string contexts cast to string."""
+
+    def num(x):
+        return _expr_col(x).try_cast("double")
+
+    def s(x):
+        return _expr_col(x).cast("string")
+
+    if isinstance(e, ExprVar):
+        return F.col(e.name)
+    if isinstance(e, ExprStr):
+        return F.lit(e.value)
+    if isinstance(e, ExprNum):
+        return F.lit(e.value)
+    if isinstance(e, ExprBin):
+        lhs, rhs = num(e.left), num(e.right)
+        return {
+            "+": lhs + rhs,
+            "-": lhs - rhs,
+            "*": lhs * rhs,
+            "/": lhs / rhs,
+        }[e.op]
+    if isinstance(e, ExprFunc):
+        if e.fn == "CONCAT":
+            return F.concat(*[s(a) for a in e.args])
+        if e.fn == "UCASE":
+            return F.upper(s(e.args[0]))
+        if e.fn == "LCASE":
+            return F.lower(s(e.args[0]))
+        if e.fn == "STRLEN":
+            return F.length(s(e.args[0]))
+        if e.fn == "STR":
+            return s(e.args[0])
+        if e.fn == "SUBSTR":
+            pos = e.args[1]
+            if not isinstance(pos, ExprNum) or pos.value != int(pos.value):
+                raise ValueError("SUBSTR start must be an integer literal")
+            if len(e.args) == 3:
+                ln = e.args[2]
+                if not isinstance(ln, ExprNum) or ln.value != int(ln.value):
+                    raise ValueError(
+                        "SUBSTR length must be an integer literal"
+                    )
+                return F.substring(
+                    s(e.args[0]), int(pos.value), int(ln.value)
+                )
+            return F.substring(s(e.args[0]), int(pos.value), 2**31 - 1)
+    raise ValueError(f"unknown expression node {e!r}")
+
+
+def _agg_col(a: Agg):
+    """One Agg -> its Column (shared by SELECT aggregates and hidden
+    HAVING aggregates). SUM/AVG try_cast the string terms to double —
+    non-numeric terms become NULL and are skipped (SQL semantics,
+    documented deviation from SPARQL 1.1 error propagation)."""
+    if a.fn == "COUNT":
+        return F.count(F.lit(1)) if a.var is None else F.count(F.col(a.var))
+    if a.fn == "MIN":
+        return F.min(F.col(a.var))
+    if a.fn == "MAX":
+        return F.max(F.col(a.var))
+    num = F.col(a.var).try_cast("double")
+    return F.sum(num) if a.fn == "SUM" else F.avg(num)
+
+
 def compile_sparql_encoded(
     spark: SparkSession, sf_dir: str, text: str
 ) -> DataFrame:
@@ -690,10 +995,20 @@ def compile_sparql_encoded(
     triple store: the exact execution pipeline of q_bgp_star_encoded
     (constants encoded once driver-side, joins in long space, decode
     only the final bindings), now reachable from query text."""
+    return _compile_query(spark, sf_dir, parse_sparql(text))
+
+
+def _compile_query(
+    spark: SparkSession, sf_dir: str, q: SparqlQuery
+) -> DataFrame:
+    """Compile one parsed SparqlQuery; recurses for sub-SELECTs (each
+    sub-query probes its own constants and decodes its own bindings —
+    the join with the outer group happens on decoded terms, which is
+    equality-safe because the dictionary is a bijection)."""
     from ..operators.relational_ext3 import encoded_store
 
-    q = parse_sparql(text)
     d, enc = encoded_store(spark, sf_dir)
+    subs = [_compile_query(spark, sf_dir, s) for s in q.subselects]
 
     plain = [p for p in q.patterns if not isinstance(p[1], _PATH_TYPES)]
     path_pats = [p for p in q.patterns if isinstance(p[1], _PATH_TYPES)]
@@ -717,13 +1032,25 @@ def compile_sparql_encoded(
         consts.update(lits)
     # single-comparison (in)equality FILTER groups against literals run
     # encoded (long-space) inside the join pipeline; multi-term groups
-    # and <,>,REGEX need string collation and run post-decode
+    # and <,>,REGEX need string collation and run post-decode. Vars
+    # produced outside the encoded pipeline (BIND aliases, sub-SELECT
+    # outputs) only exist post-decode, so their filters can't run
+    # encoded.
+    patvars = {
+        t.name
+        for pats in ([p for g in all_groups for p in g], q.optionals, path_pats)
+        for pat in pats
+        for t in (pat[0], pat[2])
+        if isinstance(t, Var)
+    }
     eq_groups = [
         g
         for g in q.filters
         if len(g) == 1
         and g[0].op in ("=", "!=")
         and isinstance(g[0].lhs, Var) != isinstance(g[0].rhs, Var)
+        and (g[0].lhs if isinstance(g[0].lhs, Var) else g[0].rhs).name
+        in patvars
     ]
     for g in eq_groups:
         f = g[0]
@@ -800,6 +1127,15 @@ def compile_sparql_encoded(
                 if shared
                 else bound.crossJoin(step)
             )
+    if bound is None and (
+        q.optionals or q.minus or q.not_exists or q.values or eq_groups
+    ):
+        # sub-SELECT-only WHERE: these constructs all need encoded
+        # pattern bindings to act on
+        raise ValueError(
+            "OPTIONAL/MINUS/NOT EXISTS/VALUES/FILTER require triple "
+            "patterns alongside a sub-SELECT"
+        )
     # OPTIONALs left-extend the bindings after every required pattern
     # is joined: extend where the pattern matches, NULL where not.
     # Plain OPTIONALs over an all-plain conjunction were consumed by
@@ -838,8 +1174,9 @@ def compile_sparql_encoded(
             # all rows survive iff the group is empty
             marker = right.limit(1).select(F.lit(1).alias("__m"))
             bound = bound.join(marker, F.lit(True), "left_anti")
-    # every FILTER variable must be bound by the patterns (rejects
-    # loudly as ValueError, not an engine AnalysisException)
+    # every FILTER variable must be bound by the patterns, a BIND
+    # alias, or a sub-SELECT output (rejects loudly as ValueError, not
+    # an engine AnalysisException)
     fvars = {
         x.name
         for g in q.filters
@@ -847,7 +1184,12 @@ def compile_sparql_encoded(
         for x in (f.lhs, f.rhs)
         if isinstance(x, Var)
     }
-    unbound_f = sorted(fvars - set(bound.columns))
+    available = (
+        (set(bound.columns) if bound is not None else set())
+        | {a for a, _ in q.binds}
+        | {c for s in subs for c in s.columns}
+    )
+    unbound_f = sorted(fvars - available)
     if unbound_f:
         raise ValueError(f"FILTER over unbound variables: {unbound_f}")
     for g in eq_groups:
@@ -865,15 +1207,43 @@ def compile_sparql_encoded(
             F.col(var).isin([int(cmap[lit]) for lit in lits])
         )
     # decode every surviving binding column (broadcast dictionary)
-    bind_cols = list(bound.columns)
-    for v in bind_cols:
-        dec = d.select(
-            F.col("term_id").alias(v), F.col("term").alias(f"__{v}_str")
+    if bound is not None:
+        bind_cols = list(bound.columns)
+        for v in bind_cols:
+            dec = d.select(
+                F.col("term_id").alias(v),
+                F.col("term").alias(f"__{v}_str"),
+            )
+            bound = bound.join(F.broadcast(dec), v, "left")
+        decoded = bound.select(
+            *[F.col(f"__{v}_str").alias(v) for v in bind_cols]
         )
-        bound = bound.join(F.broadcast(dec), v, "left")
-    decoded = bound.select(
-        *[F.col(f"__{v}_str").alias(v) for v in bind_cols]
-    )
+    else:
+        decoded = None
+    # sub-SELECT solutions join the group on SHARED variables (inner
+    # join over decoded terms — the dictionary is a bijection, so
+    # string equality == id equality); with none shared the SPARQL
+    # semantics is the cross product of the solution sequences
+    for sub in subs:
+        if decoded is None:
+            decoded = sub
+        else:
+            shared = sorted(set(decoded.columns) & set(sub.columns))
+            decoded = (
+                decoded.join(sub, on=shared, how="inner")
+                if shared
+                else decoded.crossJoin(sub)
+            )
+    # BIND(expr AS ?alias): post-decode column extension, textual
+    # order (later binds may reference earlier aliases); rebinding an
+    # existing variable is a SPARQL syntax error, rejected loudly
+    for alias, expr in q.binds:
+        if alias in decoded.columns:
+            raise ValueError(f"BIND alias ?{alias} is already bound")
+        missing = sorted(_expr_vars(expr) - set(decoded.columns))
+        if missing:
+            raise ValueError(f"BIND over unbound variables: {missing}")
+        decoded = decoded.withColumn(alias, _expr_col(expr))
     # post-decode filter groups (string collation semantics)
     for g in q.filters:
         if g in eq_groups:
@@ -896,42 +1266,92 @@ def compile_sparql_encoded(
         for g in q.group_by:
             if g not in decoded.columns:
                 raise ValueError(f"GROUP BY of unbound variable ?{g}")
-        aggcols = []
-        for a in q.aggs:
-            if a.fn == "COUNT":
-                col = (
-                    F.count(F.lit(1))
-                    if a.var is None
-                    else F.count(F.col(a.var))
-                )
-            elif a.fn == "MIN":
-                col = F.min(F.col(a.var))
-            elif a.fn == "MAX":
-                col = F.max(F.col(a.var))
-            else:
-                # SUM/AVG: terms are strings, so numeric aggregation
-                # goes through try_cast — non-numeric terms become
-                # NULL and are skipped, SQL aggregate semantics
-                # (documented deviation from SPARQL 1.1's
-                # error-propagation: an engine that errors the whole
-                # group on one stray literal is useless on real
-                # corpora; the NULL-skip rule matches what the SQL
-                # oracle computes). try_cast, not cast: ANSI-mode
-                # cast would throw mid-job on the first bad term.
-                num = F.col(a.var).try_cast("double")
-                col = F.sum(num) if a.fn == "SUM" else F.avg(num)
-            aggcols.append(col.alias(a.alias))
+        # aggregate lowering notes live on _agg_col (SUM/AVG try_cast:
+        # non-numeric terms are NULL-skipped — SQL semantics, the
+        # documented deviation from SPARQL 1.1 error propagation)
+        aggcols = [_agg_col(a).alias(a.alias) for a in q.aggs]
+        # HAVING operands that are anonymous aggregate calls compute
+        # as hidden agg columns, filtered then projected away
+        hidden: dict[int, str] = {}
+        for grp in q.having:
+            for f in grp:
+                for x in (f.lhs, f.rhs):
+                    if isinstance(x, Agg) and id(x) not in hidden:
+                        if x.var is not None and x.var not in decoded.columns:
+                            raise ValueError(
+                                f"HAVING aggregate over unbound "
+                                f"variable ?{x.var}"
+                            )
+                        name = f"__h{len(hidden)}"
+                        hidden[id(x)] = name
+                        aggcols.append(_agg_col(x).alias(name))
         decoded = (
             decoded.groupBy(*q.group_by).agg(*aggcols)
             if q.group_by
             else decoded.agg(*aggcols)
         )
+        if q.having:
+            out_cols = set(decoded.columns)
+
+            def hv_side(x):
+                if isinstance(x, Agg):
+                    return F.col(hidden[id(x)])
+                if isinstance(x, Var):
+                    if x.name not in out_cols:
+                        raise ValueError(
+                            f"HAVING over variable ?{x.name} that is "
+                            "neither grouped nor an aggregate alias"
+                        )
+                    return F.col(x.name)
+                if isinstance(x, ExprNum):
+                    return F.lit(x.value)
+                return F.lit(x)
+
+            for grp in q.having:
+                col = None
+                for f in grp:
+                    lhs, rhs = hv_side(f.lhs), hv_side(f.rhs)
+                    # numeric comparison when either side is a number
+                    # or an aggregate (string aliases try_cast, the
+                    # NULL-skip rule again)
+                    if any(
+                        isinstance(x, (ExprNum, Agg))
+                        for x in (f.lhs, f.rhs)
+                    ):
+                        lhs = lhs.try_cast("double")
+                        rhs = rhs.try_cast("double")
+                    c = {
+                        "=": lhs == rhs,
+                        "!=": lhs != rhs,
+                        "<": lhs < rhs,
+                        "<=": lhs <= rhs,
+                        ">": lhs > rhs,
+                        ">=": lhs >= rhs,
+                    }[f.op]
+                    col = (
+                        c
+                        if col is None
+                        else (col & c) if f.conj == "&&" else (col | c)
+                    )
+                decoded = decoded.filter(col)
         decoded = decoded.select(*q.select, *[a.alias for a in q.aggs])
-    elif q.select != ["*"]:
+    elif q.select != ["*"] or q.select_exprs:
         unknown = [v for v in q.select if v not in decoded.columns]
         if unknown:
             raise ValueError(f"SELECT of unbound variables: {unknown}")
-        decoded = decoded.select(*q.select)
+        if q.select == ["*"]:
+            raise ValueError(
+                "SELECT * cannot be mixed with SELECT expressions"
+            )
+        expr_cols = []
+        for alias, expr in q.select_exprs:
+            missing = sorted(_expr_vars(expr) - set(decoded.columns))
+            if missing:
+                raise ValueError(
+                    f"SELECT expression over unbound variables: {missing}"
+                )
+            expr_cols.append(_expr_col(expr).alias(alias))
+        decoded = decoded.select(*q.select, *expr_cols)
     if q.distinct:
         decoded = decoded.distinct()
     if q.order_by:

@@ -263,7 +263,9 @@ _TOK = st.sampled_from(
      "UNION", "ORDER", "BY", "LIMIT", "GROUP", "AS", "COUNT", "MIN",
      "DESC", "REGEX", ".", "=", "!=", "<", ">=", "&&", "||", "*",
      "?a", "?b", "?c", "p", "q", '"x"', '"y \\" z"', "<http://e/i>",
-     "7", "LIMIT", "MINUS", "NOT", "EXISTS", "+", "/", "^", "|"]
+     "7", "LIMIT", "MINUS", "NOT", "EXISTS", "+", "/", "^", "|",
+     "BIND", "HAVING", "CONCAT", "SUBSTR", "STRLEN", "UCASE", "SUM",
+     "AVG", ",", "-", "3.5", "100"]
 )
 
 
@@ -629,3 +631,145 @@ def test_sparql_numeric_agg_matches_direct_aggregation(spark):
         .collect()
     }
     assert got == want
+
+
+# ------------------------------------------- BIND / HAVING / sub-SELECT
+
+
+def test_parse_bind_and_select_exprs():
+    from nosql_triple_store_spark.plans.sparql import (
+        ExprBin,
+        ExprFunc,
+        ExprNum,
+        ExprVar,
+    )
+
+    q = parse_sparql(
+        'SELECT ?c (STRLEN(?seg) AS ?len) WHERE { ?c p ?seg . '
+        'BIND(?b / 100 AS ?d) BIND(CONCAT(?seg, "-", ?c) AS ?t) }'
+    )
+    assert [a for a, _ in q.binds] == ["d", "t"]
+    div = q.binds[0][1]
+    assert isinstance(div, ExprBin) and div.op == "/"
+    assert isinstance(div.left, ExprVar) and isinstance(div.right, ExprNum)
+    cc = q.binds[1][1]
+    assert isinstance(cc, ExprFunc) and cc.fn == "CONCAT" and len(cc.args) == 3
+    assert q.select_exprs[0][0] == "len"
+    # precedence: 1 + 2 * 3 parses as 1 + (2 * 3)
+    q2 = parse_sparql("SELECT ?x WHERE { ?x p ?y . BIND(1 + 2 * 3 AS ?z) }")
+    e = q2.binds[0][1]
+    assert e.op == "+" and isinstance(e.right, ExprBin) and e.right.op == "*"
+
+
+def test_parse_having():
+    from nosql_triple_store_spark.plans.sparql import Agg, ExprNum
+
+    q = parse_sparql(
+        "SELECT ?s (COUNT(*) AS ?n) WHERE { ?c p ?s } GROUP BY ?s "
+        "HAVING(?n >= 10 && SUM(?b) > 0) ORDER BY ?s"
+    )
+    grp = q.having[0]
+    assert grp[0].op == ">=" and isinstance(grp[0].rhs, ExprNum)
+    assert isinstance(grp[1].lhs, Agg) and grp[1].lhs.fn == "SUM"
+    assert grp[1].conj == "&&"
+
+
+def test_parse_subselect():
+    q = parse_sparql(
+        "SELECT ?nm ?n WHERE { ?nt hasName ?nm . "
+        "{ SELECT ?nt (COUNT(*) AS ?n) WHERE { ?c inNation ?nt } "
+        "GROUP BY ?nt } } ORDER BY ?nm"
+    )
+    assert len(q.subselects) == 1
+    sub = q.subselects[0]
+    assert sub.group_by == ["nt"] and sub.aggs[0].alias == "n"
+    assert q.order_by == [("nm", False)]
+
+
+@pytest.mark.parametrize(
+    "bad",
+    [
+        # HAVING without aggregates
+        "SELECT ?s WHERE { ?s p ?o } HAVING(?s > 1)",
+        # aggregate inside BIND
+        "SELECT ?s WHERE { ?s p ?o . BIND(COUNT(?o) AS ?n) }",
+        # duplicate BIND alias
+        "SELECT ?s WHERE { ?s p ?o . BIND(1 AS ?x) BIND(2 AS ?x) }",
+        # SELECT * with expressions
+        "SELECT * (STRLEN(?s) AS ?l) WHERE { ?s p ?o }",
+        # expressions mixed with aggregates
+        "SELECT (STRLEN(?s) AS ?l) (COUNT(*) AS ?n) WHERE { ?s p ?o }",
+        # bad HAVING operand
+        "SELECT ?s (COUNT(*) AS ?n) WHERE { ?s p ?o } GROUP BY ?s "
+        "HAVING(?n ~ 3)",
+        # SUBSTR with non-literal start
+        "SELECT ?s WHERE { ?s p ?o . BIND(SUBSTR(?o, ?s) AS ?x) }",
+        # unterminated subselect
+        "SELECT ?s WHERE { { SELECT ?s WHERE { ?s p ?o } }",
+        # ASK as subquery -> parse error (no modifiers allowed)
+        "SELECT ?s WHERE { { ASK { ?s p ?o } } }",
+    ],
+)
+def test_rejects_bad_bind_having_subselect(bad):
+    with pytest.raises(ValueError):
+        parse_sparql(bad)
+
+
+def test_bind_rebinding_pattern_var_raises(spark):
+    from nosql_triple_store_spark.plans.sparql import compile_sparql_encoded
+
+    with pytest.raises(ValueError, match="already bound"):
+        compile_sparql_encoded(
+            spark, SF_DIR,
+            "SELECT ?c WHERE { ?c inSegment ?seg . BIND(1 AS ?seg) }",
+        ).collect()
+
+
+def test_bind_over_unbound_var_raises(spark):
+    from nosql_triple_store_spark.plans.sparql import compile_sparql_encoded
+
+    with pytest.raises(ValueError, match="unbound"):
+        compile_sparql_encoded(
+            spark, SF_DIR,
+            "SELECT ?c WHERE { ?c inSegment ?seg . BIND(?nope AS ?x) }",
+        ).collect()
+
+
+def test_having_over_ungrouped_var_raises(spark):
+    from nosql_triple_store_spark.plans.sparql import compile_sparql_encoded
+
+    with pytest.raises(ValueError, match="neither grouped"):
+        compile_sparql_encoded(
+            spark, SF_DIR,
+            "SELECT ?seg (COUNT(*) AS ?n) WHERE { ?c inSegment ?seg } "
+            "GROUP BY ?seg HAVING(?c > 3)",
+        ).collect()
+
+
+def test_filter_on_bind_alias_runs_post_decode(spark):
+    """A FILTER over a BIND alias must apply (post-decode path) and
+    not be mistaken for an encodable pattern-var filter."""
+    from nosql_triple_store_spark.plans.sparql import compile_sparql_encoded
+
+    rows = compile_sparql_encoded(
+        spark, SF_DIR,
+        'SELECT ?c ?u WHERE { ?c inSegment ?seg . '
+        'BIND(UCASE(?seg) AS ?u) FILTER(?u = "BUILDING") }',
+    ).collect()
+    assert rows and all(r.u == "BUILDING" for r in rows)
+
+
+def test_subselect_shares_no_var_is_cross_product(spark):
+    from nosql_triple_store_spark.plans.sparql import compile_sparql_encoded
+
+    rows = compile_sparql_encoded(
+        spark, SF_DIR,
+        "SELECT ?rn ?n WHERE { ?r hasName ?rn . ?nt inRegion ?r . "
+        "{ SELECT (COUNT(*) AS ?n) WHERE { ?c inSegment ?s } } }",
+    ).collect()
+    assert rows and len({r.n for r in rows}) == 1  # one global count
+
+
+def test_having_hidden_agg_not_in_output(spark):
+    df = SPECS["q_sparql_having"].fn(spark, SF_DIR)
+    assert df.columns == ["seg", "n", "total_cents"]
