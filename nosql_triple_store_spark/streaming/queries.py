@@ -111,13 +111,22 @@ def _run_to_memory(stream_df: DataFrame, output_mode: str) -> DataFrame:
     State-store partition count is baked from spark.sql.shuffle.partitions
     at query START — a vanilla session's default 200 costs ~25 s of
     per-micro-batch state-partition overhead on these fixtures, so pin a
-    width matched to the data for the stream's lifetime and restore after
-    (stateful operators on a real cluster size this to cores × small k).
+    width matched to the CLUSTER for the stream's lifetime and restore
+    after (stateful operators on a real cluster size this to cores ×
+    small k). Round-8 profiling: the stateful trio is single-batch
+    (PLANS.md), so per-partition state-store init is paid once and the
+    per-key Python kernel is the cost — width = scheduler slots halves
+    q_stream_lww_state at sf1 (27.6 → 11.8 s) vs the old fixed 16.
     """
+    from ..widths import cluster_cores
+
     spark = stream_df.sparkSession
     name = f"mem_{uuid.uuid4().hex[:10]}"
     old = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(max(16, cluster_cores(spark))),
+    )
     try:
         q = (
             stream_df.writeStream.format("memory")

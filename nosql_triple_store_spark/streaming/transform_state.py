@@ -30,6 +30,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -100,8 +101,15 @@ def _lww_state_fn(
     user_id, event_type = key
     best = tuple(state.get) if state.exists else None
     for pdf in pdfs:
-        top = pdf.sort_values(["ts_us", "event_id"]).iloc[-1]
-        cand = (int(top["ts_us"]), int(top["event_id"]), float(top["value"]))
+        # numpy lexsort argmax, not pandas sort_values — avoids pandas
+        # sort machinery per call; profiling (PLANS.md round 8) shows
+        # the per-GROUP applyInPandas dispatch dominates either way,
+        # so this is a small constant win, not the lever (the lever
+        # was state-partition width, see queries._run_to_memory)
+        ts = pdf["ts_us"].to_numpy()
+        eid = pdf["event_id"].to_numpy()
+        i = int(np.lexsort((eid, ts))[-1])
+        cand = (int(ts[i]), int(eid[i]), float(pdf["value"].to_numpy()[i]))
         if best is None or (cand[0], cand[1]) > (best[0], best[1]):
             best = cand
     state.update(best)
@@ -273,12 +281,17 @@ def _tomb_state_fn(
     user_id, event_type = key
     best = tuple(state.get) if state.exists else None
     for pdf in pdfs:
-        top = pdf.sort_values(["ts_us", "event_id"]).iloc[-1]
+        # numpy lexsort argmax — see _lww_state_fn for the per-call
+        # pandas-overhead rationale
+        ts = pdf["ts_us"].to_numpy()
+        eid = pdf["event_id"].to_numpy()
+        i = int(np.lexsort((eid, ts))[-1])
+        val = pdf["value"].to_numpy()[i]
         cand = (
-            int(top["ts_us"]),
-            int(top["event_id"]),
-            float(top["value"]),
-            int(top["deleted"]),
+            int(ts[i]),
+            int(eid[i]),
+            float("nan") if pd.isna(val) else float(val),
+            int(pdf["deleted"].to_numpy()[i]),
         )
         if best is None or (cand[0], cand[1]) > (best[0], best[1]):
             best = cand

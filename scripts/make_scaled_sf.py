@@ -61,12 +61,20 @@ TABLES = [
 # table -> columns remapped by that table's own stride (pk + the FKs
 # that reference it, listed under the *referenced* table's stride)
 STRIDE_KEYS = {
-    "customer": [("customer", "c_custkey"), ("orders", "o_custkey")],
+    # events.user_id REFERENCES the customer key space (q_join_asof
+    # joins o_custkey = user_id), so it must stride with CUSTOMER —
+    # striding it by its own max (1500 at sf0.1) made copies' events
+    # point at copy-0 customers, silently emptying event-to-customer
+    # joins for K > customer_stride/user_stride (ADVICE r7 #1)
+    "customer": [
+        ("customer", "c_custkey"),
+        ("orders", "o_custkey"),
+        ("events", "user_id"),
+    ],
     "supplier": [("supplier", "s_suppkey"), ("lineitem", "l_suppkey")],
     "part": [("part", "p_partkey"), ("lineitem", "l_partkey")],
     "orders": [("orders", "o_orderkey"), ("lineitem", "l_orderkey")],
     "events_id": [("events", "event_id")],
-    "events_user": [("events", "user_id")],
     "documents": [("documents", "doc_id")],
     "embeddings": [("embeddings", "vec_id")],
 }
@@ -82,7 +90,6 @@ def _strides(tabs: dict[str, pa.Table]) -> dict[str, int]:
         "part": mx("part", "p_partkey") + 1,
         "orders": mx("orders", "o_orderkey") + 1,
         "events_id": mx("events", "event_id") + 1,
-        "events_user": mx("events", "user_id") + 1,
         "documents": mx("documents", "doc_id") + 1,
         "embeddings": mx("embeddings", "vec_id") + 1,
     }
