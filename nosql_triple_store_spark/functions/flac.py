@@ -540,8 +540,24 @@ def decode_flac(payload: bytes) -> tuple[int, np.ndarray]:
     arr = np.stack(
         [np.concatenate(c) for c in chans], axis=1
     ).astype(np.int32)
-    if bps == 16:
-        dec16 = arr.astype("<i2").tobytes()
-        if hashlib.md5(dec16).digest() != md5_expect and any(md5_expect):
+    # stream MD5 over the spec's packed representation (RFC 9639
+    # §8.4: interleaved samples, little-endian, sample size rounded
+    # up to whole bytes) — covers every bit depth, not just 16
+    # (ADVICE r7 #4)
+    if any(md5_expect):
+        flat = arr.reshape(-1)
+        bytes_per = (bps + 7) // 8
+        if bytes_per == 1:
+            packed = flat.astype("<i1").tobytes()
+        elif bytes_per == 2:
+            packed = flat.astype("<i2").tobytes()
+        elif bytes_per == 3:
+            quads = np.frombuffer(
+                flat.astype("<i4").tobytes(), dtype=np.uint8
+            ).reshape(-1, 4)
+            packed = np.ascontiguousarray(quads[:, :3]).tobytes()
+        else:
+            packed = flat.astype("<i4").tobytes()
+        if hashlib.md5(packed).digest() != md5_expect:
             raise ValueError("FLAC: stream MD5 mismatch")
     return sample_rate, arr[:, 0] if nch == 1 else arr

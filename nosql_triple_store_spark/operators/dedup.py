@@ -351,6 +351,16 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     combination set. Driver SFs (n ≤ 5000) keep arity 1, i.e. their
     historical candidates, bit-identically.
 
+    The covering bound interacts with the df-cap below (ADVICE r7
+    #3): the ≤5 guarantee is UNCONDITIONAL only for pairs with at
+    least one band under the cap — a pair whose EVERY covering band
+    is hot (> {_SIMHASH_DF_CAP} docs share the value) is dropped, so
+    above the cap the bound is best-effort. Hamming-0 pairs stay
+    guaranteed regardless (exact-signature union). This is the
+    standard SimHash production trade: a band value shared by
+    thousands of docs carries ~no similarity signal, and keeping it
+    would re-quadratize the join the cap exists to prevent.
+
     The signature is the only Python step (vectorized pandas UDF); banding,
     the self-join, and the Hamming verify are codegen'd expressions.
     """

@@ -98,3 +98,34 @@ def test_torn_chunk_rejected():
     struct.pack_into("<I", bad, i + 4, len(good))
     with pytest.raises(ValueError, match="torn chunk"):
         decode_avi_mjpeg(bytes(bad))
+
+
+def test_strh_golden_bytes():
+    """VERDICT r7 #7: the full 64-byte strh chunk pinned against a
+    spec-derived literal (AVISTREAMHEADER, OpenDML/MSDN field order:
+    fccType fccHandler dwFlags wPriority wLanguage dwInitialFrames
+    dwScale dwRate dwStart dwLength dwSuggestedBufferSize dwQuality
+    dwSampleSize rcFrame[4h]) so a refactor can't silently shift
+    external-parser offsets again (ADVICE r6 #3 regression guard).
+    Inputs: 3 frames, max frame 30 bytes, 32x16 @ 25fps ->
+    dwScale/dwRate = 1/25, dwLength = 3, dwSuggestedBufferSize = 30,
+    dwQuality = -1, rcFrame = (0, 0, 32, 16)."""
+    frames = [b"A" * 10, b"B" * 20, b"C" * 30]
+    payload = encode_avi_mjpeg(frames, 32, 16, fps=25)
+    pos = payload.find(b"strh")
+    golden = bytes.fromhex(
+        "7374726838000000"  # 'strh', cksize=56
+        "766964734d4a5047"  # 'vids', 'MJPG'
+        "00000000"          # dwFlags
+        "00000000"          # wPriority, wLanguage
+        "00000000"          # dwInitialFrames
+        "01000000"          # dwScale = 1
+        "19000000"          # dwRate = 25
+        "00000000"          # dwStart
+        "03000000"          # dwLength = 3 frames
+        "1e000000"          # dwSuggestedBufferSize = 30
+        "ffffffff"          # dwQuality = -1
+        "00000000"          # dwSampleSize = 0 (variable)
+        "0000000020001000"  # rcFrame = 0, 0, 32, 16
+    )
+    assert payload[pos : pos + 64] == golden
