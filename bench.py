@@ -29,6 +29,24 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     specs = all_specs()
+    # SPARK_GRAFT_BENCH_ONLY: regex over query names for family-subset
+    # sweeps (VERDICT r7 #6 — the sf3 curve extension needs only the
+    # steep families; a full 374-query run at sf3 is not affordable in
+    # 128 GiB). Layout builds whose consumers are filtered out are
+    # skipped too (see _wants below).
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    if only:
+        pat = re.compile(only)
+        specs = {k: v for k, v in specs.items() if pat.search(k)}
+        if not specs:
+            raise SystemExit(f"no queries match SPARK_GRAFT_BENCH_ONLY={only}")
+
+    def _wants(consumer_regex: str) -> bool:
+        """Build a layout only if some selected query consumes it."""
+        if not only:
+            return True
+        cre = re.compile(consumer_regex)
+        return any(cre.search(k) for k in specs)
     # Warm the JVM/codegen once on a trivial job so q1 isn't charged startup,
     # then touch every table so alphabetically-early queries aren't charged
     # first-read parquet footer/IO warmup either.
@@ -65,41 +83,48 @@ def main() -> None:
     )
 
     layout: dict[str, float] = {}
-    t0 = time.perf_counter()
-    bucketed_tables(spark, sf_dir)
-    layout["bucketed_orders_lineitem"] = round(time.perf_counter() - t0, 4)
-    t0 = time.perf_counter()
-    _copurchase_edges(spark, sf_dir).count()
-    layout["copurchase_edges"] = round(time.perf_counter() - t0, 4)
-    t0 = time.perf_counter()
-    triangle_list(spark, sf_dir).count()
-    layout["triangle_list"] = round(time.perf_counter() - t0, 4)
+    if _wants(r"q_join|q_tpch"):
+        t0 = time.perf_counter()
+        bucketed_tables(spark, sf_dir)
+        layout["bucketed_orders_lineitem"] = round(time.perf_counter() - t0, 4)
+    if _wants(r"q_graph"):
+        t0 = time.perf_counter()
+        _copurchase_edges(spark, sf_dir).count()
+        layout["copurchase_edges"] = round(time.perf_counter() - t0, 4)
+        t0 = time.perf_counter()
+        triangle_list(spark, sf_dir).count()
+        layout["triangle_list"] = round(time.perf_counter() - t0, 4)
     from nosql_triple_store_spark.operators.dedup import (
         _shingle_pairs,
         _shingle_stream,
     )
 
-    t0 = time.perf_counter()
-    _shingle_stream(spark, sf_dir).count()
-    layout["shingle_stream"] = round(time.perf_counter() - t0, 4)
-    # the exact pair stream is the shared artifact of q_dedup_near /
-    # q_text_containment / q_dedup_clusters; materialized once like
-    # the stream above so consumers scan instead of re-joining
-    t0 = time.perf_counter()
-    _shingle_pairs(spark, sf_dir).count()
-    layout["shingle_pairs"] = round(time.perf_counter() - t0, 4)
-    from nosql_triple_store_spark.operators.dedup_pipeline import band_index
+    if _wants(r"q_dedup|q_text|q_stream_dedup"):
+        t0 = time.perf_counter()
+        _shingle_stream(spark, sf_dir).count()
+        layout["shingle_stream"] = round(time.perf_counter() - t0, 4)
+        # the exact pair stream is the shared artifact of q_dedup_near /
+        # q_text_containment / q_dedup_clusters; materialized once like
+        # the stream above so consumers scan instead of re-joining
+        t0 = time.perf_counter()
+        _shingle_pairs(spark, sf_dir).count()
+        layout["shingle_pairs"] = round(time.perf_counter() - t0, 4)
+    if _wants(r"q_dedup|q_stream_dedup"):
+        from nosql_triple_store_spark.operators.dedup_pipeline import (
+            band_index,
+        )
 
-    t0 = time.perf_counter()
-    band_index(spark, sf_dir).count()
-    layout["band_index"] = round(time.perf_counter() - t0, 4)
+        t0 = time.perf_counter()
+        band_index(spark, sf_dir).count()
+        layout["band_index"] = round(time.perf_counter() - t0, 4)
     from nosql_triple_store_spark.operators.relational_ext3 import (
         encoded_store,
     )
 
-    t0 = time.perf_counter()
-    encoded_store(spark, sf_dir)
-    layout["bgp_encoded_store"] = round(time.perf_counter() - t0, 4)
+    if _wants(r"q_bgp|q_sparql|q_stream_bgp"):
+        t0 = time.perf_counter()
+        encoded_store(spark, sf_dir)
+        layout["bgp_encoded_store"] = round(time.perf_counter() - t0, 4)
     # IVF-PQ index build (q_vector_ivfpq) is index ETL like the layouts
     # above: k-means cells + residual codebook (fingerprint-cached
     # cross-process) and the cell-partitioned code-table parquet —
@@ -109,12 +134,13 @@ def main() -> None:
         pq_index,
     )
 
-    t0 = time.perf_counter()
-    _ivfpq_model(spark, sf_dir)
-    layout["ivf_coarse_codebook"] = round(time.perf_counter() - t0, 4)
-    t0 = time.perf_counter()
-    pq_index(spark, sf_dir).count()
-    layout["pq_code_table"] = round(time.perf_counter() - t0, 4)
+    if _wants(r"q_vector"):
+        t0 = time.perf_counter()
+        _ivfpq_model(spark, sf_dir)
+        layout["ivf_coarse_codebook"] = round(time.perf_counter() - t0, 4)
+        t0 = time.perf_counter()
+        pq_index(spark, sf_dir).count()
+        layout["pq_code_table"] = round(time.perf_counter() - t0, 4)
     # Remaining build-once physical layouts (hive-partitioned bucket
     # census, bloom-filtered rewrite, versioned vacuum register): at
     # sf0.1 median-of-3 the cached runs 2-3 hid these builds inside the
@@ -129,15 +155,18 @@ def main() -> None:
         bucket_layout,
     )
 
-    t0 = time.perf_counter()
-    bucket_layout(spark, sf_dir)
-    layout["bucket_layout"] = round(time.perf_counter() - t0, 4)
-    t0 = time.perf_counter()
-    bloom_layout(spark, sf_dir)
-    layout["bloom_layout"] = round(time.perf_counter() - t0, 4)
-    t0 = time.perf_counter()
-    vacuum_register(spark, sf_dir)
-    layout["vacuum_register"] = round(time.perf_counter() - t0, 4)
+    if _wants(r"q_meta_partition_layout"):
+        t0 = time.perf_counter()
+        bucket_layout(spark, sf_dir)
+        layout["bucket_layout"] = round(time.perf_counter() - t0, 4)
+    if _wants(r"q_source_parquet_bloom"):
+        t0 = time.perf_counter()
+        bloom_layout(spark, sf_dir)
+        layout["bloom_layout"] = round(time.perf_counter() - t0, 4)
+    if _wants(r"q_maintenance_vacuum"):
+        t0 = time.perf_counter()
+        vacuum_register(spark, sf_dir)
+        layout["vacuum_register"] = round(time.perf_counter() - t0, 4)
 
     # Heap-sensitive heavy queries get a JVM full-GC immediately before
     # they run (outside their timed region): the wedge joins are

@@ -566,3 +566,80 @@ def q_sparql_subselect(spark: SparkSession, sf_dir: str) -> DataFrame:
     dictionary is a bijection, so term equality is id equality and
     the join loses nothing."""
     return compile_sparql_encoded(spark, sf_dir, SPARQL_SUBSELECT)
+
+
+SPARQL_PATH_NEGATED = """
+SELECT ?s ?o WHERE {
+  ?s !(inNation|inSegment|hasBalanceCents) ?o .
+}
+"""
+
+_PATH_NEGATED_ORACLE = f"""
+WITH {TRIPLES_SQL}
+SELECT s, o FROM triples
+WHERE p NOT IN ('inNation', 'inSegment', 'hasBalanceCents')
+"""
+
+
+@register("q_sparql_path_negated", oracle=_PATH_NEGATED_ORACLE)
+def q_sparql_path_negated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL 1.1 negated property set (round 8): !(p|q|...) in the
+    predicate position — every edge whose predicate is OUTSIDE the set
+    (here: the hasName/inRegion remainder of the store). Lowers to ONE
+    pushed-down NOT-IN scan predicate over k encoded literal ids; an
+    excluded name absent from the dictionary encodes to -1 and excludes
+    nothing. Forward-only subset (^ inside a negated set rejects
+    loudly)."""
+    return compile_sparql_encoded(spark, sf_dir, SPARQL_PATH_NEGATED)
+
+
+SPARQL_CONSTRUCT = """
+CONSTRUCT { ?n partOf ?r . ?n <urn:label> ?nm }
+WHERE { ?n inRegion ?r . ?n hasName ?nm }
+"""
+
+_CONSTRUCT_ORACLE = f"""
+WITH {TRIPLES_SQL},
+b AS (
+  SELECT a.s AS n, a.o AS r, h.o AS nm
+  FROM triples a JOIN triples h ON h.s = a.s AND h.p = 'hasName'
+  WHERE a.p = 'inRegion')
+SELECT DISTINCT s, p, o FROM (
+  SELECT n AS s, 'partOf' AS p, r AS o FROM b
+  UNION ALL
+  SELECT n, 'urn:label', nm FROM b)
+"""
+
+
+@register("q_sparql_construct", oracle=_CONSTRUCT_ORACLE)
+def q_sparql_construct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL CONSTRUCT (round 8): graph output — each WHERE solution
+    instantiates every template triple (vars from the bindings,
+    constants as literals), unioned and set-deduped (a graph holds no
+    duplicate triples; OPTIONAL-miss instantiations drop per spec).
+    The WHERE compiles through the same encoded pipeline; the template
+    is pure projection + columnar union, no extra shuffle beyond the
+    distinct."""
+    return compile_sparql_encoded(spark, sf_dir, SPARQL_CONSTRUCT)
+
+
+SPARQL_ASK_PATH = """
+ASK { ?c inNation/inRegion ?r }
+"""
+
+_ASK_PATH_ORACLE = f"""
+WITH {TRIPLES_SQL}
+SELECT CAST(CASE WHEN EXISTS (
+  SELECT 1 FROM triples a JOIN triples b ON a.o = b.s
+  WHERE a.p = 'inNation' AND b.p = 'inRegion')
+  THEN 1 ELSE 0 END AS BIGINT) AS answer
+"""
+
+
+@register("q_sparql_ask_path", oracle=_ASK_PATH_ORACLE)
+def q_sparql_ask_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASK over a property PATH (round 8): boolean existence of any
+    customer-or-supplier -> nation -> region chain, through the same
+    sequence-path algebra the SELECT queries use, under the LIMIT-1
+    existence plan (the scan stops at the first surviving row)."""
+    return compile_sparql_encoded(spark, sf_dir, SPARQL_ASK_PATH)

@@ -47,6 +47,11 @@ Scope (documented subset, rejected loudly outside it):
   recursion handles deeper nesting), joined to the outer group on
   shared variables over decoded terms; OPTIONAL/MINUS/NOT EXISTS/
   VALUES still require outer triple patterns
+- negated property sets ``!p`` / ``!(p|q|...)`` (forward-only; one
+  pushed-down NOT-IN scan predicate over encoded ids)
+- ``CONSTRUCT { template } WHERE { ... } [LIMIT n]`` — graph output
+  (s, p, o), set semantics, OPTIONAL-miss instantiations dropped;
+  and ``ASK`` bodies compose with property paths
 
 Execution strategy mirrors q_bgp_star_encoded (operators/
 relational_ext3.py): pattern constants are looked up in the
@@ -82,7 +87,7 @@ _TOKEN = re.compile(
     | (?P<var>\?[A-Za-z_][A-Za-z0-9_]*)
     | (?P<iri><[^>]*>)
     | (?P<num>[0-9]+\.[0-9]+)
-    | (?P<punct>&&|\|\||!=|<=|>=|[{}().=<>*,/|+^-])
+    | (?P<punct>&&|\|\||!=|<=|>=|[{}().=<>*,/|+^!-])
     | (?P<word>[A-Za-z_][A-Za-z0-9_:]*|[0-9]+)
     )""",
     re.VERBOSE,
@@ -136,12 +141,23 @@ class PathStar:
     inner: object
 
 
-_PATH_TYPES = (PathPred, PathInv, PathSeq, PathAlt, PathPlus, PathStar)
+@dataclass(frozen=True)
+class PathNeg:
+    """Negated property set !p / !(p|q|...): any triple whose predicate
+    is NOT in the set (forward direction only — ^ inside a negated set
+    is rejected loudly)."""
+
+    names: tuple
+
+
+_PATH_TYPES = (PathPred, PathInv, PathSeq, PathAlt, PathPlus, PathStar, PathNeg)
 
 
 def _path_preds(path) -> set[str]:
     if isinstance(path, PathPred):
         return {path.name}
+    if isinstance(path, PathNeg):
+        return set(path.names)
     if isinstance(path, (PathInv, PathPlus, PathStar)):
         return _path_preds(path.inner)
     return _path_preds(path.left) | _path_preds(path.right)
@@ -252,6 +268,9 @@ class SparqlQuery:
     having: list[list[Filter]] = field(default_factory=list)
     # { SELECT ... } sub-queries, joined to the group on shared vars
     subselects: list["SparqlQuery"] = field(default_factory=list)
+    # CONSTRUCT template triples (graph output: s, p, o string columns,
+    # set semantics); exclusive with select/aggs/ask
+    construct: list[tuple[Term, Term, Term]] = field(default_factory=list)
 
 
 class _Parser:
@@ -288,6 +307,35 @@ class _Parser:
                 raise ValueError(
                     f"ASK takes no solution modifiers, got {self.peek()!r}"
                 )
+            self._validate(q)
+            return q
+        if (self.peek() or "").upper() == "CONSTRUCT":
+            self.next()
+            q = SparqlQuery(select=[], distinct=False, patterns=[])
+            q.construct = self.group("CONSTRUCT")
+            for pat in q.construct:
+                if isinstance(pat[1], _PATH_TYPES):
+                    raise ValueError(
+                        "CONSTRUCT templates take plain predicates, "
+                        "not property paths"
+                    )
+            self.expect("WHERE")
+            self.expect("{")
+            self._where_body(q)
+            while (t := self.peek()) is not None:
+                if t.upper() == "LIMIT":
+                    self.next()
+                    n = self.next()
+                    if not n.isdigit():
+                        raise ValueError(
+                            f"LIMIT needs an integer, got {n!r}"
+                        )
+                    q.limit = int(n)
+                else:
+                    raise ValueError(
+                        f"CONSTRUCT supports only LIMIT as a solution "
+                        f"modifier, got {t!r}"
+                    )
             self._validate(q)
             return q
         self.expect("SELECT")
@@ -622,6 +670,20 @@ class _Parser:
 
     def _path_primary(self):
         t = self.next()
+        if t == "!":  # negated property set: !p or !(p|q|...)
+            names: list[str] = []
+            if self.peek() == "(":
+                self.next()
+                while True:
+                    names.append(self._neg_pred())
+                    if self.peek() == "|":
+                        self.next()
+                        continue
+                    break
+                self.expect(")")
+            else:
+                names.append(self._neg_pred())
+            return PathNeg(tuple(names))
         if t == "(":
             inner = self._path_alt()
             self.expect(")")
@@ -635,6 +697,23 @@ class _Parser:
         if t in ("{", "}", ")", ".", "/", "|", "+", "^"):
             raise ValueError(f"expected path element, got {t!r}")
         return PathPred(t)
+
+    def _neg_pred(self) -> str:
+        t = self.next()
+        if t == "^":
+            raise ValueError(
+                "inverse members inside a negated property set are "
+                "unsupported (forward-only subset)"
+            )
+        if t.startswith("<"):
+            return t[1:-1]
+        if t.startswith("?") or t.startswith('"') or t in (
+            "{", "}", "(", ")", ".", "/", "|", "+", "*", "!",
+        ):
+            raise ValueError(
+                f"negated property sets take predicate names, got {t!r}"
+            )
+        return t
 
     def group(self, kind: str = "UNION") -> list[tuple[Term, Term, Term]]:
         self.expect("{")
@@ -834,6 +913,14 @@ def _path_rel(enc: DataFrame, path, cmap) -> DataFrame:
     if isinstance(path, PathPred):
         return enc.filter(
             F.col("p") == F.lit(int(cmap[path.name]))
+        ).select(F.col("s").alias("src"), F.col("o").alias("dst"))
+    if isinstance(path, PathNeg):
+        # negated property set: every triple whose predicate id is NOT
+        # in the set — still one pushed-down scan predicate (NOT IN of
+        # k literal ids); an excluded name absent from the dictionary
+        # encodes to -1, which no triple carries, excluding nothing
+        return enc.filter(
+            ~F.col("p").isin([int(cmap[n]) for n in path.names])
         ).select(F.col("s").alias("src"), F.col("o").alias("dst"))
     if isinstance(path, PathInv):
         r = _path_rel(enc, path.inner, cmap)
@@ -1249,6 +1336,37 @@ def _compile_query(
         if g in eq_groups:
             continue
         decoded = decoded.filter(_group_col(g))
+    if q.construct:
+        # CONSTRUCT: instantiate each template triple per solution,
+        # union, set-dedup (a graph has no duplicate triples). Rows
+        # where a template variable is unbound (OPTIONAL miss) drop
+        # that instantiation, per spec.
+        parts = []
+        for s, p, o in q.construct:
+            cols, notnull = [], []
+            for term, name in ((s, "s"), (p, "p"), (o, "o")):
+                if isinstance(term, Var):
+                    if term.name not in decoded.columns:
+                        raise ValueError(
+                            f"CONSTRUCT template var ?{term.name} is "
+                            "not bound by WHERE"
+                        )
+                    col = F.col(term.name).cast("string")
+                    notnull.append(col.isNotNull())
+                    cols.append(col.alias(name))
+                else:
+                    cols.append(F.lit(term).alias(name))
+            part = decoded
+            for c in notnull:
+                part = part.filter(c)
+            parts.append(part.select(*cols))
+        out = parts[0]
+        for part in parts[1:]:
+            out = out.unionByName(part)
+        out = out.distinct()
+        if q.limit is not None:
+            out = out.limit(q.limit)
+        return out
     if q.ask:
         return (
             decoded.limit(1)

@@ -265,7 +265,7 @@ _TOK = st.sampled_from(
      "?a", "?b", "?c", "p", "q", '"x"', '"y \\" z"', "<http://e/i>",
      "7", "LIMIT", "MINUS", "NOT", "EXISTS", "+", "/", "^", "|",
      "BIND", "HAVING", "CONCAT", "SUBSTR", "STRLEN", "UCASE", "SUM",
-     "AVG", ",", "-", "3.5", "100"]
+     "AVG", ",", "-", "3.5", "100", "!", "CONSTRUCT"]
 )
 
 
@@ -773,3 +773,64 @@ def test_subselect_shares_no_var_is_cross_product(spark):
 def test_having_hidden_agg_not_in_output(spark):
     df = SPECS["q_sparql_having"].fn(spark, SF_DIR)
     assert df.columns == ["seg", "n", "total_cents"]
+
+
+# ------------------------------- negated paths / CONSTRUCT / ASK-path
+
+
+def test_parse_negated_property_set():
+    from nosql_triple_store_spark.plans.sparql import PathNeg
+
+    q = parse_sparql("SELECT ?s ?o WHERE { ?s !(p|q) ?o }")
+    assert q.patterns[0][1] == PathNeg(("p", "q"))
+    q2 = parse_sparql("SELECT ?s ?o WHERE { ?s !p ?o }")
+    assert q2.patterns[0][1] == PathNeg(("p",))
+
+
+def test_parse_construct():
+    q = parse_sparql(
+        "CONSTRUCT { ?n partOf ?r } WHERE { ?n inRegion ?r } LIMIT 7"
+    )
+    assert len(q.construct) == 1 and q.limit == 7
+    assert not q.select and not q.ask
+
+
+@pytest.mark.parametrize(
+    "bad",
+    [
+        "SELECT ?s WHERE { ?s !(^p) ?o }",  # inverse in negated set
+        "SELECT ?s WHERE { ?s !(p|?v) ?o }",  # var in negated set
+        "CONSTRUCT { ?s p+ ?o } WHERE { ?s p ?o }",  # path in template
+        "CONSTRUCT { } WHERE { ?s p ?o }",  # empty template
+        "CONSTRUCT { ?s p ?o } WHERE { ?s p ?o } ORDER BY ?s",
+    ],
+)
+def test_rejects_bad_negated_construct(bad):
+    with pytest.raises(ValueError):
+        parse_sparql(bad)
+
+
+def test_construct_unbound_template_var_raises(spark):
+    from nosql_triple_store_spark.plans.sparql import compile_sparql_encoded
+
+    with pytest.raises(ValueError, match="not bound"):
+        compile_sparql_encoded(
+            spark, SF_DIR,
+            "CONSTRUCT { ?n partOf ?nope } WHERE { ?n inRegion ?r }",
+        ).collect()
+
+
+def test_construct_optional_miss_drops_instantiation(spark):
+    """An OPTIONAL-miss row instantiates the template triples whose
+    vars bound, and drops the ones whose vars are NULL (spec rule)."""
+    from nosql_triple_store_spark.plans.sparql import compile_sparql_encoded
+
+    rows = compile_sparql_encoded(
+        spark, SF_DIR,
+        # inSegment never binds for region subjects
+        "CONSTRUCT { ?r labeled ?nm . ?r seg ?s } "
+        "WHERE { ?r hasName ?nm . OPTIONAL { ?r inSegment ?s } }",
+    ).collect()
+    preds = {r.p for r in rows}
+    assert "labeled" in preds
+    assert all(r.o is not None for r in rows)
