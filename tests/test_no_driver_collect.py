@@ -26,6 +26,9 @@ ALLOWED = {
     "plans/sparql.py": 1,  # k pattern-constant dictionary lookups
     "operators/relational_ext17.py": 1,  # min(src) scalar (BFS source)
     "operators/vector_ext6.py": 1,  # dim*dim scatter-matrix cells
+    # M*K codebook rows (index build) + <=SHORTLIST ADC ids per query
+    # (the FAISS coordinator shortlist, a plan constant)
+    "operators/vector_ext9.py": 2,
     "operators/text_ext.py": 1,  # top-1 BPE merge pair per round
     "sources/avro_py.py": 1,  # one (path, n) row per write partition
     "sources/bson_py.py": 1,  # one (path, n) row per write partition
