@@ -523,55 +523,100 @@ def q_multimodal_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = docs.repartition(fanout_width(spark)).mapInPandas(
         kernel, schema="doc_id long, cls long, lo long, hi long"
     ).localCheckpoint()
-    # band keys: 8 bytes of the 64-bit hash (4 from each word)
-    band_exprs = []
-    for b in range(_PHASH_BANDS):
-        word = "lo" if b < 4 else "hi"
-        shift = (b % 4) * 8
-        band_exprs.append(
-            F.struct(
-                F.lit(b).alias("band"),
-                F.expr(f"(({word} >> {shift}) & 255)").alias("bkey"),
+    # EXACT-GROUP COLLAPSE before the pairwise join (round 8, the fix
+    # for the sf3 blowup): perceptual hashes cluster — many images
+    # share a hash bit-exactly (here: class templates; in a real
+    # corpus: exact-duplicate images) — so the banded near-dup join
+    # runs over DISTINCT hashes (D rows, ~n/200 here), not documents.
+    # The doc-level candidate join enumerated ~n²/256 band-bucket
+    # matches at saturation (62 s at derived sf3, quadratic); the
+    # group-level join enumerates ~D²/256 (thousands), and expanding
+    # surviving hash pairs back to doc pairs is output-bound. Banding
+    # stays lossless: a hash pair within Hamming {_PHASH_HAM} differs
+    # in at most {_PHASH_HAM} of the 8 byte-bands, so one band is
+    # untouched (pigeonhole) — same guarantee, applied to groups.
+    groups = m.select("lo", "hi").distinct().localCheckpoint()
+
+    def banded(df: DataFrame, suffix: str) -> DataFrame:
+        exprs = []
+        for b in range(_PHASH_BANDS):
+            word = "lo" if b < 4 else "hi"
+            shift = (b % 4) * 8
+            exprs.append(
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.expr(f"(({word} >> {shift}) & 255)").alias("bkey"),
+                )
             )
+        out = df.select(
+            F.col("lo").alias(f"lo{suffix}"),
+            F.col("hi").alias(f"hi{suffix}"),
+            F.explode(F.array(*exprs)).alias("bk"),
         )
-    keyed = m.select(
-        "doc_id", "cls", "lo", "hi",
-        F.explode(F.array(*band_exprs)).alias("bk"),
-    ).select(
-        "doc_id",
-        "cls",
-        "lo",
-        "hi",
-        F.col("bk.band").alias("band1"),
-        F.col("bk.bkey").alias("bkey1"),
-    )
-    o = keyed.select(
-        F.col("doc_id").alias("d2"),
-        F.col("cls").alias("cls2"),
-        F.col("lo").alias("lo2"),
-        F.col("hi").alias("hi2"),
-        F.col("band1").alias("band2"),
-        F.col("bkey1").alias("bkey2"),
-    )
+        return out.select(
+            f"lo{suffix}",
+            f"hi{suffix}",
+            F.col("bk.band").alias(f"band{suffix}"),
+            F.col("bk.bkey").alias(f"bkey{suffix}"),
+        )
+
     ham = (
-        F.bit_count(F.col("lo").bitwiseXOR(F.col("lo2")))
-        + F.bit_count(F.col("hi").bitwiseXOR(F.col("hi2")))
+        F.bit_count(F.col("lo1").bitwiseXOR(F.col("lo2")))
+        + F.bit_count(F.col("hi1").bitwiseXOR(F.col("hi2")))
     ).cast("long")
-    cand = (
-        keyed.join(
-            o,
+    # unordered DISTINCT-hash pairs within the Hamming radius (strict
+    # struct order picks one orientation), plus the identity pairs
+    # (h, h) whose members are exact-hash duplicates of each other
+    gpairs = (
+        banded(groups, "1")
+        .join(
+            banded(groups, "2"),
             (F.col("band1") == F.col("band2"))
             & (F.col("bkey1") == F.col("bkey2"))
-            & (F.col("doc_id") < F.col("d2")),
+            & (
+                F.struct(F.col("lo1"), F.col("hi1"))
+                < F.struct(F.col("lo2"), F.col("hi2"))
+            )
+            & (ham <= _PHASH_HAM),
         )
-        .select("doc_id", "cls", "lo", "hi", "d2", "cls2", "lo2", "hi2")
+        .select("lo1", "hi1", "lo2", "hi2")
         .distinct()
+        .unionByName(
+            groups.select(
+                F.col("lo").alias("lo1"),
+                F.col("hi").alias("hi1"),
+                F.col("lo").alias("lo2"),
+                F.col("hi").alias("hi2"),
+            )
+        )
     )
-    return cand.filter(ham <= _PHASH_HAM).select(
-        F.col("doc_id").alias("d1"),
-        "d2",
-        ham.alias("hamming"),
-        (F.col("cls") == F.col("cls2")).alias("same_class"),
+    # expand hash pairs to doc pairs: two joins keyed by hash, each
+    # output-bound (every emitted row is a real result row); the pair
+    # is canonicalized to d1 < d2 (symmetric hamming/same_class)
+    a = m.select(
+        F.col("lo").alias("lo1"), F.col("hi").alias("hi1"),
+        F.col("doc_id").alias("da"), F.col("cls").alias("ca"),
+    )
+    b = m.select(
+        F.col("lo").alias("lo2"), F.col("hi").alias("hi2"),
+        F.col("doc_id").alias("db"), F.col("cls").alias("cb"),
+    )
+    return (
+        gpairs.join(a, ["lo1", "hi1"])
+        .join(b, ["lo2", "hi2"])
+        .filter(F.col("da") != F.col("db"))
+        .filter(
+            # identity hash pairs would emit each member pair twice
+            # (both orientations); keep the da < db one only
+            (F.struct("lo1", "hi1") < F.struct("lo2", "hi2"))
+            | (F.col("da") < F.col("db"))
+        )
+        .select(
+            F.least("da", "db").alias("d1"),
+            F.greatest("da", "db").alias("d2"),
+            ham.alias("hamming"),
+            (F.col("ca") == F.col("cb")).alias("same_class"),
+        )
     )
 
 
