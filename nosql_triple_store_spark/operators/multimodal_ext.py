@@ -477,15 +477,18 @@ def q_multimodal_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Near-duplicate pairs are those within Hamming {_PHASH_HAM} —
     found via {_PHASH_BANDS} bands of 8 bits (pigeonhole: a pair
     within Hamming {_PHASH_HAM} shares at least one exact band), band
-    bucket-join, then exact popcount verify. The oracle brute-forces
-    all pairs from the pixel formulas, proving the banded candidate
-    generation LOSSLESS at the threshold — same certify-the-
-    optimization pattern as the LSH/df-cap proofs.
+    bucket-join over DISTINCT hash values (exact-hash groups collapse
+    first — see the inline round-8 note), then exact popcount verify
+    and an output-bound expansion back to document pairs. The oracle
+    brute-forces all pairs from the pixel formulas, proving the
+    banded candidate generation LOSSLESS at the threshold — same
+    certify-the-optimization pattern as the LSH/df-cap proofs.
 
-    Scale: the index is 8 bytes/image; banding bounds the join to
-    bucket-local candidates exactly like MinHash-LSH for text
-    (dedup.py): sub-quadratic in images, skew-guarded per band
-    bucket. Decode stays embarrassingly parallel in mapInPandas.
+    Scale: the index is 8 bytes/image; the pairwise join touches one
+    row per DISTINCT hash (exact-duplicate images — ubiquitous in
+    crawled corpora — cost nothing extra), and the doc-pair expansion
+    emits only real result rows. Decode stays embarrassingly parallel
+    in mapInPandas.
     """
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
