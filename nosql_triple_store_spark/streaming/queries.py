@@ -105,27 +105,30 @@ def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.withColumn("ts", _event_time_col(spark, sf_dir))
 
 
-def _run_to_memory(stream_df: DataFrame, output_mode: str) -> DataFrame:
+def _run_to_memory(
+    stream_df: DataFrame, output_mode: str, state_width: int | None = None
+) -> DataFrame:
     """Drain a bounded stream into a memory sink, return the final table.
 
     State-store partition count is baked from spark.sql.shuffle.partitions
     at query START — a vanilla session's default 200 costs ~25 s of
     per-micro-batch state-partition overhead on these fixtures, so pin a
-    width matched to the CLUSTER for the stream's lifetime and restore
-    after (stateful operators on a real cluster size this to cores ×
-    small k). Round-8 profiling: the stateful trio is single-batch
-    (PLANS.md), so per-partition state-store init is paid once and the
-    per-key Python kernel is the cost — width = scheduler slots halves
-    q_stream_lww_state at sf1 (27.6 → 11.8 s) vs the old fixed 16.
+    width matched to the QUERY for the stream's lifetime and restore
+    after. Round-8 profiling (PLANS.md): the width trades state-store
+    init (∝ partitions × state stores × batches) against kernel
+    parallelism. Default 16 — measured best for engine-stateful plans
+    (stream-stream join: 4.7 s at 16 vs 7.8 s at 32; its multiple
+    per-partition stores make init dominate). Pass
+    ``state_width=cluster_cores(spark)`` for single-batch
+    applyInPandasWithState operators, whose per-key Python kernel is
+    the cost and which halve with the extra parallelism
+    (q_stream_lww_state at sf1: 27.6 → 11.8 s).
     """
-    from ..widths import cluster_cores
-
     spark = stream_df.sparkSession
     name = f"mem_{uuid.uuid4().hex[:10]}"
     old = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set(
-        "spark.sql.shuffle.partitions",
-        str(max(16, cluster_cores(spark))),
+        "spark.sql.shuffle.partitions", str(state_width or 16)
     )
     try:
         q = (

@@ -39,6 +39,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from ..operators.triple import E_CTE
 from ..registry import register, register_skip
+from ..widths import cluster_cores
 from .queries import _run_to_memory, _stream_events
 
 _STATE_SCHEMA = "ts_us long, event_id long, value double"
@@ -141,7 +142,11 @@ def q_stream_lww_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    return _compact_register(_run_to_memory(out, "update"))
+    return _compact_register(
+        _run_to_memory(
+            out, "update", state_width=cluster_cores(spark)
+        )
+    )
 
 
 def _protobuf_available() -> bool:
@@ -219,7 +224,9 @@ def q_stream_transform_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         "RocksDBStateStoreProvider",
     )
     try:
-        sink = _run_to_memory(out, "update")
+        sink = _run_to_memory(
+            out, "update", state_width=cluster_cores(spark)
+        )
     finally:
         spark.conf.set(provider_key, old)
     return _compact_register(sink)
@@ -334,7 +341,9 @@ def q_stream_tombstone(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    sink = _run_to_memory(out, "update")
+    sink = _run_to_memory(
+        out, "update", state_width=cluster_cores(spark)
+    )
     ordering = F.struct(F.col("ts_us"), F.col("event_id"))
     payload = F.struct(
         F.col("event_id"), F.col("ts_us"), F.col("value"), F.col("deleted")
