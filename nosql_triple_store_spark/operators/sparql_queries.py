@@ -643,3 +643,33 @@ def q_sparql_ask_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     sequence-path algebra the SELECT queries use, under the LIMIT-1
     existence plan (the scan stops at the first surviving row)."""
     return compile_sparql_encoded(spark, sf_dir, SPARQL_ASK_PATH)
+
+
+SPARQL_OFFSET = """
+SELECT ?nm ?r WHERE {
+  ?n hasName ?nm .
+  ?n inRegion ?r .
+}
+ORDER BY ?nm
+LIMIT 10 OFFSET 5
+"""
+
+_OFFSET_ORACLE = f"""
+WITH {TRIPLES_SQL}
+SELECT a.o AS nm, b.o AS r
+FROM triples a JOIN triples b ON b.s = a.s AND b.p = 'inRegion'
+WHERE a.p = 'hasName'
+ORDER BY nm
+LIMIT 10 OFFSET 5
+"""
+
+
+@register("q_sparql_offset", oracle=_OFFSET_ORACLE)
+def q_sparql_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL OFFSET (round 8): pagination through an ordered solution
+    sequence — skip 5, take 10, over the nation-name/region join.
+    OFFSET without ORDER BY rejects loudly (the skipped prefix would
+    be engine-arbitrary). Lowered to the engine's offset+limit slice —
+    on a sorted single-stage result this is the same
+    TakeOrdered-with-skip every SQL pagination compiles to."""
+    return compile_sparql_encoded(spark, sf_dir, SPARQL_OFFSET)

@@ -239,6 +239,9 @@ class SparqlQuery:
     filters: list[list[Filter]] = field(default_factory=list)
     order_by: list[tuple[str, bool]] = field(default_factory=list)  # (var, desc)
     limit: int | None = None
+    # OFFSET k: skip the first k solutions (pagination); requires
+    # ORDER BY so the skipped prefix is well-defined
+    offset: int | None = None
     aggs: list[Agg] = field(default_factory=list)
     group_by: list[str] = field(default_factory=list)
     ask: bool = False
@@ -552,6 +555,12 @@ class _Parser:
                 if not n.isdigit():
                     raise ValueError(f"LIMIT needs an integer, got {n!r}")
                 q.limit = int(n)
+            elif up == "OFFSET":
+                self.next()
+                n = self.next()
+                if not n.isdigit():
+                    raise ValueError(f"OFFSET needs an integer, got {n!r}")
+                q.offset = int(n)
             else:
                 raise ValueError(f"SPARQL parser: trailing token {t!r}")
 
@@ -597,6 +606,11 @@ class _Parser:
             raise ValueError("GROUP BY without aggregates is unsupported")
         if q.having and not q.aggs:
             raise ValueError("HAVING requires aggregates with GROUP BY")
+        if q.offset is not None and not q.order_by:
+            raise ValueError(
+                "OFFSET without ORDER BY skips an undefined prefix — "
+                "add ORDER BY"
+            )
         if q.select_exprs and q.select == ["*"]:
             raise ValueError(
                 "SELECT * cannot be mixed with SELECT expressions"
@@ -1489,6 +1503,10 @@ def _compile_query(
                 for v, desc in q.order_by
             ]
         )
+    if q.offset is not None:
+        # skip-then-cap, SPARQL §15.4 slice order (matches SQL's
+        # LIMIT n OFFSET k)
+        decoded = decoded.offset(q.offset)
     if q.limit is not None:
         decoded = decoded.limit(q.limit)
     return decoded

@@ -834,3 +834,29 @@ def test_construct_optional_miss_drops_instantiation(spark):
     preds = {r.p for r in rows}
     assert "labeled" in preds
     assert all(r.o is not None for r in rows)
+
+
+def test_parse_offset_and_reject_unordered():
+    q = parse_sparql(
+        "SELECT ?s WHERE { ?s p ?o } ORDER BY ?s LIMIT 10 OFFSET 5"
+    )
+    assert q.limit == 10 and q.offset == 5
+    with pytest.raises(ValueError, match="OFFSET"):
+        parse_sparql("SELECT ?s WHERE { ?s p ?o } OFFSET 5")
+    with pytest.raises(ValueError, match="OFFSET"):
+        parse_sparql("SELECT ?s WHERE { ?s p ?o } ORDER BY ?s OFFSET x")
+
+
+def test_offset_slices_the_ordered_sequence(spark):
+    from nosql_triple_store_spark.plans.sparql import compile_sparql_encoded
+
+    full = compile_sparql_encoded(
+        spark, SF_DIR,
+        "SELECT ?nm WHERE { ?n hasName ?nm . ?n inRegion ?r } ORDER BY ?nm",
+    ).collect()
+    page = compile_sparql_encoded(
+        spark, SF_DIR,
+        "SELECT ?nm WHERE { ?n hasName ?nm . ?n inRegion ?r } "
+        "ORDER BY ?nm LIMIT 4 OFFSET 3",
+    ).collect()
+    assert [r.nm for r in page] == [r.nm for r in full[3:7]]
