@@ -10,7 +10,8 @@ Scope (documented subset, rejected loudly outside it):
 - ``FILTER(expr)`` with comparisons ``=, !=, <, <=, >, >=`` between a
   variable and a string literal (or two variables), combined with
   ``&&`` / ``||``, plus ``REGEX(?v, "pat")``
-- ``ORDER BY ?v [DESC(?v)]``, ``LIMIT n``, ``DISTINCT``
+- ``ORDER BY ?v [DESC(?v)]``, ``LIMIT n``, ``OFFSET k`` (requires
+  ORDER BY), ``DISTINCT``
 - aggregates ``(COUNT(*)|COUNT(?v)|MIN(?v)|MAX(?v)|SUM(?v)|AVG(?v)
   AS ?alias)`` with ``GROUP BY ?v ...`` — SUM/AVG try_cast the
   string terms to double and skip non-numeric ones (SQL NULL-skip
