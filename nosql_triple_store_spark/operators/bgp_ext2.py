@@ -8,7 +8,7 @@ from pyspark.sql import functions as F
 
 from ..plans.bgp import TRIPLES_SQL, triples_view
 from ..registry import register
-from .dedup import _NEAR_ORACLE, _shingle_pairs
+from .dedup import _NEAR_ORACLE
 
 
 @register(
@@ -75,12 +75,17 @@ LIMIT 50""",
 def q_text_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shingle CONTAINMENT (|A∩B| / min(|A|,|B|)) — the asymmetric
     near-dup measure: a short document quoted inside a long one scores
-    ~1.0 here but low Jaccard (the union washes it out). Same
-    inverted-index pair stream as q_dedup_near (shared, checkpointed);
-    min-size floor of 10 shingles keeps trivially-tiny docs from
-    saturating the top-k. Ratio of exact ints — bit-identical ordering
-    cross-engine."""
-    pairs = _shingle_pairs(spark, sf_dir)
+    ~1.0 here but low Jaccard (the union washes it out). Round 9: pairs
+    come from the adaptive prefix-filter ladder (dedup_prefix.py,
+    smaller-side prefix vs full index — the exact containment-join
+    scheme), not the quadratic `_shingle_pairs` layout; min-size floor
+    of 10 shingles keeps trivially-tiny docs from saturating the top-k.
+    Ratio of exact ints — bit-identical ordering cross-engine."""
+    from .dedup_prefix import containment_threshold_pairs, top_pairs_ladder
+
+    pairs = top_pairs_ladder(
+        lambda p, q: containment_threshold_pairs(spark, sf_dir, p, q, 10), 50
+    )
     cont = F.col("common") * 1.0 / F.least("na", "nb")
     return (
         pairs.filter((F.col("na") >= 10) & (F.col("nb") >= 10))

@@ -97,12 +97,17 @@ def _shingle_pairs(
     spark: SparkSession, sf_dir: str, df_cap: int = SHINGLE_DF_CAP
 ) -> DataFrame:
     """(doc_a, doc_b, common, na, nb) via inverted-index self-join,
-    materialized ONCE per process as scratch parquet: the pair stream
-    is the expensive exact artifact (112.7M rows / ~16 s per
-    computation at derived sf1) and THREE queries consume it
-    (q_dedup_near, q_text_containment, q_dedup_clusters) — without
-    materialization each consumer re-runs the whole inverted-index
-    join. Same once-per-process rule as the shingle stream below."""
+    materialized ONCE per process as scratch parquet.
+
+    Round 9: this exact all-common-shingle stream is Σdf² — quadratic
+    on a saturating shingle space (455.6 s at sf3, SCALE.md Round-8) —
+    so NO registered query consumes it anymore: q_dedup_near and
+    q_text_containment route through the exact prefix-filter ladder
+    (dedup_prefix.py) and q_dedup_clusters through the LSH-candidate →
+    exact-verify scratch (dedup_pipeline.verified_edges_scratch). It
+    stays as the small-SF GROUND-TRUTH TWIN: tests/test_dedup_prefix.py
+    and tests/test_dedup_pipeline.py pin the scale-safe paths against
+    it at fixture scale."""
     key = (sf_dir, df_cap)
     if key in _PAIR_DIRS:
         return spark.read.parquet(_PAIR_DIRS[key])
@@ -193,8 +198,20 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     Top-k (not a fixed threshold) keeps the result deterministic and
     non-empty on any corpus; Jaccard is a ratio of exact ints so ordering
     is bit-identical across engines.
+
+    Round 9 (VERDICT r8 #1): the pair stream comes from the adaptive
+    prefix-filter threshold ladder (operators/dedup_prefix.py) instead
+    of the exact all-common-shingle `_shingle_pairs` layout — same
+    exact answer (deterministic recall 1 at each rung), but candidate
+    cost Σ prefix_df² instead of the Σ df² that went quadratic on the
+    saturating sf3 corpus. `_shingle_pairs` stays as the small-SF
+    ground-truth twin (tests/test_dedup_prefix.py pins equality).
     """
-    pairs = _shingle_pairs(spark, sf_dir)
+    from .dedup_prefix import jaccard_threshold_pairs, top_pairs_ladder
+
+    pairs = top_pairs_ladder(
+        lambda p, q: jaccard_threshold_pairs(spark, sf_dir, p, q), 50
+    )
     jac = F.col("common") * 1.0 / (F.col("na") + F.col("nb") - F.col("common"))
     return (
         pairs.select(
@@ -354,12 +371,28 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     The covering bound interacts with the df-cap below (ADVICE r7
     #3): the ≤5 guarantee is UNCONDITIONAL only for pairs with at
     least one band under the cap — a pair whose EVERY covering band
-    is hot (> {_SIMHASH_DF_CAP} docs share the value) is dropped, so
-    above the cap the bound is best-effort. Hamming-0 pairs stay
-    guaranteed regardless (exact-signature union). This is the
-    standard SimHash production trade: a band value shared by
-    thousands of docs carries ~no similarity signal, and keeping it
-    would re-quadratize the join the cap exists to prevent.
+    is hot (> {_SIMHASH_DF_CAP} signatures share the value) is
+    dropped, so above the cap the bound is best-effort. Hamming-0
+    pairs stay guaranteed regardless (same-signature groups never
+    enter the band join at all). This is the standard SimHash
+    production trade: a band value shared by thousands of docs
+    carries ~no similarity signal, and keeping it would re-quadratize
+    the join the cap exists to prevent.
+
+    Round 9 (VERDICT r8 #2) — EXACT-GROUP COLLAPSE, the same rewrite
+    that took phash near-dup 62 → 15 s at sf3 (multimodal_ext.py):
+    K-fold copy corpora share unigram multisets, and SimHash is
+    order-insensitive, so copies collide into IDENTICAL signatures and
+    band buckets grew ∝ n (×4.5 at the sf1→sf3 step). Now the band
+    self-join runs over DISTINCT signatures (one row per signature
+    group); docs re-enter only at expansion. Expansion is bounded
+    twice: (a) each group keeps its 51 smallest doc_ids — a pair with
+    a dropped member has ≥ 51 lexicographically-smaller pairs inside
+    its own group-pair, so it can never reach a top-50 — and (b) only
+    signature pairs within the minimal Hamming radius h* whose
+    cumulative pair count reaches 50 are expanded (h* from a ≤65-row
+    driver-side histogram — a bounded layout scalar, not a data
+    collect).
 
     The signature is the only Python step (vectorized pandas UDF); banding,
     the self-join, and the Hamming verify are codegen'd expressions.
@@ -367,9 +400,28 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from itertools import combinations
 
     docs = load_table(spark, sf_dir, "documents")
-    n_docs = docs.count()  # bounded layout scalar (arity selection)
+    # spread the single-file scan before the pandas UDF: one partition
+    # would mean ONE Arrow batch on one core for the whole corpus
+    sigs = docs.repartition(fanout_width(spark)).select(
+        "doc_id", _simhash64(tokens_col()).alias("sh")
+    )
+    # one row per DISTINCT signature: kept members (51 smallest doc_ids
+    # — cap argument in the docstring) + true group size. The signature
+    # UDF has several consumers downstream: checkpoint so the Arrow
+    # kernel runs ONCE.
+    groups = (
+        sigs.groupBy("sh")
+        .agg(
+            F.slice(F.sort_array(F.collect_list("doc_id")), 1, 51).alias(
+                "members"
+            ),
+            F.count(F.lit(1)).alias("m"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    n_sigs = groups.count()  # bounded layout scalar (arity selection)
     arity = 1
-    while arity < 3 and n_docs / (256 ** arity) > 64:
+    while arity < 3 and n_sigs / (256 ** arity) > 64:
         arity += 1
     if arity == 2:
         combos = [
@@ -379,17 +431,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     else:
         combos = list(combinations(range(8), arity))
-    # spread the single-file scan before the pandas UDF: one partition
-    # would mean ONE Arrow batch on one core for the whole corpus
-    sigs = docs.repartition(fanout_width(spark)).select(
-        "doc_id", _simhash64(tokens_col()).alias("sh")
-    )
-    # the signature UDF feeds four consumers (band counts, both join
-    # sides, the exact-signature union): checkpoint so the Arrow
-    # kernel runs ONCE, not once per consumer
-    sigs = sigs.localCheckpoint(eager=False)
-    chunks = sigs.select(
-        "doc_id",
+    chunks = groups.select(
         "sh",
         F.explode(
             F.array(
@@ -407,15 +449,12 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("c"),
-    ).select("doc_id", "sh", "c.chunk_idx", "c.chunk_val")
+    ).select("sh", "c.chunk_idx", "c.chunk_val")
     # df-cap (the hot-shingle recipe of _shingle_pairs): a band value
-    # shared by thousands of docs is non-discriminative — real corpora
-    # concentrate common-word-dominated chunks, and the r7 profile
-    # showed one 16-bit band holding 4220/50000 docs (~9M pairs in one
-    # bucket). Hot bands are anti-joined out (bounded broadcast:
-    # <= n_bands*n/cap entries); low-hamming pairs survive through any
-    # of their other bands, and hamming-0 pairs are GUARANTEED by the
-    # exact-signature union below regardless of band heat.
+    # shared by thousands of SIGNATURES is non-discriminative. Hot
+    # bands are anti-joined out (bounded broadcast); low-hamming pairs
+    # survive through any of their other bands, and hamming-0 pairs
+    # never need the join (they are within-group).
     counts = chunks.groupBy("chunk_idx", "chunk_val").count()
     hot = counts.filter(F.col("count") > _SIMHASH_DF_CAP).select(
         "chunk_idx", "chunk_val"
@@ -423,30 +462,70 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     cold = chunks.join(
         F.broadcast(hot), ["chunk_idx", "chunk_val"], "left_anti"
     )
-    lhs = cold.select(
-        F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"),
-        "chunk_idx", "chunk_val",
-    )
-    rhs = cold.select(
-        F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"),
-        "chunk_idx", "chunk_val",
-    )
-    exact = sigs.select(
-        F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")
-    ).join(
-        sigs.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")),
-        (F.col("sh_a") == F.col("sh_b")) & (F.col("doc_a") < F.col("doc_b")),
-    )
-    cand = (
+    lhs = cold.select(F.col("sh").alias("sh_a"), "chunk_idx", "chunk_val")
+    rhs = cold.select(F.col("sh").alias("sh_b"), "chunk_idx", "chunk_val")
+    sig_pairs = (
         lhs.join(rhs, ["chunk_idx", "chunk_val"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sh_a", "sh_b")
-        .unionByName(exact.select("doc_a", "doc_b", "sh_a", "sh_b"))
-        .dropDuplicates(["doc_a", "doc_b"])
+        .filter(F.col("sh_a") < F.col("sh_b"))
+        .select("sh_a", "sh_b")
+        .dropDuplicates(["sh_a", "sh_b"])
+        .withColumn("hamming", F.bit_count(F.expr("sh_a ^ sh_b")))
+        .localCheckpoint(eager=False)
     )
-    hamming = F.bit_count(F.expr("sh_a ^ sh_b"))
+    ga = groups.select(
+        F.col("sh").alias("sh_a"),
+        F.col("members").alias("mem_a"),
+        F.size("members").alias("ka"),
+    )
+    gb = groups.select(
+        F.col("sh").alias("sh_b"),
+        F.col("members").alias("mem_b"),
+        F.size("members").alias("kb"),
+    )
+    # Hamming histogram of expandable pair counts (≤ 65 rows to the
+    # driver): within-group pairs at h=0, kept-member products across
+    # candidate signature pairs at h>=1. h* = smallest radius whose
+    # cumulative count reaches 50.
+    within_n = (
+        groups.select(
+            (F.size("members") * (F.size("members") - 1) / 2).alias("n")
+        )
+        .agg(F.sum("n"))
+        .collect()[0][0]
+        or 0
+    )
+    cross_hist = {
+        r["hamming"]: r["n"]
+        for r in sig_pairs.join(ga, "sh_a")
+        .join(gb, "sh_b")
+        .groupBy("hamming")
+        .agg(F.sum(F.col("ka") * F.col("kb")).alias("n"))
+        .collect()
+    }
+    cum, h_star = int(within_n), 0
+    while cum < 50 and h_star < 64:
+        h_star += 1
+        cum += int(cross_hist.get(h_star, 0))
+    within = groups.select(
+        F.explode("members").alias("doc_a"),
+        F.col("members").alias("mem_b"),
+    ).select(
+        "doc_a", F.explode("mem_b").alias("doc_b"), F.lit(0).alias("hamming")
+    ).filter(F.col("doc_a") < F.col("doc_b"))
+    cross = (
+        sig_pairs.filter(F.col("hamming") <= h_star)
+        .join(ga, "sh_a")
+        .join(gb, "sh_b")
+        .select(F.explode("mem_a").alias("da"), "mem_b", "hamming")
+        .select("da", F.explode("mem_b").alias("db"), "hamming")
+        .select(
+            F.least("da", "db").alias("doc_a"),
+            F.greatest("da", "db").alias("doc_b"),
+            "hamming",
+        )
+    )
     return (
-        cand.select("doc_a", "doc_b", hamming.alias("hamming"))
+        within.unionByName(cross)
         .orderBy("hamming", "doc_a", "doc_b")
         .limit(50)
     )

@@ -1,0 +1,256 @@
+"""Exactness-preserving prefix-filtered similarity joins (the
+AllPairs / PPJoin family) — the round-9 replacement for the quadratic
+exact shingle-pair layout (VERDICT r8 #1).
+
+The problem: the all-common-shingle inverted-index self-join behind the
+old `_shingle_pairs` materializes one row per (pair, shared shingle) —
+Σdf² rows. On a corpus whose shingle vocabulary SATURATES (the derived
+sf3 fixture: ~30k distinct shingles, every df ∝ n) that is inherently
+quadratic (measured 455.6 s at sf3, SCALE.md Round-8), and a df-cap
+cannot save exactness.
+
+The fix: candidate generation by PREFIX FILTERING, which is EXACT —
+deterministic recall 1, no LSH miss probability — by the classic lemma:
+
+    Order all shingles by a global total order (here: rarest-first,
+    (df, shingle)). If |A ∩ B| >= c_min, then the smallest common
+    shingle lies within the first (|A| - c_min + 1) shingles of A *and*
+    the first (|B| - c_min + 1) shingles of B under that order.
+    Proof: were it past A's prefix, every common shingle (all rank >=
+    the smallest one) would sit among A's last c_min - 1 shingles,
+    so |A ∩ B| <= c_min - 1 — contradiction. Symmetrically for B.
+
+For Jaccard(A,B) >= p/q:  common >= (p/q)(na + nb - common) and
+nb >= na together give common >= (p/q)·max(na, nb) — so BOTH sides may
+index only their (n - ceil(p·n/q) + 1)-prefix, plus the size filter
+q·min >= p·max. Candidate volume drops from Σ df² to Σ prefix_df²,
+and rarest-first ordering concentrates prefixes on low-df shingles.
+
+For containment |A∩B| / min >= p/q: only common >= (p/q)·min(na, nb)
+holds, so the SMALLER side probes with its prefix against the full
+index of larger partners (no size upper bound exists — a 10-shingle
+doc can be fully contained in a 10,000-shingle one).
+
+All threshold arithmetic is exact-integer (thresholds are fractions
+p/q; c_min = ceil(p·n/q) via integer DIV; the verify filter compares
+q·common against p·(…)) so no float rounding can break the recall-1
+guarantee or disagree with the DuckDB oracle.
+
+Top-k (no fixed threshold) queries use an ADAPTIVE LADDER: descend
+tau in (9/10, 4/5, 1/2, 1/5, 0/1) until a rung verifies >= k pairs at
+or above it; then the true global top-k all score >= tau and are all
+captured, so sorting the rung's verified pairs IS the exact answer.
+The final 0/1 rung degenerates to the full exact join — reached only
+on corpora with fewer than k pairs above Jaccard 0.2, i.e. corpora
+with essentially no near-duplicates, exactly where the full join is
+small. On the near-dup-rich fixtures the ladder stops at the first
+rung (sf0.1: the 50th-best Jaccard is 0.9875), where the prefix is a
+tenth of each doc.
+
+No reference analog (the reference has no dedup — SURVEY §2.B);
+brief-driven LLM-pipeline surface. tests/test_dedup_prefix.py pins the
+ladder output against the exact `_shingle_pairs` ground-truth twin.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..widths import cluster_cores
+
+_RANKED_DIRS: dict[str, str] = {}
+
+# Descending threshold ladder as exact fractions (p, q).
+_LADDER: tuple[tuple[int, int], ...] = ((9, 10), (4, 5), (1, 2), (1, 5), (0, 1))
+
+
+def ranked_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingle, pos, n_sh): each doc's distinct shingles ranked
+    by the GLOBAL rarest-first order (df asc, shingle asc), materialized
+    once per process as scratch parquet — the prefix-filter index layout.
+    Build cost is linear: one df aggregate, one join, one per-doc sort."""
+    if sf_dir not in _RANKED_DIRS:
+        from ..scratch import scratch_dir
+        from .dedup import _shingle_stream
+
+        sh = _shingle_stream(spark, sf_dir)
+        df = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        w = Window.partitionBy("doc_id").orderBy("df", "shingle")
+        ranked = (
+            sh.join(df, "shingle")
+            .select(
+                "doc_id",
+                "shingle",
+                F.row_number().over(w).alias("pos"),
+                F.count(F.lit(1))
+                .over(Window.partitionBy("doc_id"))
+                .alias("n_sh"),
+            )
+        )
+        out = scratch_dir("ranked_shingles", sf_dir)
+        ranked.repartition(cluster_cores(spark)).write.mode(
+            "overwrite"
+        ).parquet(out)
+        _RANKED_DIRS[sf_dir] = out
+    return spark.read.parquet(_RANKED_DIRS[sf_dir])
+
+
+def _cmin(p: int, q: int) -> F.Column:
+    """ceil(p * n_sh / q) in exact integer arithmetic."""
+    return F.expr(f"({p} * n_sh + {q - 1}) DIV {q}")
+
+
+def _prefix(rs: DataFrame, p: int, q: int) -> DataFrame:
+    """The (n - ceil(p·n/q) + 1)-prefix rows of every doc."""
+    return rs.filter(F.col("pos") <= F.col("n_sh") - _cmin(p, q) + 1)
+
+
+def verify_pairs(
+    spark: SparkSession, sf_dir: str, cand: DataFrame
+) -> DataFrame:
+    """Exact (doc_a, doc_b, common, na, nb) for CANDIDATE pairs only:
+    join the pair list through both shingle sets and count the
+    intersection. Work is bounded by |candidates| × doc length."""
+    from .dedup import _shingle_stream
+
+    sh = _shingle_stream(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    common = (
+        cand.select("doc_a", "doc_b")
+        .join(a, "doc_a")
+        .join(b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    return common.join(
+        sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")),
+        "doc_a",
+    ).join(
+        sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")),
+        "doc_b",
+    )
+
+
+def jaccard_threshold_pairs(
+    spark: SparkSession, sf_dir: str, p: int, q: int
+) -> DataFrame:
+    """EVERY pair with Jaccard >= p/q, exactly (deterministic recall 1),
+    as (doc_a, doc_b, common, na, nb): both-side prefix join + exact-int
+    size filter q·min >= p·max, then exact verification."""
+    rs = ranked_shingles(spark, sf_dir)
+    pref = _prefix(rs, p, q)
+    a = pref.select(
+        F.col("doc_id").alias("doc_a"), "shingle", F.col("n_sh").alias("na")
+    )
+    b = pref.select(
+        F.col("doc_id").alias("doc_b"), "shingle", F.col("n_sh").alias("nb")
+    )
+    cand = (
+        a.join(b, "shingle")
+        .filter(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (
+                F.lit(q) * F.least("na", "nb")
+                >= F.lit(p) * F.greatest("na", "nb")
+            )
+        )
+        .select("doc_a", "doc_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    ver = verify_pairs(spark, sf_dir, cand)
+    return ver.filter(
+        F.lit(q) * F.col("common")
+        >= F.lit(p) * (F.col("na") + F.col("nb") - F.col("common"))
+    )
+
+
+def containment_threshold_pairs(
+    spark: SparkSession, sf_dir: str, p: int, q: int, min_sh: int = 10
+) -> DataFrame:
+    """EVERY pair (both sides >= min_sh shingles) with containment
+    |A∩B| / min(|A|,|B|) >= p/q, exactly: the smaller side probes with
+    its prefix against the FULL index of larger docs (no size upper
+    bound exists for containment), then exact verification."""
+    rs = ranked_shingles(spark, sf_dir).filter(F.col("n_sh") >= min_sh)
+    probe = _prefix(rs, p, q).select(
+        F.col("doc_id").alias("doc_p"), "shingle", F.col("n_sh").alias("np_")
+    )
+    index = rs.select(
+        F.col("doc_id").alias("doc_i"), "shingle", F.col("n_sh").alias("ni")
+    )
+    cand = (
+        probe.join(index, "shingle")
+        .filter(
+            (F.col("np_") < F.col("ni"))
+            | ((F.col("np_") == F.col("ni")) & (F.col("doc_p") < F.col("doc_i")))
+        )
+        .select(
+            F.least("doc_p", "doc_i").alias("doc_a"),
+            F.greatest("doc_p", "doc_i").alias("doc_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    ver = verify_pairs(spark, sf_dir, cand)
+    return ver.filter(
+        (F.col("na") >= min_sh)
+        & (F.col("nb") >= min_sh)
+        & (F.lit(q) * F.col("common") >= F.lit(p) * F.least("na", "nb"))
+    )
+
+
+def top_pairs_ladder(
+    rung_fn: Callable[[int, int], DataFrame], k: int
+) -> DataFrame:
+    """Descend the threshold ladder until a rung verifies >= k pairs at
+    or above it; that rung then contains the exact global top-k (every
+    pair scoring >= the rung threshold is captured, and >= k of them
+    exist, so the k-th best scores >= the threshold). Each rung is
+    checkpointed so the count and the final sort share one computation.
+    The per-rung .count() is a bounded layout scalar, not a data
+    collect."""
+    for p, q in _LADDER:
+        ver = rung_fn(p, q).localCheckpoint(eager=True)
+        if p == 0 or ver.count() >= k:
+            return ver
+    raise AssertionError("unreachable: final ladder rung is 0/1")
+
+
+_PREFIX_THRESHOLD_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, list_filter(str_split(lower(text), ' '), t -> t <> '') AS t
+  FROM documents),
+sh AS (SELECT doc_id,
+              unnest(list_distinct([array_to_string((t)[i:i+2], ' ')
+                                    for i in range(1, len(t) - 1)])) AS shingle
+       FROM toks),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(COUNT(*) AS BIGINT) AS common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b,
+       ROUND(common * 1.0 / (sa.n_sh + sb.n_sh - common), 4) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE 5 * common >= 1 * (sa.n_sh + sb.n_sh - common)
+"""
+
+
+@register("q_dedup_jaccard_threshold", oracle=_PREFIX_THRESHOLD_ORACLE)
+def q_dedup_jaccard_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All pairs with shingle-Jaccard >= 0.2 via the exact prefix-filter
+    join — standalone differential proof (vs the DuckDB all-pairs
+    oracle) that prefix filtering is exactness-preserving: identical
+    pair set, identical exact-int scores, at Σ prefix_df² candidate
+    cost instead of Σ df²."""
+    ver = jaccard_threshold_pairs(spark, sf_dir, 1, 5)
+    jac = F.col("common") * 1.0 / (F.col("na") + F.col("nb") - F.col("common"))
+    return ver.select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))

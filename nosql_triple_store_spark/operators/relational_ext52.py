@@ -17,8 +17,7 @@ from pyspark.sql import functions as F
 from ..catalog import load_table
 from ..functions.textfns import TOKS_SQL, shingles_sql
 from ..registry import register
-from .dedup import _shingle_stream
-from .dedup_pipeline import THRESHOLD, _minhash_candidates, _verified_edges, band_index
+from .dedup_pipeline import THRESHOLD, verified_edges_scratch
 from .relational_ext50 import _MA_HALF, _MAD_K
 from .triple import E_CTE
 
@@ -175,10 +174,7 @@ def q_dedup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc→source join over the pair stream plus a |sources|²-bounded
     aggregate.
     """
-    sh = _shingle_stream(spark, sf_dir)
-    edges = _verified_edges(
-        sh, _minhash_candidates(sh, band_index(spark, sf_dir))
-    )
+    edges = verified_edges_scratch(spark, sf_dir)
     src = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source"
     )

@@ -62,6 +62,11 @@ _TOPK = 10
 # refit. This is the 100 TB shape: the model (k×dim centroids + M×K
 # codebook) lives NEXT TO the data and is loaded by jobs, not refit
 # per session.
+# All three in-process caches below are keyed by the MODEL PATH (which
+# embeds the source fingerprint, _model_path) rather than bare sf_dir
+# (ADVICE r8): an in-process data refresh changes the fingerprint and
+# therefore misses every cache coherently — model, code table, and
+# probe/LUT plan can never serve mixed generations.
 _MODELS: dict[str, dict] = {}
 _MODELS_LOCK = threading.Lock()
 # Per-process directory of the persisted code-table parquet (the
@@ -117,10 +122,10 @@ def _ivfpq_model(spark: SparkSession, sf_dir: str) -> dict:
     import json
     import os
 
+    path = _model_path(sf_dir)
     with _MODELS_LOCK:
-        if sf_dir in _MODELS:
-            return _MODELS[sf_dir]
-        path = _model_path(sf_dir)
+        if path in _MODELS:
+            return _MODELS[path]
         model: dict | None = None
         try:
             with open(path, encoding="utf-8") as fh:
@@ -151,7 +156,7 @@ def _ivfpq_model(spark: SparkSession, sf_dir: str) -> dict:
                 os.replace(tmp, path)
             except OSError:
                 pass  # cache write failure must not fail the query
-        _MODELS[sf_dir] = model
+        _MODELS[path] = model
         return model
 
 
@@ -246,9 +251,10 @@ def pq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     vector ({_M} bytes/vector in a production byte-packed layout vs
     256 for float32×64). Rebuild cost is one scan + one narrow
     aggregate, amortized across every search the index serves."""
+    cache_key = _model_path(sf_dir)
     with _CODE_LOCK:
-        if sf_dir in _CODE_DIRS:
-            return spark.read.parquet(_CODE_DIRS[sf_dir])
+        if cache_key in _CODE_DIRS:
+            return spark.read.parquet(_CODE_DIRS[cache_key])
     model = _ivfpq_model(spark, sf_dir)
     centroids = model["centroids"]
     cent_lit = _darray_expr(centroids)
@@ -277,12 +283,21 @@ def pq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cid",
         F.array(*code_cols).alias("codes"),
     )
+    import uuid
+
     from ..scratch import scratch_dir
 
-    out = scratch_dir("pqindex", sf_dir)
+    # unique dir per build attempt + first-writer-wins publication
+    # (ADVICE r8): two threads that both miss the cache each write
+    # their OWN directory — never a concurrent mode('overwrite') race
+    # on one path — and the loser's dir is simply never read again
+    # (scratch cleanup reaps it at exit).
+    out = scratch_dir(f"pqindex_{uuid.uuid4().hex[:8]}", sf_dir)
     codes.write.mode("overwrite").partitionBy("cid").parquet(out)
     with _CODE_LOCK:
-        _CODE_DIRS[sf_dir] = out
+        if cache_key not in _CODE_DIRS:
+            _CODE_DIRS[cache_key] = out
+        out = _CODE_DIRS[cache_key]
     return spark.read.parquet(out)
 
 
@@ -299,10 +314,14 @@ def _probe_plan(
     cells' LUT slots are zero-filled (their rows are pruned before the
     lookup ever runs). Pure-python IEEE doubles — O(ncells·dim +
     nprobe·M·K) work, the per-query analog of FAISS computing the
-    distance table on the searcher. Cached per sf_dir: the probe is
-    a fixed deterministic parameter, so refetching it per run would
-    bill a Spark job launch to what is plan-construction work."""
-    cached = _PROBE_PLANS.get(sf_dir)
+    distance table on the searcher. Cached per MODEL PATH (fingerprint
+    — invalidates together with the model and code table, ADVICE r8)
+    under the models lock: the probe is a fixed deterministic
+    parameter, so refetching it per run would bill a Spark job launch
+    to what is plan-construction work."""
+    cache_key = _model_path(sf_dir)
+    with _MODELS_LOCK:
+        cached = _PROBE_PLANS.get(cache_key)
     if cached is not None:
         return cached
     model = _ivfpq_model(spark, sf_dir)
@@ -332,7 +351,8 @@ def _probe_plan(
                 lut[cid][m][k] = sum(
                     (a - b) * (a - b) for a, b in zip(sub, cw)
                 )
-    _PROBE_PLANS[sf_dir] = (probe, probed, lut)
+    with _MODELS_LOCK:
+        _PROBE_PLANS[cache_key] = (probe, probed, lut)
     return probe, probed, lut
 
 

@@ -86,6 +86,7 @@ _OPERATOR_MODULES = (
     "operators.graph_ext5",
     "operators.vector_ext5",
     "operators.dedup_pipeline2",
+    "operators.dedup_prefix",
     "operators.text_ext",
     "operators.vector_ext6",
     "operators.relational_ext32",

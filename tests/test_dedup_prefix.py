@@ -1,0 +1,113 @@
+"""Prefix-filter (AllPairs/PPJoin) exactness: the round-9 scale-safe
+near-dup paths pinned against the exact `_shingle_pairs` ground-truth
+twin (VERDICT r8 #1 done-criterion).
+
+The prefix lemma guarantees recall 1 DETERMINISTICALLY (unlike the LSH
+path's probabilistic recall), so these are equality checks, not floors:
+every rung of the threshold ladder must reproduce the exact pair set
+bit-for-bit, and the registered top-50 queries must match what the old
+quadratic layout produced."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nosql_triple_store_spark.operators.bgp_ext2 import q_text_containment
+from nosql_triple_store_spark.operators.dedup import (
+    _shingle_pairs,
+    q_dedup_near,
+)
+from nosql_triple_store_spark.operators.dedup_prefix import (
+    _LADDER,
+    containment_threshold_pairs,
+    jaccard_threshold_pairs,
+)
+
+from .conftest import SF_DIR
+
+
+def _rows(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def test_jaccard_rungs_match_exact_twin(spark):
+    """Every ladder rung's pair set == the exact all-common-shingle join
+    filtered at the same exact-int threshold (incl. the degenerate 0/1
+    rung, which must equal the FULL co-occurring pair set)."""
+    exact = _shingle_pairs(spark, SF_DIR)
+    cols = ["doc_a", "doc_b", "common", "na", "nb"]
+    for p, q in _LADDER:
+        got = _rows(jaccard_threshold_pairs(spark, SF_DIR, p, q), cols)
+        want = _rows(
+            exact.filter(
+                F.lit(q) * F.col("common")
+                >= F.lit(p) * (F.col("na") + F.col("nb") - F.col("common"))
+            ),
+            cols,
+        )
+        assert got == want, f"rung {p}/{q}: {len(got)} vs {len(want)} pairs"
+    # the fixture must exercise a non-trivial rung, or recall is vacuous
+    assert _rows(jaccard_threshold_pairs(spark, SF_DIR, 1, 2), cols)
+
+
+def test_containment_rungs_match_exact_twin(spark):
+    exact = _shingle_pairs(spark, SF_DIR).filter(
+        (F.col("na") >= 10) & (F.col("nb") >= 10)
+    )
+    cols = ["doc_a", "doc_b", "common", "na", "nb"]
+    for p, q in _LADDER:
+        got = _rows(
+            containment_threshold_pairs(spark, SF_DIR, p, q, 10), cols
+        )
+        want = _rows(
+            exact.filter(
+                F.lit(q) * F.col("common") >= F.lit(p) * F.least("na", "nb")
+            ),
+            cols,
+        )
+        assert got == want, f"rung {p}/{q}: {len(got)} vs {len(want)} pairs"
+
+
+def test_near_top50_matches_exact_twin(spark):
+    """The registered q_dedup_near (ladder) == top-50 computed from the
+    exact quadratic twin — ordering and rounding included."""
+    exact = _shingle_pairs(spark, SF_DIR)
+    jac = F.col("common") * 1.0 / (F.col("na") + F.col("nb") - F.col("common"))
+    want = [
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in exact.select(
+            "doc_a", "doc_b", jac.alias("_j"), F.round(jac, 4).alias("jaccard")
+        )
+        .orderBy(F.desc("_j"), "doc_a", "doc_b")
+        .limit(50)
+        .collect()
+    ]
+    got = [
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in q_dedup_near(spark, SF_DIR).collect()
+    ]
+    assert got == want
+
+
+def test_containment_top50_matches_exact_twin(spark):
+    exact = _shingle_pairs(spark, SF_DIR).filter(
+        (F.col("na") >= 10) & (F.col("nb") >= 10)
+    )
+    cont = F.col("common") * 1.0 / F.least("na", "nb")
+    want = [
+        (r["doc_a"], r["doc_b"], r["containment"])
+        for r in exact.select(
+            "doc_a",
+            "doc_b",
+            cont.alias("_c"),
+            F.round(cont, 4).alias("containment"),
+        )
+        .orderBy(F.desc("_c"), "doc_a", "doc_b")
+        .limit(50)
+        .collect()
+    ]
+    got = [
+        (r["doc_a"], r["doc_b"], r["containment"])
+        for r in q_text_containment(spark, SF_DIR).collect()
+    ]
+    assert got == want

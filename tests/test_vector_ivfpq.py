@@ -96,6 +96,7 @@ def test_pq_index_partitioned_by_cell(spark):
     from nosql_triple_store_spark.operators import vector_ext9 as v9
 
     v9.pq_index(spark, SF_DIR).count()
-    out = v9._CODE_DIRS[SF_DIR]
+    # caches are keyed by the fingerprinted model path (ADVICE r8)
+    out = v9._CODE_DIRS[v9._model_path(SF_DIR)]
     parts = [d for d in os.listdir(out) if d.startswith("cid=")]
     assert len(parts) > 1, f"expected cid= partition dirs, got {parts}"
