@@ -47,12 +47,49 @@ Scope (documented subset, rejected loudly outside it):
 - ``{ SELECT ... }`` sub-queries (one nesting level per group body,
   recursion handles deeper nesting), joined to the outer group on
   shared variables over decoded terms; OPTIONAL/MINUS/NOT EXISTS/
-  VALUES still require outer triple patterns
+  VALUES still require outer triple patterns. A shared variable that
+  is OPTIONAL-bound on either side is REJECTED loudly (ADVICE r8: an
+  inner join drops NULL-bound rows, whereas SPARQL treats unbound as
+  compatible — rejecting beats silently deviating)
 - negated property sets ``!p`` / ``!(p|q|...)`` (forward-only; one
   pushed-down NOT-IN scan predicate over encoded ids)
 - ``CONSTRUCT { template } WHERE { ... } [LIMIT n]`` — graph output
   (s, p, o), set semantics, OPTIONAL-miss instantiations dropped;
   and ``ASK`` bodies compose with property paths
+- ``ORDER BY`` over EXPRESSIONS (round 9, VERDICT r8 #7): sort keys
+  may be ``?var``, ``ASC(expr)/DESC(expr)``, a function call
+  (``STRLEN(?v)`` …) or a parenthesised expression, using the same
+  expression grammar as BIND; every variable in a sort expression
+  must appear in the projected result (loud rejection otherwise)
+- ``GRAPH ?g { ... }`` / ``GRAPH <iri> { ... }`` + ``FROM NAMED``
+  (round 9, VERDICT r8 #5): named-graph groups over the
+  graph-partitioned quad layout (plans/quads.py — the dataset's
+  entity families as named graphs). GRAPH groups take plain
+  conjunctive patterns (no paths/OPTIONAL inside) and join the rest
+  of the query on shared variables over decoded terms; a constant
+  graph prunes ``g=`` partitions at the scan, ``FROM NAMED``
+  restricts which graphs a ``GRAPH ?g`` ranges over. Plain ``FROM``
+  (default-graph override) is rejected loudly; the default graph for
+  non-GRAPH patterns stays the full triples view.
+- SPARQL UPDATE subset (round 9, VERDICT r8 #4), via
+  :func:`parse_sparql_update` / :func:`compile_sparql_update`:
+  ``INSERT DATA { triples }`` (the reference's R2 LWW-register upsert
+  per (s, p) key — the new object REPLACES any existing objects of
+  that key, SQLite3DBConnector.py:48-119), ``DELETE DATA
+  { triples }`` (exact-triple removal), ``DELETE WHERE { pattern }``
+  (single triple pattern; every matching triple removed), sequenced
+  with ``;`` in textual order. The compiler returns the POST-UPDATE
+  STATE as a DataFrame (the engine's storage is immutable parquet —
+  updates are state transformations, exactly q_upsert_result's
+  contract). Everything else of SPARQL Update (INSERT/DELETE WHERE
+  templates, USING, GRAPH-qualified data) is rejected loudly.
+
+String-context numeric lexical forms (ADVICE r8): integer-valued
+numeric LITERALS render in integer form ("1", not "1.0") inside
+CONCAT/STR/…; the RESULT of an arithmetic expression is a double and
+keeps the double lexical form ("2.0") when stringified — documented
+deviation (SPARQL integer arithmetic would stay integer), same family
+as the SUM/AVG NULL-skip note above.
 
 Execution strategy mirrors q_bgp_star_encoded (operators/
 relational_ext3.py): pattern constants are looked up in the
@@ -88,7 +125,7 @@ _TOKEN = re.compile(
     | (?P<var>\?[A-Za-z_][A-Za-z0-9_]*)
     | (?P<iri><[^>]*>)
     | (?P<num>[0-9]+\.[0-9]+)
-    | (?P<punct>&&|\|\||!=|<=|>=|[{}().=<>*,/|+^!-])
+    | (?P<punct>&&|\|\||!=|<=|>=|[{}().=<>*,/|+^!;-])
     | (?P<word>[A-Za-z_][A-Za-z0-9_:]*|[0-9]+)
     )""",
     re.VERBOSE,
@@ -238,7 +275,9 @@ class SparqlQuery:
     # each FILTER(...) is one GROUP: a chain of comparisons joined by
     # the Filter.conj connective (&& / ||), evaluated as one predicate
     filters: list[list[Filter]] = field(default_factory=list)
-    order_by: list[tuple[str, bool]] = field(default_factory=list)  # (var, desc)
+    # (key, desc) where key is a variable NAME (str) or an expression
+    # AST (ORDER BY over expressions, round 9)
+    order_by: list[tuple[object, bool]] = field(default_factory=list)
     limit: int | None = None
     # OFFSET k: skip the first k solutions (pagination); requires
     # ORDER BY so the skipped prefix is well-defined
@@ -275,6 +314,13 @@ class SparqlQuery:
     # CONSTRUCT template triples (graph output: s, p, o string columns,
     # set semantics); exclusive with select/aggs/ask
     construct: list[tuple[Term, Term, Term]] = field(default_factory=list)
+    # GRAPH term { patterns } groups: term is Var or a graph name (str);
+    # patterns are plain conjunctive triples over the quad layout
+    graphs: list[tuple[Term, list[tuple[Term, Term, Term]]]] = field(
+        default_factory=list
+    )
+    # FROM NAMED <g> dataset clause: restricts the named-graph universe
+    from_named: list[str] = field(default_factory=list)
 
 
 class _Parser:
@@ -385,11 +431,25 @@ class _Parser:
             break
         if not select and not aggs and not select_exprs:
             raise ValueError("SPARQL parser: empty SELECT list")
+        from_named: list[str] = []
+        while (self.peek() or "").upper() == "FROM":
+            self.next()
+            if (self.peek() or "").upper() != "NAMED":
+                raise ValueError(
+                    "plain FROM (default-graph override) is unsupported — "
+                    "only FROM NAMED <g>"
+                )
+            self.next()
+            g = self.next()
+            if not g.startswith("<"):
+                raise ValueError(f"FROM NAMED needs an <iri>, got {g!r}")
+            from_named.append(g[1:-1])
         self.expect("WHERE")
         self.expect("{")
         q = SparqlQuery(select=select, distinct=distinct, patterns=[])
         q.aggs = aggs
         q.select_exprs = select_exprs
+        q.from_named = from_named
         self._where_body(q)
         self._modifiers(q, inner=inner)
         self._validate(q)
@@ -463,6 +523,25 @@ class _Parser:
                         continue
                     q.optionals.append(self.triple())
                 self.expect("}")
+            elif up == "GRAPH":
+                self.next()
+                gt = self.next()
+                if gt.startswith("?"):
+                    gterm: Term = Var(gt[1:])
+                elif gt.startswith("<"):
+                    gterm = gt[1:-1]
+                else:
+                    raise ValueError(
+                        f"GRAPH takes ?var or <iri>, got {gt!r}"
+                    )
+                pats = self.group("GRAPH")
+                for pat in pats:
+                    if isinstance(pat[1], _PATH_TYPES):
+                        raise ValueError(
+                            "property paths inside GRAPH groups are "
+                            "unsupported"
+                        )
+                q.graphs.append((gterm, pats))
             elif up == "MINUS":
                 self.next()
                 q.minus.append(self.group("MINUS"))
@@ -536,16 +615,32 @@ class _Parser:
                 self.next()
                 self.expect("BY")
                 while (nt := self.peek()) is not None:
+                    ntu = nt.upper()
+                    follows = (
+                        self.toks[self.i + 1]
+                        if self.i + 1 < len(self.toks)
+                        else ""
+                    )
                     if nt.startswith("?"):
                         q.order_by.append((self.next()[1:], False))
-                    elif nt.upper() in ("DESC", "ASC"):
+                    elif ntu in ("DESC", "ASC"):
+                        # DESC(?v) keeps the historical plain-var shape;
+                        # DESC(expr) parses through the BIND expression
+                        # grammar (round 9)
                         desc = self.next().upper() == "DESC"
                         self.expect("(")
-                        v = self.next()
-                        if not v.startswith("?"):
-                            raise ValueError("ORDER BY DESC/ASC needs a ?var")
-                        q.order_by.append((v[1:], desc))
+                        key: object
+                        if (self.peek() or "").startswith("?") and (
+                            self.toks[self.i + 1 : self.i + 2] or [""]
+                        )[0] == ")":
+                            key = self.next()[1:]
+                        else:
+                            key = self.expr()
+                        q.order_by.append((key, desc))
                         self.expect(")")
+                    elif (ntu in _EXPR_FUNCS and follows == "(") or nt == "(":
+                        # bare expression sort key: FUNC(...) or (expr)
+                        q.order_by.append((self.expr(), False))
                     else:
                         break
                 if not q.order_by:
@@ -566,8 +661,18 @@ class _Parser:
                 raise ValueError(f"SPARQL parser: trailing token {t!r}")
 
     def _validate(self, q: SparqlQuery) -> None:
-        if not q.patterns and not q.unions and not q.subselects:
+        if (
+            not q.patterns
+            and not q.unions
+            and not q.subselects
+            and not q.graphs
+        ):
             raise ValueError("SPARQL parser: WHERE block has no patterns")
+        if q.from_named and not q.graphs:
+            raise ValueError(
+                "FROM NAMED without a GRAPH group selects nothing — "
+                "add GRAPH ?g { ... }"
+            )
         if q.unions and q.patterns:
             # belt-and-braces twin of the parser-side guards: unions
             # and top-level patterns are exclusive by construction
@@ -893,6 +998,28 @@ def parse_sparql(text: str) -> SparqlQuery:
     return _Parser(tokenize(text)).query()
 
 
+def _optional_only_vars(q: SparqlQuery) -> set[str]:
+    """Variables a query can leave NULL: bound by an OPTIONAL pattern
+    but by no required pattern (top-level, union, graph, or path)."""
+    required = {
+        t.name
+        for pats in (
+            [p for g in (q.unions or [q.patterns]) for p in g],
+            [p for _, g in q.graphs for p in g],
+        )
+        for pat in pats
+        for t in pat
+        if isinstance(t, Var)
+    }
+    opt = {
+        t.name
+        for pat in q.optionals
+        for t in pat
+        if isinstance(t, Var)
+    }
+    return opt - required
+
+
 def _filter_col(flt: Filter):
     def side(x):
         return F.col(x.name) if isinstance(x, Var) else F.lit(x)
@@ -1021,6 +1148,31 @@ def _bind_path(rel: DataFrame, subj, obj, cmap) -> DataFrame:
     return df.select(*proj)
 
 
+def _quad_pattern_step(quads: DataFrame, gterm, pat) -> DataFrame:
+    """One GRAPH-group pattern over the quad layout — bgp._pattern_step
+    extended with the graph position: a constant graph is a pushed-down
+    (partition-pruning) filter, a ?g variable is a projected binding
+    shared across the group's patterns."""
+    df = quads
+    proj = []
+    seen: dict[str, str] = {}
+    if isinstance(gterm, Var):
+        proj.append(F.col("g").alias(gterm.name))
+        seen[gterm.name] = "g"
+    else:
+        df = df.filter(F.col("g") == F.lit(gterm))
+    for col, term in zip(("s", "p", "o"), pat):
+        if isinstance(term, Var):
+            if term.name in seen:
+                df = df.filter(F.col(col) == F.col(seen[term.name]))
+            else:
+                proj.append(F.col(col).alias(term.name))
+                seen[term.name] = col
+        else:
+            df = df.filter(F.col(col) == F.lit(term))
+    return df.select(*proj)
+
+
 def _expr_col(e):
     """Expression AST -> Column over the DECODED (string) bindings.
     Numeric contexts try_cast operands to double (terms are strings;
@@ -1031,6 +1183,12 @@ def _expr_col(e):
         return _expr_col(x).try_cast("double")
 
     def s(x):
+        # integer-valued numeric LITERALS keep SPARQL's integer lexical
+        # form in string contexts ("1", not "1.0" — ADVICE r8);
+        # arithmetic RESULTS are doubles and keep the double form
+        # (documented deviation, module docstring)
+        if isinstance(x, ExprNum) and x.value == int(x.value):
+            return F.lit(str(int(x.value)))
         return _expr_col(x).cast("string")
 
     if isinstance(e, ExprVar):
@@ -1232,11 +1390,11 @@ def _compile_query(
     if bound is None and (
         q.optionals or q.minus or q.not_exists or q.values or eq_groups
     ):
-        # sub-SELECT-only WHERE: these constructs all need encoded
-        # pattern bindings to act on
+        # sub-SELECT-/GRAPH-only WHERE: these constructs all need
+        # encoded pattern bindings to act on
         raise ValueError(
             "OPTIONAL/MINUS/NOT EXISTS/VALUES/FILTER require triple "
-            "patterns alongside a sub-SELECT"
+            "patterns alongside a sub-SELECT or GRAPH group"
         )
     # OPTIONALs left-extend the bindings after every required pattern
     # is joined: extend where the pattern matches, NULL where not.
@@ -1290,6 +1448,13 @@ def _compile_query(
         (set(bound.columns) if bound is not None else set())
         | {a for a, _ in q.binds}
         | {c for s in subs for c in s.columns}
+        | {
+            t.name
+            for gterm, g in q.graphs
+            for pat in g
+            for t in (gterm, *pat)
+            if isinstance(t, Var)
+        }
     )
     unbound_f = sorted(fvars - available)
     if unbound_f:
@@ -1325,17 +1490,66 @@ def _compile_query(
     # sub-SELECT solutions join the group on SHARED variables (inner
     # join over decoded terms — the dictionary is a bijection, so
     # string equality == id equality); with none shared the SPARQL
-    # semantics is the cross product of the solution sequences
-    for sub in subs:
+    # semantics is the cross product of the solution sequences.
+    # A shared variable that is OPTIONAL-bound on EITHER side could be
+    # NULL, and the inner join would drop it where SPARQL treats
+    # unbound as compatible — rejected loudly (ADVICE r8; the module
+    # docstring documents the boundary).
+    outer_nullable = _optional_only_vars(q)
+    for sub, subq in zip(subs, q.subselects):
+        sub_nullable = _optional_only_vars(subq) & set(sub.columns)
         if decoded is None:
             decoded = sub
         else:
             shared = sorted(set(decoded.columns) & set(sub.columns))
+            nullable_shared = sorted(
+                set(shared) & (outer_nullable | sub_nullable)
+            )
+            if nullable_shared:
+                raise ValueError(
+                    "sub-SELECT shares OPTIONAL-bound variables "
+                    f"{nullable_shared} with the outer group — unbound-"
+                    "compatible join semantics are out of scope"
+                )
             decoded = (
                 decoded.join(sub, on=shared, how="inner")
                 if shared
                 else decoded.crossJoin(sub)
             )
+    # GRAPH groups: plain conjunctive patterns over the graph-
+    # partitioned quad layout, joined to the solution on shared
+    # variables over decoded terms (like sub-SELECTs). A constant
+    # graph term prunes `g=` partitions at the scan; a ?g variable
+    # projects the graph name and constrains every pattern of the
+    # group to the SAME graph (natural join on the var).
+    if q.graphs:
+        from .quads import quad_layout
+
+        quads = quad_layout(spark, sf_dir)
+        if q.from_named:
+            quads = quads.filter(F.col("g").isin(list(q.from_named)))
+        for gterm, pats in q.graphs:
+            rel = None
+            for pat in pats:
+                step = _quad_pattern_step(quads, gterm, pat)
+                if rel is None:
+                    rel = step
+                else:
+                    shared = sorted(set(rel.columns) & set(step.columns))
+                    rel = (
+                        rel.join(step, on=shared, how="inner")
+                        if shared
+                        else rel.crossJoin(step)
+                    )
+            if decoded is None:
+                decoded = rel
+            else:
+                shared = sorted(set(decoded.columns) & set(rel.columns))
+                decoded = (
+                    decoded.join(rel, on=shared, how="inner")
+                    if shared
+                    else decoded.crossJoin(rel)
+                )
     # BIND(expr AS ?alias): post-decode column extension, textual
     # order (later binds may reference earlier aliases); rebinding an
     # existing variable is a SPARQL syntax error, rejected loudly
@@ -1490,18 +1704,25 @@ def _compile_query(
     if q.order_by:
         # ORDER BY runs after the projection: a sort variable missing
         # from the result columns is a contract violation — raise the
-        # promised ValueError, not an engine AnalysisException
-        bad = sorted(
-            {v for v, _ in q.order_by} - set(decoded.columns)
-        )
+        # promised ValueError, not an engine AnalysisException. Sort
+        # keys are either variable names or expression ASTs (round 9);
+        # expression keys evaluate over the projected columns.
+        need = set()
+        for key, _ in q.order_by:
+            need |= {key} if isinstance(key, str) else _expr_vars(key)
+        bad = sorted(need - set(decoded.columns))
         if bad:
             raise ValueError(
                 f"ORDER BY over variables not in the result: {bad}"
             )
+        sort_cols = [
+            F.col(key) if isinstance(key, str) else _expr_col(key)
+            for key, _ in q.order_by
+        ]
         decoded = decoded.orderBy(
             *[
-                F.col(v).desc() if desc else F.col(v).asc()
-                for v, desc in q.order_by
+                c.desc() if desc else c.asc()
+                for c, (_, desc) in zip(sort_cols, q.order_by)
             ]
         )
     if q.offset is not None:
@@ -1511,3 +1732,134 @@ def _compile_query(
     if q.limit is not None:
         decoded = decoded.limit(q.limit)
     return decoded
+
+
+# --- SPARQL Update subset (round 9, VERDICT r8 #4) ------------------
+
+
+@dataclass(frozen=True)
+class UpdateOp:
+    """One update operation: kind is insert_data / delete_data (ground
+    triples) or delete_where (one triple pattern)."""
+
+    kind: str
+    triples: tuple = ()
+    pattern: tuple | None = None
+
+
+def parse_sparql_update(text: str) -> list[UpdateOp]:
+    """Parse the supported SPARQL Update subset: `INSERT DATA {...}`,
+    `DELETE DATA {...}`, `DELETE WHERE { pattern }`, sequenced with
+    `;`. Everything else (INSERT/DELETE WHERE templates, USING, WITH,
+    GRAPH-qualified data, LOAD/CLEAR/DROP) is rejected loudly."""
+    p = _Parser(tokenize(text))
+    ops: list[UpdateOp] = []
+    while True:
+        t = p.next().upper()
+        if t == "INSERT":
+            p.expect("DATA")
+            ops.append(UpdateOp("insert_data", _ground_group(p, "INSERT DATA")))
+        elif t == "DELETE":
+            nxt = p.next().upper()
+            if nxt == "DATA":
+                ops.append(
+                    UpdateOp("delete_data", _ground_group(p, "DELETE DATA"))
+                )
+            elif nxt == "WHERE":
+                pats = p.group("DELETE WHERE")
+                if len(pats) != 1:
+                    raise ValueError(
+                        "DELETE WHERE supports exactly one triple "
+                        f"pattern, got {len(pats)}"
+                    )
+                if isinstance(pats[0][1], _PATH_TYPES):
+                    raise ValueError(
+                        "property paths in DELETE WHERE are unsupported"
+                    )
+                ops.append(UpdateOp("delete_where", pattern=pats[0]))
+            else:
+                raise ValueError(
+                    f"unsupported DELETE form {nxt!r} (DATA or WHERE)"
+                )
+        else:
+            raise ValueError(
+                f"unsupported update operation {t!r} — the subset is "
+                "INSERT DATA / DELETE DATA / DELETE WHERE"
+            )
+        if p.peek() is None:
+            break
+        p.expect(";")
+        if p.peek() is None:
+            break  # trailing separator
+    return ops
+
+
+def _ground_group(p: _Parser, kind: str) -> tuple:
+    """A { t1 . t2 . } block of GROUND triples (no variables, no
+    paths) for INSERT DATA / DELETE DATA."""
+    pats = p.group(kind)
+    for pat in pats:
+        if isinstance(pat[1], _PATH_TYPES):
+            raise ValueError(f"{kind} takes plain predicates, not paths")
+        if any(isinstance(t, Var) for t in pat):
+            raise ValueError(f"{kind} takes ground triples, no variables")
+    return tuple(pats)
+
+
+def compile_sparql_update(
+    spark: SparkSession, sf_dir: str, text: str
+) -> DataFrame:
+    """Apply an update sequence to the triples view and return the
+    POST-UPDATE STATE (s, p, o) — the engine's storage is immutable
+    parquet, so updates are state transformations (q_upsert_result's
+    contract; the on-disk analog is sources/compaction.py's MERGE).
+
+    Semantics, applied in textual order:
+    - INSERT DATA: the reference's R2 LWW-register upsert per (s, p)
+      key (SQLite3DBConnector.py:48-119) — the inserted object REPLACES
+      every existing object of that key; within one batch the LAST
+      triple per key wins (the reference's delta-dict overwrite rule,
+      SURVEY §2.A R8).
+    - DELETE DATA: exact-triple removal.
+    - DELETE WHERE: every triple matching the single pattern (constants
+      filter, variables wildcard, a repeated variable forces equality)
+      is removed.
+
+    The literal batches come from the update TEXT (driver-side, bounded
+    by statement length — the VALUES rule), broadcast into anti-joins:
+    one scan of the state per operation, no shuffles."""
+    from .bgp import triples_view
+
+    state = triples_view(spark, sf_dir)
+    for op in parse_sparql_update(text):
+        if op.kind == "insert_data":
+            kv: dict[tuple[str, str], str] = {}
+            for s, p, o in op.triples:
+                kv[(s, p)] = o  # batch-internal LWW: last write wins
+            rows = spark.createDataFrame(
+                [(s, p, o) for (s, p), o in kv.items()],
+                "s string, p string, o string",
+            )
+            state = state.join(
+                F.broadcast(rows.select("s", "p")), ["s", "p"], "left_anti"
+            ).unionByName(rows)
+        elif op.kind == "delete_data":
+            rows = spark.createDataFrame(
+                list(op.triples), "s string, p string, o string"
+            )
+            state = state.join(
+                F.broadcast(rows), ["s", "p", "o"], "left_anti"
+            )
+        else:  # delete_where
+            cond = F.lit(True)
+            seen: dict[str, str] = {}
+            for col, term in zip(("s", "p", "o"), op.pattern):
+                if isinstance(term, Var):
+                    if term.name in seen:
+                        cond = cond & (F.col(col) == F.col(seen[term.name]))
+                    else:
+                        seen[term.name] = col
+                else:
+                    cond = cond & (F.col(col) == F.lit(term))
+            state = state.filter(~cond)
+    return state

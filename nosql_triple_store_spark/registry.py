@@ -124,6 +124,7 @@ _OPERATOR_MODULES = (
     "operators.relational_ext57",
     "operators.multimodal_ext",
     "operators.sparql_queries",
+    "operators.sparql_ext9",
     "streaming.queries",
     "streaming.transform_state",
     "streaming.dedup_stream",

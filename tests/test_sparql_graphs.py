@@ -1,0 +1,235 @@
+"""Round-9 SPARQL surface: named graphs (GRAPH / FROM NAMED) with
+graph-partition pruning, the SPARQL Update subset, ORDER BY
+expressions, and the two ADVICE r8 fixes (sub-SELECT nullable-shared
+rejection, integer lexical form in string contexts)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from nosql_triple_store_spark.plans.bgp import Var, triples_view
+from nosql_triple_store_spark.plans.quads import quad_layout, quads_view
+from nosql_triple_store_spark.plans.sparql import (
+    compile_sparql_encoded,
+    compile_sparql_update,
+    parse_sparql,
+    parse_sparql_update,
+)
+
+from .conftest import SF_DIR
+
+
+# ---------------------------------------------------------- parsing
+def test_parse_graph_and_from_named():
+    q = parse_sparql(
+        "SELECT ?g ?s FROM NAMED <g:customer> FROM NAMED <g:supplier> "
+        "WHERE { GRAPH ?g { ?s inNation ?o . ?s inSegment ?seg } }"
+    )
+    assert q.from_named == ["g:customer", "g:supplier"]
+    assert len(q.graphs) == 1
+    gterm, pats = q.graphs[0]
+    assert gterm == Var("g") and len(pats) == 2
+    q2 = parse_sparql(
+        "SELECT ?s WHERE { GRAPH <g:nation> { ?s hasName ?nm } }"
+    )
+    assert q2.graphs[0][0] == "g:nation"
+
+
+def test_parse_order_by_expressions():
+    q = parse_sparql(
+        "SELECT ?nm WHERE { ?n hasName ?nm } "
+        "ORDER BY DESC(STRLEN(?nm)) ?nm LIMIT 3"
+    )
+    (k1, d1), (k2, d2) = q.order_by
+    assert d1 is True and not isinstance(k1, str)
+    assert k2 == "nm" and d2 is False
+
+
+@pytest.mark.parametrize(
+    "bad",
+    [
+        # plain FROM (default-graph override) is out of scope
+        "SELECT ?s FROM <g:customer> WHERE { ?s ?p ?o }",
+        # FROM NAMED without a GRAPH group selects nothing
+        "SELECT ?s FROM NAMED <g:customer> WHERE { ?s ?p ?o }",
+        # paths inside GRAPH groups
+        "SELECT ?s WHERE { GRAPH ?g { ?s inNation/inRegion ?o } }",
+        # GRAPH takes ?var or <iri>
+        'SELECT ?s WHERE { GRAPH "g:x" { ?s ?p ?o } }',
+        # empty GRAPH group
+        "SELECT ?s WHERE { GRAPH ?g { } }",
+    ],
+)
+def test_rejects_bad_graphs(bad):
+    with pytest.raises(ValueError):
+        parse_sparql(bad)
+
+
+@pytest.mark.parametrize(
+    "bad",
+    [
+        "INSERT DATA { ?s inSegment \"X\" . }",  # variable in ground data
+        "DELETE DATA { <a> inNation/inRegion <b> . }",  # path in data
+        "DELETE WHERE { ?s inNation ?o . ?o inRegion ?r }",  # 2 patterns
+        "INSERT { <a> <b> <c> } WHERE { ?s ?p ?o }",  # template form
+        "CLEAR GRAPH <g:x>",  # unsupported op
+        "LOAD <http://x>",  # unsupported op
+        "DELETE USING <g> WHERE { ?s ?p ?o }",  # USING clause
+    ],
+)
+def test_rejects_bad_updates(bad):
+    with pytest.raises(ValueError):
+        parse_sparql_update(bad)
+
+
+def test_parse_update_sequence():
+    ops = parse_sparql_update(
+        'INSERT DATA { <a:1> hasName "X" . <a:2> hasName "Y" } ; '
+        "DELETE DATA { <a:3> inNation <n:1> } ; "
+        "DELETE WHERE { ?s hasBalanceCents ?v } ;"
+    )
+    assert [o.kind for o in ops] == [
+        "insert_data",
+        "delete_data",
+        "delete_where",
+    ]
+    assert ops[0].triples[0] == ("a:1", "hasName", "X")
+    assert ops[2].pattern[1] == "hasBalanceCents"
+
+
+# ------------------------------------------------------ quad layout
+def test_quads_cover_triples_exactly(spark):
+    """Every triple appears in exactly one named graph — the quad view
+    is a partition of the triples view, nothing added or lost."""
+    t = triples_view(spark, SF_DIR)
+    qd = quads_view(spark, SF_DIR)
+    assert qd.count() == t.count()
+    assert (
+        qd.select("s", "p", "o")
+        .exceptAll(t)
+        .unionByName(t.exceptAll(qd.select("s", "p", "o")))
+        .isEmpty()
+    )
+    # the graph is a function of the subject's entity prefix
+    bad = qd.filter(
+        F.col("g") != F.concat(F.lit("g:"), F.split("s", ":").getItem(0))
+    )
+    assert bad.isEmpty()
+
+
+def test_graph_constant_prunes_partitions(spark):
+    """GRAPH <g:customer> must reach the scan as a g= PartitionFilter —
+    the named-graph layout's whole point (VERDICT r8 #5 done-bar)."""
+    df = compile_sparql_encoded(
+        spark,
+        SF_DIR,
+        "SELECT ?seg WHERE { GRAPH <g:customer> { ?c inSegment ?seg } }",
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "g:customer" in plan, plan[:2000]
+
+
+# -------------------------------------------------- semantics pins
+def test_graph_variable_binds_partition_column(spark):
+    rows = compile_sparql_encoded(
+        spark,
+        SF_DIR,
+        "SELECT ?g (COUNT(*) AS ?n) WHERE { GRAPH ?g { ?s inNation ?o } }"
+        " GROUP BY ?g",
+    ).collect()
+    got = {r["g"]: r["n"] for r in rows}
+    qd = quads_view(spark, SF_DIR).filter(F.col("p") == "inNation")
+    want = {
+        r["g"]: r["n"]
+        for r in qd.groupBy("g").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got == want and set(got) == {"g:customer", "g:supplier"}
+
+
+def test_from_named_restricts_universe(spark):
+    rows = compile_sparql_encoded(
+        spark,
+        SF_DIR,
+        "SELECT ?g (COUNT(*) AS ?n) FROM NAMED <g:supplier> "
+        "WHERE { GRAPH ?g { ?s inNation ?o } } GROUP BY ?g",
+    ).collect()
+    assert {r["g"] for r in rows} == {"g:supplier"}
+
+
+def test_update_lww_upsert_semantics(spark):
+    """INSERT DATA replaces every object of an existing (s, p) key (R2
+    LWW register) and batch-internal duplicates keep the LAST write
+    (R8 delta-dict overwrite)."""
+    state = compile_sparql_update(
+        spark,
+        SF_DIR,
+        'INSERT DATA { <customer:1> inSegment "PROMO_X" . '
+        '<region:77> hasName "A" . <region:77> hasName "B" . }',
+    )
+    c1 = state.filter(
+        (F.col("s") == "customer:1") & (F.col("p") == "inSegment")
+    ).collect()
+    assert [r["o"] for r in c1] == ["PROMO_X"]  # old object replaced
+    r77 = state.filter(F.col("s") == "region:77").collect()
+    assert [(r["p"], r["o"]) for r in r77] == [("hasName", "B")]
+    # untouched keys unchanged: total = base - replaced + inserted
+    base = triples_view(spark, SF_DIR).count()
+    assert state.count() == base + 1  # one new key, one replaced in place
+
+
+def test_update_delete_where_removes_matches(spark):
+    state = compile_sparql_update(
+        spark, SF_DIR, "DELETE WHERE { ?s hasBalanceCents ?v }"
+    )
+    assert state.filter(F.col("p") == "hasBalanceCents").isEmpty()
+    base = triples_view(spark, SF_DIR)
+    n_bal = base.filter(F.col("p") == "hasBalanceCents").count()
+    assert state.count() == base.count() - n_bal
+
+
+def test_order_by_expression_sorts(spark):
+    rows = compile_sparql_encoded(
+        spark,
+        SF_DIR,
+        "SELECT ?nm WHERE { ?n hasName ?nm . ?n inRegion ?r } "
+        "ORDER BY DESC(STRLEN(?nm)) ?nm LIMIT 5",
+    ).collect()
+    names = [r["nm"] for r in rows]
+    assert names == sorted(names, key=lambda s: (-len(s), s))[: len(names)]
+
+
+def test_order_by_expression_unbound_var_raises(spark):
+    with pytest.raises(ValueError, match="ORDER BY"):
+        compile_sparql_encoded(
+            spark,
+            SF_DIR,
+            "SELECT ?nm WHERE { ?n hasName ?nm } ORDER BY STRLEN(?zzz)",
+        ).collect()
+
+
+def test_subselect_nullable_shared_var_rejected(spark):
+    """ADVICE r8: a shared variable that is OPTIONAL-bound must reject
+    loudly (the inner join would silently drop NULL-bound rows where
+    SPARQL treats unbound as compatible)."""
+    with pytest.raises(ValueError, match="OPTIONAL-bound"):
+        compile_sparql_encoded(
+            spark,
+            SF_DIR,
+            "SELECT ?n ?seg WHERE { ?n inRegion ?r . "
+            "OPTIONAL { ?n inSegment ?seg } "
+            "{ SELECT ?seg WHERE { ?c inSegment ?seg } } }",
+        )
+
+
+def test_concat_integer_literal_lexical_form(spark):
+    """ADVICE r8: integer-valued numeric literals render as '1', not
+    '1.0', inside CONCAT."""
+    rows = compile_sparql_encoded(
+        spark,
+        SF_DIR,
+        'SELECT (CONCAT(?nm, "-", 1) AS ?t) WHERE '
+        '{ ?n hasName ?nm } ORDER BY ?t LIMIT 1',
+    ).collect()
+    assert rows[0]["t"].endswith("-1") and not rows[0]["t"].endswith("-1.0")
