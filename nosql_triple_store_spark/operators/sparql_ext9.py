@@ -132,6 +132,48 @@ def q_sparql_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     return compile_sparql_update(spark, sf_dir, _UPDATE_Q)
 
 
+@register(
+    "q_sparql_describe",
+    oracle=f"""
+WITH {TRIPLES_SQL}
+SELECT s, p, o FROM triples WHERE s = 'nation:7'
+UNION
+SELECT s, p, o FROM triples WHERE o = 'nation:7'
+""",
+)
+def q_sparql_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Textual `DESCRIBE <nation:7>` — the q_bgp_describe neighborhood
+    (every triple where the resource is subject or object) now
+    reachable from query text, with graph set semantics (UNION, not
+    UNION ALL: a description is a graph). Constant iris push into both
+    scans."""
+    return compile_sparql_encoded(spark, sf_dir, "DESCRIBE <nation:7>")
+
+
+@register(
+    "q_sparql_describe_where",
+    oracle=f"""
+WITH {TRIPLES_SQL},
+res AS (SELECT DISTINCT s AS r FROM triples
+        WHERE p = 'inRegion' AND o = 'region:2')
+SELECT t.s, t.p, t.o FROM triples t JOIN res ON t.s = res.r
+UNION
+SELECT t.s, t.p, t.o FROM triples t JOIN res ON t.o = res.r
+""",
+)
+def q_sparql_describe_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`DESCRIBE ?n WHERE {{ ?n inRegion <region:2> }}`: the described
+    resources come from a WHERE solution (all nations of region 2) —
+    the variable form compiles its body through the normal encoded
+    pipeline, then joins the distinct bindings against both triple
+    positions."""
+    return compile_sparql_encoded(
+        spark,
+        sf_dir,
+        "DESCRIBE ?n WHERE { ?n inRegion <region:2> }",
+    )
+
+
 _ORDER_EXPR_Q = """
 SELECT ?nm ?rn WHERE {
   ?n hasName ?nm .

@@ -321,6 +321,10 @@ class SparqlQuery:
     )
     # FROM NAMED <g> dataset clause: restricts the named-graph universe
     from_named: list[str] = field(default_factory=list)
+    # DESCRIBE form: constant resource iris (no WHERE), or one variable
+    # whose WHERE-solution bindings are the described resources
+    describe_iris: list[str] = field(default_factory=list)
+    describe_var: str | None = None
 
 
 class _Parser:
@@ -358,6 +362,35 @@ class _Parser:
                     f"ASK takes no solution modifiers, got {self.peek()!r}"
                 )
             self._validate(q)
+            return q
+        if (self.peek() or "").upper() == "DESCRIBE":
+            # DESCRIBE <iri> [<iri> ...]  |  DESCRIBE ?v WHERE { ... }
+            # — graph output: every triple where a described resource
+            # is subject or object (the q_bgp_describe neighborhood
+            # semantics), set-deduped (a graph has no duplicates)
+            self.next()
+            q = SparqlQuery(select=[], distinct=False, patterns=[])
+            while (t := self.peek()) is not None and t.startswith("<"):
+                q.describe_iris.append(self.next()[1:-1])
+            if (t := self.peek()) is not None and t.startswith("?"):
+                if q.describe_iris:
+                    raise ValueError(
+                        "DESCRIBE takes either <iri> constants or one "
+                        "?var, not both"
+                    )
+                q.describe_var = self.next()[1:]
+                self.expect("WHERE")
+                self.expect("{")
+                self._where_body(q)
+            if not q.describe_iris and q.describe_var is None:
+                raise ValueError("DESCRIBE needs <iri> terms or a ?var")
+            if self.peek() is not None:
+                raise ValueError(
+                    f"DESCRIBE takes no solution modifiers, got "
+                    f"{self.peek()!r}"
+                )
+            if q.describe_var is not None:
+                self._validate(q)
             return q
         if (self.peek() or "").upper() == "CONSTRUCT":
             self.next()
@@ -1266,6 +1299,33 @@ def _compile_query(
     the join with the outer group happens on decoded terms, which is
     equality-safe because the dictionary is a bijection)."""
     from ..operators.relational_ext3 import encoded_store
+
+    if q.describe_iris or q.describe_var is not None:
+        # DESCRIBE: the resources' full neighborhood (subject OR object
+        # position), set semantics. Constant iris push straight into the
+        # two scans; the ?var form compiles its WHERE to a SELECT of
+        # the variable and joins the distinct bindings in.
+        from copy import copy as _shallow
+
+        from .bgp import triples_view
+
+        t = triples_view(spark, sf_dir)
+        if q.describe_iris:
+            s_side = t.filter(F.col("s").isin(q.describe_iris))
+            o_side = t.filter(F.col("o").isin(q.describe_iris))
+        else:
+            q2 = _shallow(q)
+            q2.describe_var = None
+            q2.select = [q.describe_var]
+            q2.distinct = True
+            res = (
+                _compile_query(spark, sf_dir, q2)
+                .select(F.col(q.describe_var).alias("__r"))
+                .distinct()
+            )
+            s_side = t.join(res, t["s"] == res["__r"]).select("s", "p", "o")
+            o_side = t.join(res, t["o"] == res["__r"]).select("s", "p", "o")
+        return s_side.unionByName(o_side).distinct()
 
     d, enc = encoded_store(spark, sf_dir)
     subs = [_compile_query(spark, sf_dir, s) for s in q.subselects]

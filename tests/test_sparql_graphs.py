@@ -69,6 +69,37 @@ def test_rejects_bad_graphs(bad):
 @pytest.mark.parametrize(
     "bad",
     [
+        "DESCRIBE",  # no resource
+        "DESCRIBE nation:7",  # bare word, not <iri> or ?var
+        "DESCRIBE <a> ?v WHERE { ?v ?p ?o }",  # iris and var mixed
+        "DESCRIBE ?v",  # var form needs WHERE
+        "DESCRIBE <a> LIMIT 5",  # no solution modifiers
+        "DESCRIBE ?v WHERE { ?v ?p ?o } ORDER BY ?v",  # no modifiers
+    ],
+)
+def test_rejects_bad_describe(bad):
+    with pytest.raises(ValueError):
+        parse_sparql(bad)
+
+
+def test_describe_var_matches_iri_twin(spark):
+    """DESCRIBE ?r WHERE { ?r hasName \"ASIA\" } == DESCRIBE of the
+    single matching iri (the variable form resolves to resources then
+    takes the identical neighborhood)."""
+    by_var = compile_sparql_encoded(
+        spark,
+        SF_DIR,
+        'DESCRIBE ?r WHERE { ?r hasName "ASIA" }',
+    )
+    by_iri = compile_sparql_encoded(spark, SF_DIR, "DESCRIBE <region:2>")
+    assert by_var.exceptAll(by_iri).unionByName(
+        by_iri.exceptAll(by_var)
+    ).isEmpty()
+
+
+@pytest.mark.parametrize(
+    "bad",
+    [
         "INSERT DATA { ?s inSegment \"X\" . }",  # variable in ground data
         "DELETE DATA { <a> inNation/inRegion <b> . }",  # path in data
         "DELETE WHERE { ?s inNation ?o . ?o inRegion ?r }",  # 2 patterns
