@@ -388,11 +388,13 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     group); docs re-enter only at expansion. Expansion is bounded
     twice: (a) each group keeps its 51 smallest doc_ids — a pair with
     a dropped member has ≥ 51 lexicographically-smaller pairs inside
-    its own group-pair, so it can never reach a top-50 — and (b) only
-    signature pairs within the minimal Hamming radius h* whose
-    cumulative pair count reaches 50 are expanded (h* from a ≤65-row
-    driver-side histogram — a bounded layout scalar, not a data
-    collect).
+    its own group-pair, so it can never reach a top-50 — and (b) a
+    signature pair expands only if strictly-better pairs (within-group
+    hamming-0 plus expandable pairs at smaller distances) cannot
+    already fill the top-50, selected IN THE PLAN (≤64-row per-hamming
+    histogram + running-sum window + broadcast-joined filter — no
+    driver action, the whole query stays one job like the
+    pre-collapse shape).
 
     The signature is the only Python step (vectorized pandas UDF); banding,
     the self-join, and the Hamming verify are codegen'd expressions.
@@ -400,6 +402,21 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from itertools import combinations
 
     docs = load_table(spark, sf_dir, "documents")
+    # arity from the DOC count (metadata-cheap, no UDF action): an
+    # upper bound on distinct signatures, so the step-up is at worst
+    # conservative — finer buckets, never coarser
+    n_docs = docs.count()
+    arity = 1
+    while arity < 3 and n_docs / (256 ** arity) > 64:
+        arity += 1
+    if arity == 2:
+        combos = [
+            c
+            for half in (range(0, 4), range(4, 8))
+            for c in combinations(half, 2)
+        ]
+    else:
+        combos = list(combinations(range(8), arity))
     # spread the single-file scan before the pandas UDF: one partition
     # would mean ONE Arrow batch on one core for the whole corpus
     sigs = docs.repartition(fanout_width(spark)).select(
@@ -419,18 +436,6 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=False)
     )
-    n_sigs = groups.count()  # bounded layout scalar (arity selection)
-    arity = 1
-    while arity < 3 and n_sigs / (256 ** arity) > 64:
-        arity += 1
-    if arity == 2:
-        combos = [
-            c
-            for half in (range(0, 4), range(4, 8))
-            for c in combinations(half, 2)
-        ]
-    else:
-        combos = list(combinations(range(8), arity))
     chunks = groups.select(
         "sh",
         F.explode(
@@ -472,50 +477,64 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("hamming", F.bit_count(F.expr("sh_a ^ sh_b")))
         .localCheckpoint(eager=False)
     )
-    ga = groups.select(
-        F.col("sh").alias("sh_a"),
-        F.col("members").alias("mem_a"),
-        F.size("members").alias("ka"),
-    )
-    gb = groups.select(
-        F.col("sh").alias("sh_b"),
-        F.col("members").alias("mem_b"),
-        F.size("members").alias("kb"),
-    )
-    # Hamming histogram of expandable pair counts (≤ 65 rows to the
-    # driver): within-group pairs at h=0, kept-member products across
-    # candidate signature pairs at h>=1. h* = smallest radius whose
-    # cumulative count reaches 50.
-    within_n = (
-        groups.select(
-            (F.size("members") * (F.size("members") - 1) / 2).alias("n")
-        )
-        .agg(F.sum("n"))
-        .collect()[0][0]
-        or 0
-    )
-    cross_hist = {
-        r["hamming"]: r["n"]
-        for r in sig_pairs.join(ga, "sh_a")
-        .join(gb, "sh_b")
-        .groupBy("hamming")
-        .agg(F.sum(F.col("ka") * F.col("kb")).alias("n"))
-        .collect()
-    }
-    cum, h_star = int(within_n), 0
-    while cum < 50 and h_star < 64:
-        h_star += 1
-        cum += int(cross_hist.get(h_star, 0))
     within = groups.select(
         F.explode("members").alias("doc_a"),
         F.col("members").alias("mem_b"),
     ).select(
         "doc_a", F.explode("mem_b").alias("doc_b"), F.lit(0).alias("hamming")
     ).filter(F.col("doc_a") < F.col("doc_b"))
+    # Expansion radius selection IN THE PLAN (no extra driver action):
+    # a signature pair is expanded to doc pairs only if the pairs
+    # strictly better than its Hamming distance — within-group pairs
+    # (all at hamming 0, the global minimum) plus every expandable pair
+    # at a smaller distance — cannot already fill the top-50. The
+    # cumulative count runs over a <= 64-row per-hamming histogram
+    # (single-partition window on 64 rows) crossed with the 1-row
+    # within-group total, and the surviving hamming values broadcast
+    # back as the expansion filter. If within-group pairs alone reach
+    # 50, no distance survives and the cross side is empty.
+    wn = groups.agg(
+        F.coalesce(
+            F.sum(F.size("members") * (F.size("members") - 1) / 2),
+            F.lit(0.0),
+        ).alias("wn")
+    )
+    sizes_a = groups.select(
+        F.col("sh").alias("sh_a"), F.size("members").alias("ka")
+    )
+    sizes_b = groups.select(
+        F.col("sh").alias("sh_b"), F.size("members").alias("kb")
+    )
+    from pyspark.sql import Window as W
+
+    hist = (
+        sig_pairs.join(F.broadcast(sizes_a), "sh_a")
+        .join(F.broadcast(sizes_b), "sh_b")
+        .groupBy("hamming")
+        .agg(F.sum(F.col("ka") * F.col("kb")).alias("n"))
+    )
+    cum_before = F.coalesce(
+        F.sum("n").over(
+            W.orderBy("hamming").rowsBetween(W.unboundedPreceding, -1)
+        ),
+        F.lit(0.0),
+    )
+    expand_h = (
+        hist.withColumn("cum_before", cum_before)
+        .crossJoin(wn)
+        .filter(F.col("cum_before") + F.col("wn") < 50)
+        .select("hamming")
+    )
+    ga = groups.select(
+        F.col("sh").alias("sh_a"), F.col("members").alias("mem_a")
+    )
+    gb = groups.select(
+        F.col("sh").alias("sh_b"), F.col("members").alias("mem_b")
+    )
     cross = (
-        sig_pairs.filter(F.col("hamming") <= h_star)
-        .join(ga, "sh_a")
-        .join(gb, "sh_b")
+        sig_pairs.join(F.broadcast(expand_h), "hamming")
+        .join(F.broadcast(ga), "sh_a")
+        .join(F.broadcast(gb), "sh_b")
         .select(F.explode("mem_a").alias("da"), "mem_b", "hamming")
         .select("da", F.explode("mem_b").alias("db"), "hamming")
         .select(

@@ -240,17 +240,19 @@ SELECT doc_a, doc_b,
 FROM common
 JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
-WHERE 5 * common >= 1 * (sa.n_sh + sb.n_sh - common)
+WHERE 2 * common >= 1 * (sa.n_sh + sb.n_sh - common)
 """
 
 
 @register("q_dedup_jaccard_threshold", oracle=_PREFIX_THRESHOLD_ORACLE)
 def q_dedup_jaccard_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All pairs with shingle-Jaccard >= 0.2 via the exact prefix-filter
+    """All pairs with shingle-Jaccard >= 0.5 via the exact prefix-filter
     join — standalone differential proof (vs the DuckDB all-pairs
     oracle) that prefix filtering is exactness-preserving: identical
     pair set, identical exact-int scores, at Σ prefix_df² candidate
-    cost instead of Σ df²."""
-    ver = jaccard_threshold_pairs(spark, sf_dir, 1, 5)
+    cost instead of Σ df². (0.5 is the production dedup threshold —
+    the same edge set q_dedup_clusters partitions; every other rung is
+    pinned against the exact twin in tests/test_dedup_prefix.py.)"""
+    ver = jaccard_threshold_pairs(spark, sf_dir, 1, 2)
     jac = F.col("common") * 1.0 / (F.col("na") + F.col("nb") - F.col("common"))
     return ver.select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))

@@ -30,9 +30,6 @@ ALLOWED = {
     # (the FAISS coordinator shortlist, a plan constant)
     "operators/vector_ext9.py": 2,
     "operators/text_ext.py": 1,  # top-1 BPE merge pair per round
-    # simhash expansion radius: <=65-row hamming histogram (one within-
-    # group scalar + one <=64-row cross-group aggregate), never doc rows
-    "operators/dedup.py": 2,
     "sources/avro_py.py": 1,  # one (path, n) row per write partition
     "sources/bson_py.py": 1,  # one (path, n) row per write partition
 }
