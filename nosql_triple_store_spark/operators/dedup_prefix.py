@@ -64,8 +64,32 @@ from ..widths import cluster_cores
 
 _RANKED_DIRS: dict[str, str] = {}
 
-# Descending threshold ladder as exact fractions (p, q).
-_LADDER: tuple[tuple[int, int], ...] = ((9, 10), (4, 5), (1, 2), (1, 5), (0, 1))
+# Descending threshold ladder as exact fractions (p, q). The 49/50 top
+# rung exists for duplication-rich corpora (every derived K-fold
+# fixture, and any real crawl with mirrors): its prefixes are ~2% of
+# each doc, and the ladder stops there whenever >= k pairs score 0.98+.
+_LADDER: tuple[tuple[int, int], ...] = (
+    (49, 50),
+    (9, 10),
+    (4, 5),
+    (1, 2),
+    (1, 5),
+    (0, 1),
+)
+
+# k-prefix extension (MPJoin-style): prefixes are lengthened by k-1
+# tokens and a candidate must share >= min(k, c_min) prefix tokens.
+# Exactness: if |A∩B| = c >= c_min(side), the m-th smallest common
+# token has >= c - m + 1 common tokens at-or-after it, so it sits
+# within the (n - c + m)-prefix ⊆ (n - c_min + m)-prefix ⊆ the
+# (n - c_min + k)-extended prefix for every m <= k; hence at least
+# min(k, c_min_pair) of the smallest common tokens are matched by the
+# extended-prefix join. The match-count filter then removes the pairs
+# that share only 1-2 shingles BY CHANCE — on a saturated shingle
+# space those are ~all candidates (measured at derived sf1: 11.4M
+# candidates at tau=0.9, ~250 true pairs), and without this filter the
+# verify join explodes |candidates| x doc length.
+_K_EXT = 4
 
 
 def ranked_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -104,9 +128,10 @@ def _cmin(p: int, q: int) -> F.Column:
     return F.expr(f"({p} * n_sh + {q - 1}) DIV {q}")
 
 
-def _prefix(rs: DataFrame, p: int, q: int) -> DataFrame:
-    """The (n - ceil(p·n/q) + 1)-prefix rows of every doc."""
-    return rs.filter(F.col("pos") <= F.col("n_sh") - _cmin(p, q) + 1)
+def _prefix(rs: DataFrame, p: int, q: int, ext: int = 1) -> DataFrame:
+    """The (n - ceil(p·n/q) + ext)-prefix rows of every doc (ext=1 is
+    the classic prefix; ext=_K_EXT the match-count-filter extension)."""
+    return rs.filter(F.col("pos") <= F.col("n_sh") - _cmin(p, q) + ext)
 
 
 def verify_pairs(
@@ -142,26 +167,58 @@ def jaccard_threshold_pairs(
 ) -> DataFrame:
     """EVERY pair with Jaccard >= p/q, exactly (deterministic recall 1),
     as (doc_a, doc_b, common, na, nb): both-side prefix join + exact-int
-    size filter q·min >= p·max, then exact verification."""
+    size filter q·min >= p·max + the PPJoin POSITIONAL filter, then
+    exact verification on the survivors.
+
+    Positional filter (prune-safe, exact): if common >= c_min, the
+    prefix lemma puts the SMALLEST common shingle w in both prefixes,
+    so w is the minimum-position match of the pair, and every common
+    shingle sits at position >= pos(w) in both docs — hence
+    common <= 1 + min(na - i_w, nb - j_w). A pair pruned by this bound
+    either truly has common below threshold (bound valid) or has no
+    prefix match at w at all (lemma contrapositive: below threshold
+    anyway). This is what keeps the VERIFY input small: without it the
+    verify join explodes |candidates| × doc-length — measured
+    pathological on the saturated sf1 corpus (≈50M random-co-occurrence
+    candidates × ~200 shingles each)."""
     rs = ranked_shingles(spark, sf_dir)
-    pref = _prefix(rs, p, q)
+    pref = _prefix(rs, p, q, _K_EXT)
     a = pref.select(
-        F.col("doc_id").alias("doc_a"), "shingle", F.col("n_sh").alias("na")
+        F.col("doc_id").alias("doc_a"),
+        "shingle",
+        F.col("n_sh").alias("na"),
+        F.col("pos").alias("ia"),
     )
     b = pref.select(
-        F.col("doc_id").alias("doc_b"), "shingle", F.col("n_sh").alias("nb")
+        F.col("doc_id").alias("doc_b"),
+        "shingle",
+        F.col("n_sh").alias("nb"),
+        F.col("pos").alias("jb"),
     )
-    cand = (
-        a.join(b, "shingle")
-        .filter(
-            (F.col("doc_a") < F.col("doc_b"))
-            & (
-                F.lit(q) * F.least("na", "nb")
-                >= F.lit(p) * F.greatest("na", "nb")
-            )
+    matches = a.join(b, "shingle").filter(
+        (F.col("doc_a") < F.col("doc_b"))
+        & (
+            F.lit(q) * F.least("na", "nb")
+            >= F.lit(p) * F.greatest("na", "nb")
         )
+    )
+    ub = F.lit(1) + F.least(
+        F.col("na") - F.col("i_min"), F.col("nb") - F.col("j_min")
+    )
+    # pair-level required overlap: c >= ceil(p·(na+nb)/(p+q))
+    cmin_pair = F.expr(f"({p} * (na + nb) + {p + q - 1}) DIV {p + q}")
+    cand = (
+        matches.groupBy("doc_a", "doc_b", "na", "nb")
+        .agg(
+            F.min("ia").alias("i_min"),
+            F.min("jb").alias("j_min"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        # k-prefix match-count filter (exactness argument at _K_EXT)
+        .filter(F.col("cnt") >= F.least(F.lit(_K_EXT), cmin_pair))
+        # positional upper bound still must allow the required overlap
+        .filter(F.lit(p + q) * ub >= F.lit(p) * (F.col("na") + F.col("nb")))
         .select("doc_a", "doc_b")
-        .dropDuplicates(["doc_a", "doc_b"])
     )
     ver = verify_pairs(spark, sf_dir, cand)
     return ver.filter(
@@ -178,23 +235,44 @@ def containment_threshold_pairs(
     its prefix against the FULL index of larger docs (no size upper
     bound exists for containment), then exact verification."""
     rs = ranked_shingles(spark, sf_dir).filter(F.col("n_sh") >= min_sh)
-    probe = _prefix(rs, p, q).select(
-        F.col("doc_id").alias("doc_p"), "shingle", F.col("n_sh").alias("np_")
+    probe = _prefix(rs, p, q, _K_EXT).select(
+        F.col("doc_id").alias("doc_p"),
+        "shingle",
+        F.col("n_sh").alias("np_"),
+        F.col("pos").alias("ip"),
     )
     index = rs.select(
-        F.col("doc_id").alias("doc_i"), "shingle", F.col("n_sh").alias("ni")
+        F.col("doc_id").alias("doc_i"),
+        "shingle",
+        F.col("n_sh").alias("ni"),
+        F.col("pos").alias("ji"),
     )
+    matches = probe.join(index, "shingle").filter(
+        (F.col("np_") < F.col("ni"))
+        | ((F.col("np_") == F.col("ni")) & (F.col("doc_p") < F.col("doc_i")))
+    )
+    # positional filter (same prune-safety argument as the Jaccard
+    # join, with c_min = ceil(p·np/q) on the smaller side): the
+    # smallest common shingle is the pair's minimum-position match
+    ub = F.lit(1) + F.least(
+        F.col("np_") - F.col("i_min"), F.col("ni") - F.col("j_min")
+    )
+    cmin = F.expr(f"({p} * np_ + {q - 1}) DIV {q}")
     cand = (
-        probe.join(index, "shingle")
-        .filter(
-            (F.col("np_") < F.col("ni"))
-            | ((F.col("np_") == F.col("ni")) & (F.col("doc_p") < F.col("doc_i")))
+        matches.groupBy("doc_p", "doc_i", "np_", "ni")
+        .agg(
+            F.min("ip").alias("i_min"),
+            F.min("ji").alias("j_min"),
+            F.count(F.lit(1)).alias("cnt"),
         )
+        # k-prefix match-count filter + positional bound (same
+        # exactness arguments as the Jaccard join, c_min = ceil(p·np/q))
+        .filter(F.col("cnt") >= F.least(F.lit(_K_EXT), cmin))
+        .filter(ub >= cmin)
         .select(
             F.least("doc_p", "doc_i").alias("doc_a"),
             F.greatest("doc_p", "doc_i").alias("doc_b"),
         )
-        .dropDuplicates(["doc_a", "doc_b"])
     )
     ver = verify_pairs(spark, sf_dir, cand)
     return ver.filter(
@@ -240,19 +318,19 @@ SELECT doc_a, doc_b,
 FROM common
 JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
-WHERE 2 * common >= 1 * (sa.n_sh + sb.n_sh - common)
+WHERE 5 * common >= 4 * (sa.n_sh + sb.n_sh - common)
 """
 
 
 @register("q_dedup_jaccard_threshold", oracle=_PREFIX_THRESHOLD_ORACLE)
 def q_dedup_jaccard_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All pairs with shingle-Jaccard >= 0.5 via the exact prefix-filter
+    """All pairs with shingle-Jaccard >= 0.8 via the exact prefix-filter
     join — standalone differential proof (vs the DuckDB all-pairs
     oracle) that prefix filtering is exactness-preserving: identical
     pair set, identical exact-int scores, at Σ prefix_df² candidate
-    cost instead of Σ df². (0.5 is the production dedup threshold —
-    the same edge set q_dedup_clusters partitions; every other rung is
-    pinned against the exact twin in tests/test_dedup_prefix.py.)"""
-    ver = jaccard_threshold_pairs(spark, sf_dir, 1, 2)
+    cost instead of Σ df². (0.8 is the mirror-dedup threshold; every
+    ladder rung down to 0 is additionally pinned against the exact
+    twin in tests/test_dedup_prefix.py.)"""
+    ver = jaccard_threshold_pairs(spark, sf_dir, 4, 5)
     jac = F.col("common") * 1.0 / (F.col("na") + F.col("nb") - F.col("common"))
     return ver.select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
