@@ -46,22 +46,31 @@ def q_graph_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     loop runs with the edge relation bucketed by src so every round
     reuses the layout without re-shuffling the edges."""
     edges = _copurchase_edges(spark, sf_dir)
-    und = (
+    und = edges.select(
+        F.col("pa").alias("src"),
+        F.col("pb").alias("dst"),
+        _edge_weight(F.col("pa"), F.col("pb")).alias("w"),
+    ).unionByName(
         edges.select(
-            F.col("pa").alias("src"),
-            F.col("pb").alias("dst"),
+            F.col("pb").alias("src"),
+            F.col("pa").alias("dst"),
             _edge_weight(F.col("pa"), F.col("pb")).alias("w"),
         )
-        .unionByName(
-            edges.select(
-                F.col("pb").alias("src"),
-                F.col("pa").alias("dst"),
-                _edge_weight(F.col("pa"), F.col("pb")).alias("w"),
-            )
-        )
+    )
+    # Pregel adjacency-list layout (round 9, the graph-family sweep's
+    # one >data-proportional flag): grouping the 2|E| edge rows into
+    # (src, nbrs[]) ONCE means every relaxation round hash-probes |V|
+    # adjacency rows and explodes only the FRONTIER's neighbor lists —
+    # instead of re-scanning all edge rows per round (measured at
+    # derived sf3: 5 rounds × 36M-row scans; the adjacency form scans
+    # 5 × 60k rows after one 36M-row groupBy). At 100 TB this is the
+    # adjacency-bucketed edge table every Pregel system stores.
+    adj = (
+        und.groupBy("src")
+        .agg(F.collect_list(F.struct("dst", "w")).alias("nbrs"))
         .localCheckpoint()
     )
-    source = und.agg(F.min("src")).collect()[0][0]
+    source = adj.agg(F.min("src")).collect()[0][0]
     # Semi-naive frontier relaxation: only nodes whose distance improved
     # last round propagate this round (the Datalog delta trick the BGP
     # closure uses) — per-round shuffle volume is frontier edges, not
@@ -79,15 +88,15 @@ def q_graph_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
         frontier = dist
         converged = False
         for _ in range(SSSP_ROUND_CAP):
-            # the frontier is ≤ |V| rows vs millions of edges: broadcast
-            # it so each round is ONE scan of the (checkpointed) edge
-            # relation + a partial-aggregable min — the edges are never
-            # shuffled after round 0
+            # the frontier is ≤ |V| rows: broadcast it against the
+            # adjacency layout — one |V|-row hash probe per round, and
+            # only matched (frontier) neighbor lists explode
             cand = (
-                F.broadcast(frontier).join(und, F.col("node") == F.col("src"))
+                F.broadcast(frontier).join(adj, F.col("node") == F.col("src"))
+                .select("dist", F.explode("nbrs").alias("e"))
                 .select(
-                    F.col("dst").alias("node"),
-                    (F.col("dist") + F.col("w")).alias("cand"),
+                    F.col("e.dst").alias("node"),
+                    (F.col("dist") + F.col("e.w")).alias("cand"),
                 )
                 .groupBy("node")
                 .agg(F.min("cand").alias("cand"))
