@@ -132,6 +132,130 @@ def q_sparql_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     return compile_sparql_update(spark, sf_dir, _UPDATE_Q)
 
 
+_GROUP_CONCAT_Q = """
+SELECT ?rn (GROUP_CONCAT(?nm; SEPARATOR=",") AS ?names)
+       (COUNT(?nm) AS ?n) WHERE {
+  ?x inRegion ?r .
+  ?x hasName ?nm .
+  ?r hasName ?rn .
+} GROUP BY ?rn
+"""
+
+
+@register(
+    "q_sparql_group_concat",
+    oracle=f"""
+WITH {TRIPLES_SQL}
+SELECT c.o AS rn, string_agg(b.o, ',' ORDER BY b.o) AS names,
+       CAST(COUNT(b.o) AS BIGINT) AS n
+FROM triples a
+JOIN triples b ON b.s = a.s AND b.p = 'hasName'
+JOIN triples c ON c.s = a.o AND c.p = 'hasName'
+WHERE a.p = 'inRegion'
+GROUP BY c.o
+""",
+)
+def q_sparql_group_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP_CONCAT with an explicit SEPARATOR: nation names
+    concatenated per region name. SPARQL leaves concat order undefined;
+    the engine SORTS values (array_join(sort_array(collect_list)))) so
+    the result is deterministic and oracle-comparable (DuckDB
+    string_agg ... ORDER BY)."""
+    return compile_sparql_encoded(spark, sf_dir, _GROUP_CONCAT_Q)
+
+
+_BOUND_IF_Q = """
+SELECT ?kind (COUNT(*) AS ?n) (SAMPLE(?s) AS ?first_subject) WHERE {
+  ?s inNation ?nat .
+  OPTIONAL { ?s inSegment ?seg }
+  BIND(IF(BOUND(?seg), COALESCE(?seg, "X"), "UNSEGMENTED") AS ?kind)
+} GROUP BY ?kind
+"""
+
+
+@register(
+    "q_sparql_bound_if",
+    oracle=f"""
+WITH {TRIPLES_SQL},
+base AS (
+  SELECT a.s, seg.o AS seg FROM triples a
+  LEFT JOIN triples seg ON seg.s = a.s AND seg.p = 'inSegment'
+  WHERE a.p = 'inNation')
+SELECT COALESCE(seg, 'UNSEGMENTED') AS kind,
+       CAST(COUNT(*) AS BIGINT) AS n, MIN(s) AS first_subject
+FROM base GROUP BY 1
+""",
+)
+def q_sparql_bound_if(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOUND + IF + COALESCE + SAMPLE in one query: inNation subjects
+    (customers AND suppliers) bucketed by IF(BOUND(?seg), ...) — the
+    OPTIONAL binds for customers only, so suppliers land in
+    UNSEGMENTED; SAMPLE picks the deterministic MIN subject."""
+    return compile_sparql_encoded(spark, sf_dir, _BOUND_IF_Q)
+
+
+_FILTER_BOUND_Q = """
+SELECT ?s ?nat WHERE {
+  ?s inNation ?nat .
+  OPTIONAL { ?s inSegment ?seg }
+  FILTER(!BOUND(?seg))
+}
+"""
+
+
+@register(
+    "q_sparql_filter_bound",
+    oracle=f"""
+WITH {TRIPLES_SQL}
+SELECT a.s, a.o AS nat FROM triples a
+LEFT JOIN triples seg ON seg.s = a.s AND seg.p = 'inSegment'
+WHERE a.p = 'inNation' AND seg.o IS NULL
+""",
+)
+def q_sparql_filter_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTER(!BOUND(?seg)) — negation-as-failure over an OPTIONAL
+    binding (the pre-1.1 idiom for MINUS): inNation subjects WITHOUT a
+    segment, i.e. the suppliers."""
+    return compile_sparql_encoded(spark, sf_dir, _FILTER_BOUND_Q)
+
+
+_UPDATE_WHERE_Q = """
+DELETE { ?n inRegion ?r } INSERT { ?n inRegionName ?rn }
+WHERE { ?n inRegion ?r . ?r hasName ?rn } ;
+INSERT { ?c inRegionName ?rn }
+WHERE { ?c inNation ?n . ?n inRegionName ?rn }
+"""
+
+
+@register(
+    "q_sparql_update_where",
+    oracle=f"""
+WITH {TRIPLES_SQL},
+i1 AS (
+  SELECT DISTINCT a.s, 'inRegionName' AS p, b.o
+  FROM triples a JOIN triples b ON a.o = b.s AND b.p = 'hasName'
+  WHERE a.p = 'inRegion'),
+st1 AS (
+  SELECT s, p, o FROM triples WHERE p <> 'inRegion'
+  UNION
+  SELECT s, p, o FROM i1),
+i2 AS (
+  SELECT DISTINCT c.s, 'inRegionName' AS p, r.o
+  FROM st1 c JOIN st1 r ON c.o = r.s AND r.p = 'inRegionName'
+  WHERE c.p = 'inNation')
+SELECT s, p, o FROM st1 UNION SELECT s, p, o FROM i2
+""",
+)
+def q_sparql_update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Template update sequence (SPARQL 1.1 §3.1.3): op 1 rewrites the
+    nation→region edge into a direct inRegionName literal (DELETE +
+    INSERT instantiated from the same solutions); op 2's WHERE then
+    matches the triples op 1 JUST INSERTED (textual sequence semantics
+    over the evolving state), propagating the region name down to every
+    customer and supplier. Output: the full post-update graph."""
+    return compile_sparql_update(spark, sf_dir, _UPDATE_WHERE_Q)
+
+
 @register(
     "q_sparql_describe",
     oracle=f"""

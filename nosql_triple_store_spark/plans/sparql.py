@@ -84,6 +84,21 @@ Scope (documented subset, rejected loudly outside it):
   contract). Everything else of SPARQL Update (INSERT/DELETE WHERE
   templates, USING, GRAPH-qualified data) is rejected loudly.
 
+Round-9 additions beyond the verdict list:
+- aggregates ``GROUP_CONCAT(?v [; SEPARATOR="s"])`` (values SORTED for
+  determinism — SPARQL leaves the order undefined) and ``SAMPLE(?v)``
+  (deterministic MIN — a conforming choice)
+- ``BOUND(?v)`` / ``!BOUND(?v)`` in FILTER; ``IF(cond, then, else)``
+  (cond = BOUND or one comparison) and ``COALESCE(...)`` in
+  BIND/SELECT expressions — both evaluate branches/arguments in string
+  context (the engine's documented string semantics)
+- template updates ``[DELETE { tmpl }] [INSERT { tmpl }] WHERE
+  { patterns }``: the WHERE solutions instantiate the templates
+  against the CURRENT state; deletion removes the instantiated
+  triples, insertion follows SPARQL 1.1 §3.1.3 GRAPH SET semantics
+  (union-distinct) — unlike INSERT DATA, which keeps the reference's
+  R2 LWW-register upsert (both documented on compile_sparql_update)
+
 String-context numeric lexical forms (ADVICE r8): integer-valued
 numeric LITERALS render in integer form ("1", not "1.0") inside
 CONCAT/STR/…; the RESULT of an arithmetic expression is a double and
@@ -215,9 +230,10 @@ class Filter:
 class Agg:
     """One aggregate select item: (FN(?var) AS ?alias)."""
 
-    fn: str  # COUNT | MIN | MAX
+    fn: str  # COUNT | MIN | MAX | SUM | AVG | GROUP_CONCAT | SAMPLE
     var: str | None  # None for COUNT(*)
     alias: str
+    sep: str = " "  # GROUP_CONCAT separator (SPARQL default: space)
 
 
 # --- expression AST (BIND + SELECT expressions + HAVING operands) ---
@@ -249,13 +265,48 @@ class ExprBin:
     right: object
 
 
-_EXPR_FUNCS = ("CONCAT", "UCASE", "LCASE", "STRLEN", "SUBSTR", "STR")
-_AGG_FNS = ("COUNT", "MIN", "MAX", "SUM", "AVG")
+_EXPR_FUNCS = (
+    "CONCAT",
+    "UCASE",
+    "LCASE",
+    "STRLEN",
+    "SUBSTR",
+    "STR",
+    "COALESCE",
+)
+_AGG_FNS = ("COUNT", "MIN", "MAX", "SUM", "AVG", "GROUP_CONCAT", "SAMPLE")
+
+
+@dataclass(frozen=True)
+class ExprBound:
+    """BOUND(?v) — true iff the variable is bound (non-NULL)."""
+
+    var: str
+
+
+@dataclass(frozen=True)
+class ExprIf:
+    """IF(cond, then, else) where cond is ExprBound or one comparison
+    (op, lhs, rhs) over expressions; branches evaluate in string
+    context (module-docstring string-semantics note)."""
+
+    cond: object  # ExprBound | tuple[op, expr, expr]
+    then: object
+    other: object
 
 
 def _expr_vars(e) -> set[str]:
     if isinstance(e, ExprVar):
         return {e.name}
+    if isinstance(e, ExprBound):
+        return {e.var}
+    if isinstance(e, ExprIf):
+        cond_vars = (
+            {e.cond.var}
+            if isinstance(e.cond, ExprBound)
+            else _expr_vars(e.cond[1]) | _expr_vars(e.cond[2])
+        )
+        return cond_vars | _expr_vars(e.then) | _expr_vars(e.other)
     if isinstance(e, ExprBin):
         return _expr_vars(e.left) | _expr_vars(e.right)
     if isinstance(e, ExprFunc):
@@ -495,7 +546,8 @@ class _Parser:
         fn = self.next().upper()
         if fn not in _AGG_FNS:
             raise ValueError(
-                f"unsupported aggregate {fn!r} (COUNT/MIN/MAX/SUM/AVG)"
+                f"unsupported aggregate {fn!r} "
+                "(COUNT/MIN/MAX/SUM/AVG/GROUP_CONCAT/SAMPLE)"
             )
         self.expect("(")
         a = self.next()
@@ -507,14 +559,27 @@ class _Parser:
             if not a.startswith("?"):
                 raise ValueError(f"aggregate needs ?var, got {a!r}")
             var = a[1:]
+        sep = " "
+        if fn == "GROUP_CONCAT" and self.peek() == ";":
+            self.next()
+            kw = self.next()
+            if kw.upper() != "SEPARATOR":
+                raise ValueError(
+                    f"GROUP_CONCAT modifier must be SEPARATOR, got {kw!r}"
+                )
+            self.expect("=")
+            lit = self.next()
+            if not lit.startswith('"'):
+                raise ValueError("SEPARATOR needs a string literal")
+            sep = _unquote(lit)
         self.expect(")")
         if not with_alias:
-            return Agg(fn, var, "")
+            return Agg(fn, var, "", sep)
         self.expect("AS")
         alias = self.next()
         if not alias.startswith("?"):
             raise ValueError("aggregate alias must be a ?var")
-        return Agg(fn, var, alias[1:])
+        return Agg(fn, var, alias[1:], sep)
 
     def _where_body(self, q: SparqlQuery) -> None:
         while True:
@@ -900,6 +965,23 @@ class _Parser:
                     raise ValueError("REGEX needs a string pattern")
                 self.expect(")")
                 out.append(Filter("regex", Var(v[1:]), _unquote(pat), conj))
+            elif t.upper() == "BOUND" or (
+                t == "!"
+                and (self.toks[self.i + 1 : self.i + 2] or [""])[0].upper()
+                == "BOUND"
+            ):
+                neg = t == "!"
+                if neg:
+                    self.next()
+                self.next()
+                self.expect("(")
+                v = self.next()
+                if not v.startswith("?"):
+                    raise ValueError("BOUND needs a ?var")
+                self.expect(")")
+                out.append(
+                    Filter("notbound" if neg else "bound", Var(v[1:]), None, conj)
+                )
             else:
                 lhs = self._operand()
                 op = self.next()
@@ -962,6 +1044,27 @@ class _Parser:
             f"\"literal\", got {t!r}"
         )
 
+    def _if_cond(self):
+        """IF(...) condition: BOUND(?v) or one comparison between
+        expressions (string collation for the comparison, matching the
+        post-decode FILTER semantics)."""
+        if (self.peek() or "").upper() == "BOUND" and (
+            self.toks[self.i + 1 : self.i + 2] or [""]
+        )[0] == "(":
+            self.next()
+            self.next()
+            v = self.next()
+            if not v.startswith("?"):
+                raise ValueError("BOUND needs a ?var")
+            self.expect(")")
+            return ExprBound(v[1:])
+        lhs = self.expr()
+        op = self.next()
+        if op not in ("=", "!=", "<", "<=", ">", ">="):
+            raise ValueError(f"unsupported IF condition operator {op!r}")
+        rhs = self.expr()
+        return (op, lhs, rhs)
+
     # --- BIND / SELECT expression grammar ---
     # expr := mul (('+'|'-') mul)* ; mul := prim (('*'|'/') prim)* ;
     # prim := ?var | "lit" | number | FUNC(expr, ...) | '(' expr ')'
@@ -992,6 +1095,22 @@ class _Parser:
         if re.fullmatch(r"[0-9]+(\.[0-9]+)?", t):
             return ExprNum(float(t))
         fn = t.upper()
+        if fn == "BOUND" and self.peek() == "(":
+            self.next()
+            v = self.next()
+            if not v.startswith("?"):
+                raise ValueError("BOUND needs a ?var")
+            self.expect(")")
+            return ExprBound(v[1:])
+        if fn == "IF" and self.peek() == "(":
+            self.next()
+            cond = self._if_cond()
+            self.expect(",")
+            then = self.expr()
+            self.expect(",")
+            other = self.expr()
+            self.expect(")")
+            return ExprIf(cond, then, other)
         if fn in _EXPR_FUNCS and self.peek() == "(":
             self.next()
             args = [self.expr()]
@@ -1059,6 +1178,10 @@ def _filter_col(flt: Filter):
 
     if flt.op == "regex":
         return side(flt.lhs).rlike(flt.rhs)
+    if flt.op == "bound":
+        return side(flt.lhs).isNotNull()
+    if flt.op == "notbound":
+        return side(flt.lhs).isNull()
     lhs, rhs = side(flt.lhs), side(flt.rhs)
     return {
         "=": lhs == rhs,
@@ -1230,6 +1353,23 @@ def _expr_col(e):
         return F.lit(e.value)
     if isinstance(e, ExprNum):
         return F.lit(e.value)
+    if isinstance(e, ExprBound):
+        return F.col(e.var).isNotNull()
+    if isinstance(e, ExprIf):
+        if isinstance(e.cond, ExprBound):
+            cond = F.col(e.cond.var).isNotNull()
+        else:
+            op, cl, cr = e.cond
+            lhs, rhs = _expr_col(cl), _expr_col(cr)
+            cond = {
+                "=": lhs == rhs,
+                "!=": lhs != rhs,
+                "<": lhs < rhs,
+                "<=": lhs <= rhs,
+                ">": lhs > rhs,
+                ">=": lhs >= rhs,
+            }[op]
+        return F.when(cond, s(e.then)).otherwise(s(e.other))
     if isinstance(e, ExprBin):
         lhs, rhs = num(e.left), num(e.right)
         return {
@@ -1239,6 +1379,10 @@ def _expr_col(e):
             "/": lhs / rhs,
         }[e.op]
     if isinstance(e, ExprFunc):
+        if e.fn == "COALESCE":
+            # first BOUND value, string context (SPARQL's type
+            # polymorphism is out of scope — documented string semantics)
+            return F.coalesce(*[s(a) for a in e.args])
         if e.fn == "CONCAT":
             return F.concat(*[s(a) for a in e.args])
         if e.fn == "UCASE":
@@ -1277,6 +1421,17 @@ def _agg_col(a: Agg):
         return F.min(F.col(a.var))
     if a.fn == "MAX":
         return F.max(F.col(a.var))
+    if a.fn == "GROUP_CONCAT":
+        # SPARQL leaves the concatenation order undefined; this engine
+        # SORTS values so the result is deterministic and oracle-
+        # comparable (DuckDB twin: string_agg(... ORDER BY ...))
+        return F.array_join(
+            F.sort_array(F.collect_list(F.col(a.var))), a.sep
+        )
+    if a.fn == "SAMPLE":
+        # SAMPLE may return any value of the group; the engine picks
+        # MIN — a conforming, deterministic choice
+        return F.min(F.col(a.var))
     num = F.col(a.var).try_cast("double")
     return F.sum(num) if a.fn == "SUM" else F.avg(num)
 
@@ -1800,11 +1955,15 @@ def _compile_query(
 @dataclass(frozen=True)
 class UpdateOp:
     """One update operation: kind is insert_data / delete_data (ground
-    triples) or delete_where (one triple pattern)."""
+    triples), delete_where (one triple pattern), or modify (template
+    DELETE/INSERT with a WHERE pattern group)."""
 
     kind: str
     triples: tuple = ()
     pattern: tuple | None = None
+    delete_tmpl: tuple = ()
+    insert_tmpl: tuple = ()
+    where: tuple = ()
 
 
 def parse_sparql_update(text: str) -> list[UpdateOp]:
@@ -1817,15 +1976,35 @@ def parse_sparql_update(text: str) -> list[UpdateOp]:
     while True:
         t = p.next().upper()
         if t == "INSERT":
-            p.expect("DATA")
-            ops.append(UpdateOp("insert_data", _ground_group(p, "INSERT DATA")))
+            if (p.peek() or "").upper() == "DATA":
+                p.next()
+                ops.append(
+                    UpdateOp("insert_data", _ground_group(p, "INSERT DATA"))
+                )
+            elif p.peek() == "{":
+                ins = _tmpl_group(p, "INSERT")
+                p.expect("WHERE")
+                ops.append(
+                    UpdateOp(
+                        "modify",
+                        insert_tmpl=ins,
+                        where=_tmpl_group(p, "WHERE"),
+                    )
+                )
+            else:
+                raise ValueError(
+                    f"unsupported INSERT form at {p.peek()!r} "
+                    "(DATA or a {{ template }})"
+                )
         elif t == "DELETE":
-            nxt = p.next().upper()
+            nxt = (p.peek() or "").upper()
             if nxt == "DATA":
+                p.next()
                 ops.append(
                     UpdateOp("delete_data", _ground_group(p, "DELETE DATA"))
                 )
             elif nxt == "WHERE":
+                p.next()
                 pats = p.group("DELETE WHERE")
                 if len(pats) != 1:
                     raise ValueError(
@@ -1837,9 +2016,25 @@ def parse_sparql_update(text: str) -> list[UpdateOp]:
                         "property paths in DELETE WHERE are unsupported"
                     )
                 ops.append(UpdateOp("delete_where", pattern=pats[0]))
+            elif p.peek() == "{":
+                dele = _tmpl_group(p, "DELETE")
+                ins: tuple = ()
+                if (p.peek() or "").upper() == "INSERT":
+                    p.next()
+                    ins = _tmpl_group(p, "INSERT")
+                p.expect("WHERE")
+                ops.append(
+                    UpdateOp(
+                        "modify",
+                        delete_tmpl=dele,
+                        insert_tmpl=ins,
+                        where=_tmpl_group(p, "WHERE"),
+                    )
+                )
             else:
                 raise ValueError(
-                    f"unsupported DELETE form {nxt!r} (DATA or WHERE)"
+                    f"unsupported DELETE form at {p.peek()!r} "
+                    "(DATA, WHERE, or a {{ template }})"
                 )
         else:
             raise ValueError(
@@ -1852,6 +2047,16 @@ def parse_sparql_update(text: str) -> list[UpdateOp]:
         if p.peek() is None:
             break  # trailing separator
     return ops
+
+
+def _tmpl_group(p: _Parser, kind: str) -> tuple:
+    """A { t1 . t2 . } block of plain-predicate triples (variables
+    allowed) for template updates and their WHERE groups."""
+    pats = p.group(kind)
+    for pat in pats:
+        if isinstance(pat[1], _PATH_TYPES):
+            raise ValueError(f"{kind} takes plain predicates, not paths")
+    return tuple(pats)
 
 
 def _ground_group(p: _Parser, kind: str) -> tuple:
@@ -1884,6 +2089,13 @@ def compile_sparql_update(
     - DELETE WHERE: every triple matching the single pattern (constants
       filter, variables wildcard, a repeated variable forces equality)
       is removed.
+    - [DELETE { tmpl }] [INSERT { tmpl }] WHERE { patterns } (round-9
+      template form): the WHERE group compiles through the BGP join
+      against the CURRENT state; both templates instantiate from the
+      SAME solution set (SPARQL 1.1 §3.1.3), deletions apply first,
+      insertions are GRAPH SET union (distinct) — deliberately NOT the
+      LWW upsert, which is the DATA form's documented reference-parity
+      semantics.
 
     The literal batches come from the update TEXT (driver-side, bounded
     by statement length — the VALUES rule), broadcast into anti-joins:
@@ -1910,7 +2122,7 @@ def compile_sparql_update(
             state = state.join(
                 F.broadcast(rows), ["s", "p", "o"], "left_anti"
             )
-        else:  # delete_where
+        elif op.kind == "delete_where":
             cond = F.lit(True)
             seen: dict[str, str] = {}
             for col, term in zip(("s", "p", "o"), op.pattern):
@@ -1922,4 +2134,62 @@ def compile_sparql_update(
                 else:
                     cond = cond & (F.col(col) == F.lit(term))
             state = state.filter(~cond)
+        else:  # modify: [DELETE {tmpl}] [INSERT {tmpl}] WHERE {patterns}
+            from .bgp import compile_bgp
+
+            bound_vars = {
+                t.name
+                for pat in op.where
+                for t in pat
+                if isinstance(t, Var)
+            }
+            for tmpl in (op.delete_tmpl, op.insert_tmpl):
+                missing = sorted(
+                    {
+                        t.name
+                        for pat in tmpl
+                        for t in pat
+                        if isinstance(t, Var)
+                    }
+                    - bound_vars
+                )
+                if missing:
+                    raise ValueError(
+                        f"template variables {missing} are not bound by "
+                        "the WHERE group"
+                    )
+            # WHERE evaluates against the CURRENT state (textual
+            # sequence semantics); checkpoint so delete/insert sides
+            # and the next operation share one computation
+            sols = compile_bgp(state, list(op.where)).localCheckpoint(
+                eager=False
+            )
+
+            def _inst(tmpls: tuple) -> DataFrame | None:
+                parts = []
+                for s, p, o in tmpls:
+                    cols = [
+                        (
+                            F.col(t.name) if isinstance(t, Var) else F.lit(t)
+                        ).alias(n)
+                        for t, n in zip((s, p, o), ("s", "p", "o"))
+                    ]
+                    parts.append(sols.select(*cols))
+                if not parts:
+                    return None
+                out = parts[0]
+                for more in parts[1:]:
+                    out = out.unionByName(more)
+                return out.dropDuplicates(["s", "p", "o"])
+
+            dels = _inst(op.delete_tmpl)
+            ins = _inst(op.insert_tmpl)
+            if dels is not None:
+                state = state.join(dels, ["s", "p", "o"], "left_anti")
+            if ins is not None:
+                # SPARQL 1.1 §3.1.3: a graph is a SET — template inserts
+                # union-distinct (unlike INSERT DATA's documented
+                # R2 LWW-register upsert)
+                ins_new = ins.join(state, ["s", "p", "o"], "left_anti")
+                state = state.unionByName(ins_new)
     return state

@@ -168,7 +168,7 @@ def test_parse_aggregates():
 @pytest.mark.parametrize(
     "bad",
     [
-        "SELECT (SAMPLE(?x) AS ?s) WHERE { ?x p ?g }",  # unsupported fn
+        "SELECT (MEDIAN(?x) AS ?s) WHERE { ?x p ?g }",  # unsupported fn
         "SELECT (MIN(*) AS ?m) WHERE { ?x p ?g }",  # MIN(*)
         "SELECT (SUM(*) AS ?s) WHERE { ?x p ?g }",  # SUM(*)
         "SELECT ?x (COUNT(*) AS ?n) WHERE { ?x p ?g }",  # x not grouped

@@ -103,7 +103,7 @@ def test_describe_var_matches_iri_twin(spark):
         "INSERT DATA { ?s inSegment \"X\" . }",  # variable in ground data
         "DELETE DATA { <a> inNation/inRegion <b> . }",  # path in data
         "DELETE WHERE { ?s inNation ?o . ?o inRegion ?r }",  # 2 patterns
-        "INSERT { <a> <b> <c> } WHERE { ?s ?p ?o }",  # template form
+        "INSERT { <a> <b>/<c> ?x } WHERE { ?s ?p ?x }",  # path in template
         "CLEAR GRAPH <g:x>",  # unsupported op
         "LOAD <http://x>",  # unsupported op
         "DELETE USING <g> WHERE { ?s ?p ?o }",  # USING clause
@@ -112,6 +112,61 @@ def test_describe_var_matches_iri_twin(spark):
 def test_rejects_bad_updates(bad):
     with pytest.raises(ValueError):
         parse_sparql_update(bad)
+
+
+def test_parse_group_concat_sample_bound_if():
+    q = parse_sparql(
+        'SELECT ?r (GROUP_CONCAT(?nm; SEPARATOR="|") AS ?names) '
+        "(SAMPLE(?nm) AS ?any) WHERE { ?n inRegion ?r . ?n hasName ?nm } "
+        "GROUP BY ?r"
+    )
+    gc = next(a for a in q.aggs if a.fn == "GROUP_CONCAT")
+    assert gc.sep == "|" and gc.alias == "names"
+    assert any(a.fn == "SAMPLE" for a in q.aggs)
+    q2 = parse_sparql(
+        "SELECT ?s WHERE { ?s inNation ?n . OPTIONAL { ?s inSegment ?g } "
+        'BIND(IF(BOUND(?g), ?g, COALESCE(?g, "NONE")) AS ?k) '
+        "FILTER(!BOUND(?g)) }"
+    )
+    assert q2.filters[0][0].op == "notbound"
+    assert q2.binds[0][0] == "k"
+
+
+@pytest.mark.parametrize(
+    "bad",
+    [
+        # GROUP_CONCAT modifier must be SEPARATOR with a string literal
+        'SELECT (GROUP_CONCAT(?v; SEP="x") AS ?a) WHERE { ?s ?p ?v } ',
+        "SELECT (GROUP_CONCAT(?v; SEPARATOR=5) AS ?a) WHERE { ?s ?p ?v }",
+        # BOUND needs a ?var
+        'SELECT ?s WHERE { ?s ?p ?o FILTER(BOUND("x")) }',
+        # IF condition operator subset
+        "SELECT ?s WHERE { ?s ?p ?o BIND(IF(?o ~ ?o, ?o, ?o) AS ?x) }",
+        # SAMPLE(*) is not valid SPARQL
+        "SELECT (SAMPLE(*) AS ?a) WHERE { ?s ?p ?o }",
+    ],
+)
+def test_rejects_bad_round9_constructs(bad):
+    with pytest.raises(ValueError):
+        parse_sparql(bad)
+
+
+def test_parse_template_update_forms():
+    ops = parse_sparql_update(
+        "DELETE { ?n inRegion ?r } INSERT { ?n rn ?x } "
+        "WHERE { ?n inRegion ?r . ?r hasName ?x } ; "
+        "INSERT { ?c t ?x } WHERE { ?c inNation ?x }"
+    )
+    assert [o.kind for o in ops] == ["modify", "modify"]
+    assert ops[0].delete_tmpl and ops[0].insert_tmpl and ops[0].where
+    assert not ops[1].delete_tmpl
+
+
+def test_template_update_unbound_var_rejected(spark):
+    with pytest.raises(ValueError, match="not bound"):
+        compile_sparql_update(
+            spark, SF_DIR, "INSERT { ?z madeUp ?q } WHERE { ?z inNation ?n }"
+        )
 
 
 def test_parse_update_sequence():
