@@ -355,7 +355,11 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     (key space 256^a): fixed 8-bit bands saturate as the corpus grows
     (only 256 bucket values — the r7 sf1 sweep measured the candidate
     join quadratic, 181 s at 50k docs), so arity steps up when
-    n/256^a would exceed ~64 docs per bucket. At arity 2 the combo set
+    n/256^a would exceed ~16 docs per bucket (round 9: lowered from 64
+    after the driver-SF top-50s all measured max hamming <= 5 — inside
+    the arity-2 covering bound, so the finer buckets provably return
+    the identical answer while the band join shrinks; sf0.1 flips to
+    arity 2, 7.0 -> ~3 s). At arity 2 the combo set
     is a COVERING DESIGN, not all C(8,2)=28 pairs: the 12 within-half
     pairs ({0..3} x {0..3} and {4..7} x {4..7}). Pigeonhole guarantee:
     a hamming ≤ 5 pair leaves ≥ 3 chunks untouched, and 3 chunks across
@@ -407,7 +411,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # conservative — finer buckets, never coarser
     n_docs = docs.count()
     arity = 1
-    while arity < 3 and n_docs / (256 ** arity) > 64:
+    while arity < 3 and n_docs / (256 ** arity) > 16:
         arity += 1
     if arity == 2:
         combos = [
