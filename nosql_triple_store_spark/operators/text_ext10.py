@@ -1,0 +1,282 @@
+"""Model-based data-selection operators for LLM training pipelines:
+a multinomial Naive-Bayes quality classifier and DSIR-style hashed
+n-gram importance resampling.
+
+These are the two standard *learned* selection stages that sit after
+the heuristic filters (q_text_quality, q_text_langid) in a production
+corpus pipeline:
+
+- q_text_quality_nb — the GPT-3/CCNet-shaped "curated-vs-crawl"
+  classifier: train a multinomial Naive Bayes over raw unigram counts
+  on half the corpus, score the held-out half by log-odds. The model
+  is a per-token table (vocab-sized), so scoring deploys as one
+  hash join of the eval token stream against the model — at 100 TB
+  the model join is broadcast-or-bucketed and the score is one
+  map-side weighted sum per doc.
+- q_mixture_dsir — Data Selection via Importance Resampling (Xie et
+  al., 2023): hashed bigram features (md5 → 65,536 buckets), an
+  importance weight log p_target(f)/p_raw(f) summed over each doc's
+  feature counts, top-k non-target docs selected for the mixture.
+  Hashing makes the model state CONSTANT-size (2×65,536 longs)
+  regardless of corpus scale — the reason DSIR, unlike the raw-vocab
+  NB model, needs no vocabulary shuffle at 100 TB: both distribution
+  estimates are one partial-aggregated pass and the weight join is a
+  guaranteed broadcast.
+
+Both scores are Laplace-smoothed integer-count ratios; the only float
+step is the final ln-weighted sum per doc. ln + engine-order float
+addition is the known cross-engine ulp hazard (same note as
+q_text_lm_crossentropy), so scores round at 4 dp and the top-k orders
+by the ROUNDED score with doc_id tie-break — deterministic on both
+engines. No reference analog (brief-driven: training-data pipeline
+operators); reference test-strategy parity per SURVEY §5.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.textfns import TOKS_SQL, tokens_col
+from ..registry import register
+
+_BIGRAMS_SQL = f"""
+toks AS (SELECT doc_id, lang, {TOKS_SQL} AS t FROM documents),
+bi AS (
+  SELECT doc_id, lang,
+         substr(md5(t[u.i] || ' ' || t[u.i + 1]), 1, 4) AS b
+  FROM toks, LATERAL UNNEST(generate_series(1, len(t) - 1)) AS u(i))
+"""
+
+_NB_ORACLE = f"""
+WITH toks AS (SELECT doc_id, lang, {TOKS_SQL} AS t FROM documents),
+tok AS (
+  SELECT doc_id, lang, unnest(t) AS token FROM toks),
+model AS (
+  SELECT token,
+         CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS cp,
+         CAST(SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT) AS cn
+  FROM tok WHERE doc_id % 2 = 0 GROUP BY token),
+totals AS (
+  SELECT CAST(SUM(cp) AS DOUBLE) AS npos, CAST(SUM(cn) AS DOUBLE) AS nneg,
+         CAST(COUNT(*) AS DOUBLE) AS v
+  FROM model),
+prior AS (
+  SELECT ln(CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE)
+            / SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END)) AS lp
+  FROM toks WHERE doc_id % 2 = 0),
+eval_counts AS (
+  SELECT doc_id, lang, token, CAST(COUNT(*) AS BIGINT) AS n
+  FROM tok WHERE doc_id % 2 = 1 GROUP BY doc_id, lang, token)
+SELECT e.doc_id, e.lang,
+       ROUND(MAX(prior.lp) + SUM(e.n * ln(
+           ((COALESCE(m.cp, 0) + 1) * (totals.nneg + totals.v))
+           / ((COALESCE(m.cn, 0) + 1) * (totals.npos + totals.v)))),
+           4) AS nb_score
+FROM eval_counts e
+LEFT JOIN model m ON e.token = m.token, totals, prior
+GROUP BY e.doc_id, e.lang
+ORDER BY nb_score DESC, e.doc_id LIMIT 20
+"""
+
+
+@register("q_text_quality_nb", oracle=_NB_ORACLE)
+def q_text_quality_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive-Bayes quality classifier: train per-token
+    Laplace-smoothed class counts (positive class = lang 'en', the
+    curated-set proxy) on even doc_ids, score odd doc_ids by log-odds
+
+        score(d) = ln(P_pos/P_neg)
+                 + Σ_t n_t(d)·ln(((c_pos(t)+1)(N_neg+V))
+                                 /((c_neg(t)+1)(N_pos+V)))
+
+    and return the 20 highest-scoring held-out docs. This is the
+    GPT-3-style quality-classifier stage with the fastText model
+    swapped for its closed-form NB cousin — same deployment shape
+    (token stream ⨝ model table → per-doc weighted sum), exact
+    integer counts, deterministic.
+
+    Plan: ONE conditional aggregate builds both class columns of the
+    model (no second pass over the train split); the eval side
+    aggregates (doc, token) counts, left-joins the model, and reduces
+    per doc. Shuffles: model groupBy (distinct train tokens), eval
+    (doc, token) groupBy, per-doc sum. The model join keys on token —
+    broadcast here, bucketed co-partitioning at vocab scales past
+    driver memory. Scalars (N_pos, N_neg, V, prior) ride a 1-row
+    broadcast cross join, never a collect."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "lang", F.explode(tokens_col()).alias("token")
+    )
+    is_pos = (F.col("lang") == "en").cast("long")
+    model = (
+        tok.filter(F.col("doc_id") % 2 == 0)
+        .groupBy("token")
+        .agg(
+            F.sum(is_pos).alias("cp"),
+            F.sum(1 - is_pos).alias("cn"),
+        )
+    )
+    totals = model.agg(
+        F.sum("cp").cast("double").alias("npos"),
+        F.sum("cn").cast("double").alias("nneg"),
+        F.count(F.lit(1)).cast("double").alias("v"),
+    )
+    prior = (
+        docs.filter(F.col("doc_id") % 2 == 0)
+        .agg(
+            F.log(
+                F.sum(is_pos).cast("double") / F.sum(1 - is_pos)
+            ).alias("lp")
+        )
+    )
+    eval_counts = (
+        tok.filter(F.col("doc_id") % 2 == 1)
+        .groupBy("doc_id", "lang", "token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    scored = (
+        eval_counts.join(F.broadcast(model), "token", "left")
+        .crossJoin(F.broadcast(totals))
+        .crossJoin(F.broadcast(prior))
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.round(
+                F.max("lp")
+                + F.sum(
+                    F.col("n")
+                    * F.log(
+                        (
+                            (F.coalesce("cp", F.lit(0)) + 1)
+                            * (F.col("nneg") + F.col("v"))
+                        )
+                        / (
+                            (F.coalesce("cn", F.lit(0)) + 1)
+                            * (F.col("npos") + F.col("v"))
+                        )
+                    )
+                ),
+                4,
+            ).alias("nb_score")
+        )
+    )
+    return scored.orderBy(F.desc("nb_score"), F.asc("doc_id")).limit(20)
+
+
+_DSIR_B = 65536  # 4 hex chars of md5 — the hashed feature space
+
+_DSIR_ORACLE = f"""
+WITH {_BIGRAMS_SQL},
+raw AS (
+  SELECT b, CAST(COUNT(*) AS BIGINT) AS cr FROM bi GROUP BY b),
+tgt AS (
+  SELECT b, CAST(COUNT(*) AS BIGINT) AS ct
+  FROM bi WHERE lang = 'zh' GROUP BY b),
+totals AS (
+  SELECT CAST((SELECT SUM(cr) FROM raw) AS DOUBLE) AS nraw,
+         CAST((SELECT COALESCE(SUM(ct), 0) FROM tgt) AS DOUBLE) AS ntgt),
+doc_feats AS (
+  SELECT doc_id, lang, b, CAST(COUNT(*) AS BIGINT) AS n
+  FROM bi WHERE lang <> 'zh' GROUP BY doc_id, lang, b)
+SELECT d.doc_id, d.lang,
+       ROUND(SUM(d.n * ln(
+           ((COALESCE(t.ct, 0) + 1) * (totals.nraw + {_DSIR_B}))
+           / ((r.cr + 1) * (totals.ntgt + {_DSIR_B})))), 4) AS dsir_weight
+FROM doc_feats d
+JOIN raw r ON d.b = r.b
+LEFT JOIN tgt t ON d.b = t.b, totals
+GROUP BY d.doc_id, d.lang
+ORDER BY dsir_weight DESC, d.doc_id LIMIT 20
+"""
+
+
+@register("q_mixture_dsir", oracle=_DSIR_ORACLE)
+def q_mixture_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (Xie et al., 2023): estimate hashed
+    bigram-feature distributions for the target slice (lang 'zh') and
+    the full raw pool, weight every non-target doc by
+
+        λ(d) = Σ_b n_b(d)·ln(((c_tgt(b)+1)(N_raw+B))
+                             /((c_raw(b)+1)(N_tgt+B)))    B = 65,536
+
+    and select the top-20 — the docs whose feature profile looks most
+    like the target distribution, i.e. the importance-sampled
+    additions to the training mixture.
+
+    The feature hash is substr(md5(w1||' '||w2), 1, 4): md5 is the
+    one hash both engines evaluate bit-identically, and 4 hex chars
+    give the canonical 2^16 DSIR bucket count. Hashing is the scale
+    story: both distribution estimates are bounded-width aggregates
+    (≤65,536 rows each, partial map-side combine does almost all the
+    work), the weight join is a guaranteed broadcast forever, and no
+    vocabulary-sized shuffle exists anywhere — this exact plan runs
+    unchanged at 100 TB. Per-doc feature counts shuffle on (doc, b),
+    the same width as the doc stream itself."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", "lang", tokens_col().alias("t"))
+    bi = toks.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.when(
+                F.size("t") < 2, F.array().cast("array<string>")
+            ).otherwise(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - 1),
+                    lambda i: F.substring(
+                        F.md5(
+                            F.concat(
+                                F.element_at("t", i),
+                                F.lit(" "),
+                                F.element_at("t", i + 1),
+                            )
+                        ),
+                        1,
+                        4,
+                    ),
+                )
+            )
+        ).alias("b"),
+    )
+    raw = bi.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
+    tgt = (
+        bi.filter(F.col("lang") == "zh")
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    totals = raw.agg(
+        F.sum("cr").cast("double").alias("nraw")
+    ).crossJoin(
+        tgt.agg(F.coalesce(F.sum("ct"), F.lit(0)).cast("double").alias("ntgt"))
+    )
+    doc_feats = (
+        bi.filter(F.col("lang") != "zh")
+        .groupBy("doc_id", "lang", "b")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    scored = (
+        doc_feats.join(F.broadcast(raw), "b")
+        .join(F.broadcast(tgt), "b", "left")
+        .crossJoin(F.broadcast(totals))
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("n")
+                    * F.log(
+                        (
+                            (F.coalesce("ct", F.lit(0)) + 1)
+                            * (F.col("nraw") + F.lit(float(_DSIR_B)))
+                        )
+                        / (
+                            (F.col("cr") + 1)
+                            * (F.col("ntgt") + F.lit(float(_DSIR_B)))
+                        )
+                    )
+                ),
+                4,
+            ).alias("dsir_weight")
+        )
+    )
+    return scored.orderBy(F.desc("dsir_weight"), F.asc("doc_id")).limit(20)

@@ -126,6 +126,7 @@ _OPERATOR_MODULES = (
     "operators.sparql_queries",
     "operators.sparql_ext9",
     "operators.text_ext9",
+    "operators.text_ext10",
     "streaming.queries",
     "streaming.transform_state",
     "streaming.dedup_stream",
