@@ -164,6 +164,131 @@ def q_text_quality_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(F.desc("nb_score"), F.asc("doc_id")).limit(20)
 
 
+_CCNET_ORACLE = f"""
+WITH toks AS (SELECT doc_id, lang, {TOKS_SQL} AS t FROM documents),
+bi AS (
+  SELECT doc_id, lang, t[u.i] AS w1, t[u.i + 1] AS w2
+  FROM toks, LATERAL UNNEST(generate_series(1, len(t) - 1)) AS u(i)),
+train_bi AS (
+  SELECT lang, w1, w2, CAST(COUNT(*) AS BIGINT) AS cb
+  FROM bi WHERE doc_id % 2 = 0 GROUP BY lang, w1, w2),
+train_uni AS (
+  SELECT lang, w1, CAST(COUNT(*) AS BIGINT) AS cu
+  FROM bi WHERE doc_id % 2 = 0 GROUP BY lang, w1),
+vocab AS (
+  SELECT lang, CAST(COUNT(DISTINCT tok) AS BIGINT) AS v
+  FROM (SELECT tk.lang, unnest(tk.t) AS tok FROM toks tk
+        WHERE tk.doc_id % 2 = 0) t GROUP BY lang),
+doc_h AS (
+  SELECT b.doc_id, b.lang,
+         ROUND(-SUM(ln((CAST(COALESCE(tb.cb, 0) AS DOUBLE) + 1)
+                       / (CAST(COALESCE(tu.cu, 0) AS DOUBLE) + vo.v)))
+               / COUNT(*), 6) AS h
+  FROM bi b
+  LEFT JOIN train_bi tb
+         ON b.lang = tb.lang AND b.w1 = tb.w1 AND b.w2 = tb.w2
+  LEFT JOIN train_uni tu ON b.lang = tu.lang AND b.w1 = tu.w1
+  JOIN vocab vo ON b.lang = vo.lang
+  WHERE b.doc_id % 2 = 1 GROUP BY b.doc_id, b.lang),
+bucketed AS (
+  SELECT lang, h,
+         NTILE(3) OVER (PARTITION BY lang ORDER BY h, doc_id) AS bucket
+  FROM doc_h)
+SELECT lang, bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(AVG(h), 4) AS avg_cross_entropy
+FROM bucketed GROUP BY lang, bucket
+"""
+
+
+@register("q_text_ccnet_buckets", oracle=_CCNET_ORACLE)
+def q_text_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al., 2020): train a
+    Laplace-smoothed bigram LM PER LANGUAGE on even doc_ids, score each
+    held-out doc by cross-entropy under its own language's model, and
+    split every language's held-out docs into head/middle/tail terciles
+    (NTILE(3) ordered by rounded score, doc_id tie-break). Output is
+    the per-(lang, bucket) census with mean cross-entropy — bucket 1 is
+    the "head" slice a CCNet pipeline keeps, and per-language models
+    are the part heuristic quality filters get wrong (a fluent Spanish
+    doc is not low-quality English).
+
+    Plan: the per-lang model tables add lang to the q_text_lm_crossentropy
+    join keys — still model-sized aggregates joined to the eval bigram
+    stream (broadcast here; bucketed on (lang, w1) at 100 TB). The
+    tercile split is one window over DOC-level rows (corpus-count rows,
+    not token rows) partitioned by lang: at scale that is the same
+    shuffle width as any per-lang ranking, and the bucket thresholds a
+    production pipeline would freeze come straight from this output."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", "lang", tokens_col().alias("t"))
+    bi = toks.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.when(
+                F.size("t") < 2,
+                F.array().cast("array<struct<w1:string,w2:string>>"),
+            ).otherwise(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - 1),
+                    lambda i: F.struct(
+                        F.element_at("t", i).alias("w1"),
+                        F.element_at("t", i + 1).alias("w2"),
+                    ),
+                )
+            )
+        ).alias("b"),
+    ).select("doc_id", "lang", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    train = bi.filter(F.col("doc_id") % 2 == 0)
+    train_bi = train.groupBy("lang", "w1", "w2").agg(
+        F.count(F.lit(1)).alias("cb")
+    )
+    train_uni = train.groupBy("lang", "w1").agg(
+        F.count(F.lit(1)).alias("cu")
+    )
+    vocab = (
+        toks.filter(F.col("doc_id") % 2 == 0)
+        .select("lang", F.explode("t").alias("tok"))
+        .groupBy("lang")
+        .agg(F.countDistinct("tok").alias("v"))
+    )
+    doc_h = (
+        bi.filter(F.col("doc_id") % 2 == 1)
+        .join(F.broadcast(train_bi), ["lang", "w1", "w2"], "left")
+        .join(F.broadcast(train_uni), ["lang", "w1"], "left")
+        .join(F.broadcast(vocab), "lang")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.round(
+                -F.sum(
+                    F.log(
+                        (F.coalesce("cb", F.lit(0)).cast("double") + 1)
+                        / (
+                            F.coalesce("cu", F.lit(0)).cast("double")
+                            + F.col("v")
+                        )
+                    )
+                )
+                / F.count(F.lit(1)),
+                6,
+            ).alias("h")
+        )
+    )
+    from pyspark.sql import Window as W
+
+    bucketed = doc_h.select(
+        "lang",
+        "h",
+        F.ntile(3)
+        .over(W.partitionBy("lang").orderBy("h", "doc_id"))
+        .alias("bucket"),
+    )
+    return bucketed.groupBy("lang", "bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("h"), 4).alias("avg_cross_entropy"),
+    )
+
+
 _DSIR_B = 65536  # 4 hex chars of md5 — the hashed feature space
 
 _DSIR_ORACLE = f"""

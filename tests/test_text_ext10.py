@@ -57,6 +57,23 @@ def test_quality_nb_matches_pure_python(spark):
     assert got == expect
 
 
+def test_ccnet_buckets_are_ordered_terciles(spark):
+    """Within each language the head/middle/tail buckets must be
+    ordered (mean cross-entropy non-decreasing in bucket number) and
+    tercile-sized (counts differ by at most 1)."""
+    rows = SPECS["q_text_ccnet_buckets"].fn(spark, SF_DIR).collect()
+    by_lang: dict[str, list] = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r)
+    assert by_lang
+    for lang, rs in by_lang.items():
+        rs.sort(key=lambda r: r["bucket"])
+        hs = [r["avg_cross_entropy"] for r in rs]
+        assert hs == sorted(hs), f"{lang}: buckets out of order {hs}"
+        ns = [r["n_docs"] for r in rs]
+        assert max(ns) - min(ns) <= 1, f"{lang}: not terciles {ns}"
+
+
 def test_mixture_dsir_matches_pure_python(spark):
     docs = _docs()
     B = 65536
