@@ -81,30 +81,14 @@ ORDER BY nb_score DESC, e.doc_id LIMIT 20
 """
 
 
-@register("q_text_quality_nb", oracle=_NB_ORACLE)
-def q_text_quality_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multinomial Naive-Bayes quality classifier: train per-token
-    Laplace-smoothed class counts (positive class = lang 'en', the
-    curated-set proxy) on even doc_ids, score odd doc_ids by log-odds
-
-        score(d) = ln(P_pos/P_neg)
-                 + Σ_t n_t(d)·ln(((c_pos(t)+1)(N_neg+V))
-                                 /((c_neg(t)+1)(N_pos+V)))
-
-    and return the 20 highest-scoring held-out docs. This is the
-    GPT-3-style quality-classifier stage with the fastText model
-    swapped for its closed-form NB cousin — same deployment shape
-    (token stream ⨝ model table → per-doc weighted sum), exact
-    integer counts, deterministic.
-
-    Plan: ONE conditional aggregate builds both class columns of the
-    model (no second pass over the train split); the eval side
-    aggregates (doc, token) counts, left-joins the model, and reduces
-    per doc. Shuffles: model groupBy (distinct train tokens), eval
-    (doc, token) groupBy, per-doc sum. The model join keys on token —
-    broadcast here, bucketed co-partitioning at vocab scales past
-    driver memory. Scalars (N_pos, N_neg, V, prior) ride a 1-row
-    broadcast cross join, never a collect."""
+def nb_components(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The trained NB quality model as three DataFrames: per-token
+    class counts (token, cp, cn), 1-row totals (npos, nneg, v), and the
+    1-row log prior. Trained on even doc_ids (positive = lang 'en').
+    Shared by the batch classifier and the streaming quality gate —
+    the streaming deployment broadcasts exactly these tables."""
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select(
         "doc_id", "lang", F.explode(tokens_col()).alias("token")
@@ -131,12 +115,26 @@ def q_text_quality_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lp")
         )
     )
+    return model, totals, prior
+
+
+def nb_score(
+    docs: DataFrame,
+    model: DataFrame,
+    totals: DataFrame,
+    prior: DataFrame,
+) -> DataFrame:
+    """Score (doc_id, lang, text) rows under the NB model: returns
+    (doc_id, lang, nb_score) with the 4-dp-rounded log-odds. One
+    explode → (doc, token) count → broadcast model join → per-doc
+    weighted ln-sum; works identically on a batch table and on a
+    micro-batch inside foreachBatch (stream-static model join)."""
     eval_counts = (
-        tok.filter(F.col("doc_id") % 2 == 1)
+        docs.select("doc_id", "lang", F.explode(tokens_col()).alias("token"))
         .groupBy("doc_id", "lang", "token")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    scored = (
+    return (
         eval_counts.join(F.broadcast(model), "token", "left")
         .crossJoin(F.broadcast(totals))
         .crossJoin(F.broadcast(prior))
@@ -160,6 +158,37 @@ def q_text_quality_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
                 4,
             ).alias("nb_score")
         )
+    )
+
+
+@register("q_text_quality_nb", oracle=_NB_ORACLE)
+def q_text_quality_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive-Bayes quality classifier: train per-token
+    Laplace-smoothed class counts (positive class = lang 'en', the
+    curated-set proxy) on even doc_ids, score odd doc_ids by log-odds
+
+        score(d) = ln(P_pos/P_neg)
+                 + Σ_t n_t(d)·ln(((c_pos(t)+1)(N_neg+V))
+                                 /((c_neg(t)+1)(N_pos+V)))
+
+    and return the 20 highest-scoring held-out docs. This is the
+    GPT-3-style quality-classifier stage with the fastText model
+    swapped for its closed-form NB cousin — same deployment shape
+    (token stream ⨝ model table → per-doc weighted sum), exact
+    integer counts, deterministic.
+
+    Plan: ONE conditional aggregate builds both class columns of the
+    model (no second pass over the train split); the eval side
+    aggregates (doc, token) counts, left-joins the model, and reduces
+    per doc. Shuffles: model groupBy (distinct train tokens), eval
+    (doc, token) groupBy, per-doc sum. The model join keys on token —
+    broadcast here, bucketed co-partitioning at vocab scales past
+    driver memory. Scalars (N_pos, N_neg, V, prior) ride a 1-row
+    broadcast cross join, never a collect."""
+    docs = load_table(spark, sf_dir, "documents")
+    model, totals, prior = nb_components(spark, sf_dir)
+    scored = nb_score(
+        docs.filter(F.col("doc_id") % 2 == 1), model, totals, prior
     )
     return scored.orderBy(F.desc("nb_score"), F.asc("doc_id")).limit(20)
 

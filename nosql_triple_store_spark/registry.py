@@ -132,6 +132,7 @@ _OPERATOR_MODULES = (
     "streaming.dedup_stream",
     "streaming.bgp_stream",
     "streaming.quota_stream",
+    "streaming.quality_stream",
 )
 
 
