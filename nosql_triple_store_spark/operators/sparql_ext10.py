@@ -1,0 +1,103 @@
+"""Round-9 SPARQL everyday-SELECT closers: COUNT(DISTINCT ?v),
+FILTER ... IN / NOT IN list membership, and the string predicates
+CONTAINS / STRSTARTS / STRENDS — the remaining constructs a working
+SPARQL user types weekly that the subset still rejected after the
+round-9 verdict items landed.
+
+All compile through the same encoded-store pipeline as every other
+q_sparql_* query: IN/NOT IN and the string predicates run post-decode
+(string collation semantics, like REGEX), COUNT(DISTINCT) is one
+hash-distinct aggregate in the grouped plan. Reference parity: the
+reference's /search has no textual query language at all
+(RESTServer.py routes fixed patterns); this keeps generalizing its RDF
+domain into the standard query surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..plans.bgp import TRIPLES_SQL
+from ..plans.sparql import compile_sparql_encoded
+from ..registry import register
+
+_COUNT_DISTINCT_Q = """
+SELECT ?seg (COUNT(DISTINCT ?nat) AS ?n_nations) (COUNT(*) AS ?n_customers)
+WHERE {
+  ?c inSegment ?seg .
+  ?c inNation ?nat
+} GROUP BY ?seg
+"""
+
+
+@register(
+    "q_sparql_count_distinct",
+    oracle=f"""
+WITH {TRIPLES_SQL}
+SELECT seg.o AS seg,
+       CAST(COUNT(DISTINCT nat.o) AS BIGINT) AS n_nations,
+       CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM triples seg JOIN triples nat ON seg.s = nat.s
+WHERE seg.p = 'inSegment' AND nat.p = 'inNation'
+GROUP BY seg.o
+""",
+)
+def q_sparql_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT ?nat) next to plain COUNT(*) in one grouped
+    SELECT: distinct nations (and total customers) per market segment.
+    The distinct aggregate is a hash-distinct inside the same
+    grouped plan — no second pass over the joined bindings."""
+    return compile_sparql_encoded(spark, sf_dir, _COUNT_DISTINCT_Q)
+
+
+_IN_Q = """
+SELECT ?c ?seg WHERE {
+  ?c inSegment ?seg .
+  FILTER(?seg IN ("BUILDING", "MACHINERY", "AUTOMOBILE"))
+  FILTER(?seg NOT IN ("MACHINERY"))
+}
+"""
+
+
+@register(
+    "q_sparql_filter_in",
+    oracle=f"""
+WITH {TRIPLES_SQL}
+SELECT s AS c, o AS seg FROM triples
+WHERE p = 'inSegment'
+  AND o IN ('BUILDING', 'MACHINERY', 'AUTOMOBILE')
+  AND o NOT IN ('MACHINERY')
+""",
+)
+def q_sparql_filter_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTER ?v IN (...) and FILTER ?v NOT IN (...) stacked: list
+    membership lowers to Column.isin over the decoded terms — two
+    scan-local predicates, no join, same shape as the VALUES
+    lowering."""
+    return compile_sparql_encoded(spark, sf_dir, _IN_Q)
+
+
+_STR_Q = """
+SELECT ?node ?name WHERE {
+  ?node hasName ?name .
+  FILTER(STRSTARTS(?name, "A") || STRENDS(?name, "IA") ||
+         CONTAINS(?name, "GER"))
+}
+"""
+
+
+@register(
+    "q_sparql_str_predicates",
+    oracle=f"""
+WITH {TRIPLES_SQL}
+SELECT s AS node, o AS name FROM triples
+WHERE p = 'hasName'
+  AND (o LIKE 'A%' OR o LIKE '%IA' OR o LIKE '%GER%')
+""",
+)
+def q_sparql_str_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRSTARTS / STRENDS / CONTAINS ||-folded in one FILTER over
+    nation/region names — each lowers to the matching Column string
+    predicate (startswith/endswith/contains), evaluated post-decode
+    like REGEX but without regex-engine cost."""
+    return compile_sparql_encoded(spark, sf_dir, _STR_Q)

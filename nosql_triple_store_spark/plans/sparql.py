@@ -9,11 +9,15 @@ Scope (documented subset, rejected loudly outside it):
 - ``OPTIONAL { ... }`` blocks (left-join semantics, compile_bgp)
 - ``FILTER(expr)`` with comparisons ``=, !=, <, <=, >, >=`` between a
   variable and a string literal (or two variables), combined with
-  ``&&`` / ``||``, plus ``REGEX(?v, "pat")``
+  ``&&`` / ``||``, plus ``REGEX(?v, "pat")``, the string predicates
+  ``CONTAINS/STRSTARTS/STRENDS(?v, "lit")``, and list membership
+  ``?v IN ("a", ...)`` / ``?v NOT IN ("a", ...)`` (string-literal
+  lists, lowered to scan-local isin predicates like VALUES)
 - ``ORDER BY ?v [DESC(?v)]``, ``LIMIT n``, ``OFFSET k`` (requires
   ORDER BY), ``DISTINCT``
-- aggregates ``(COUNT(*)|COUNT(?v)|MIN(?v)|MAX(?v)|SUM(?v)|AVG(?v)
-  AS ?alias)`` with ``GROUP BY ?v ...`` — SUM/AVG try_cast the
+- aggregates ``(COUNT(*)|COUNT(?v)|COUNT(DISTINCT ?v)|MIN(?v)|MAX(?v)
+  |SUM(?v)|AVG(?v) AS ?alias)`` with ``GROUP BY ?v ...`` (DISTINCT
+  under other aggregates rejected) — SUM/AVG try_cast the
   string terms to double and skip non-numeric ones (SQL NULL-skip
   semantics; documented deviation from SPARQL 1.1 error propagation)
 - ``{ group } UNION { group } [UNION ...]`` at the top of WHERE — bag
@@ -234,6 +238,7 @@ class Agg:
     var: str | None  # None for COUNT(*)
     alias: str
     sep: str = " "  # GROUP_CONCAT separator (SPARQL default: space)
+    distinct: bool = False  # COUNT(DISTINCT ?v) only
 
 
 # --- expression AST (BIND + SELECT expressions + HAVING operands) ---
@@ -550,10 +555,27 @@ class _Parser:
                 "(COUNT/MIN/MAX/SUM/AVG/GROUP_CONCAT/SAMPLE)"
             )
         self.expect("(")
+        distinct = False
+        if (self.peek() or "").upper() == "DISTINCT":
+            # DISTINCT inside an aggregate: COUNT(DISTINCT ?v) only —
+            # the everyday SPARQL 1.1 form; set-DISTINCT under
+            # SUM/AVG/GROUP_CONCAT stays out of the documented subset
+            if fn != "COUNT":
+                raise ValueError(
+                    f"{fn}(DISTINCT ...) is outside the subset "
+                    "(COUNT(DISTINCT ?v) only)"
+                )
+            self.next()
+            distinct = True
         a = self.next()
         if a == "*":
             if fn != "COUNT":
                 raise ValueError(f"{fn}(*) is not valid SPARQL")
+            if distinct:
+                raise ValueError(
+                    "COUNT(DISTINCT *) is outside the subset "
+                    "(COUNT(DISTINCT ?v) only)"
+                )
             var = None
         else:
             if not a.startswith("?"):
@@ -574,12 +596,12 @@ class _Parser:
             sep = _unquote(lit)
         self.expect(")")
         if not with_alias:
-            return Agg(fn, var, "", sep)
+            return Agg(fn, var, "", sep, distinct)
         self.expect("AS")
         alias = self.next()
         if not alias.startswith("?"):
             raise ValueError("aggregate alias must be a ?var")
-        return Agg(fn, var, alias[1:], sep)
+        return Agg(fn, var, alias[1:], sep, distinct)
 
     def _where_body(self, q: SparqlQuery) -> None:
         while True:
@@ -965,6 +987,20 @@ class _Parser:
                     raise ValueError("REGEX needs a string pattern")
                 self.expect(")")
                 out.append(Filter("regex", Var(v[1:]), _unquote(pat), conj))
+            elif t.upper() in ("CONTAINS", "STRSTARTS", "STRENDS"):
+                fn = self.next().upper()
+                self.expect("(")
+                v = self.next()
+                if not v.startswith("?"):
+                    raise ValueError(f"{fn} needs a ?var first argument")
+                self.expect(",")
+                lit = self.next()
+                if not lit.startswith('"'):
+                    raise ValueError(f"{fn} needs a string literal")
+                self.expect(")")
+                out.append(
+                    Filter(fn.lower(), Var(v[1:]), _unquote(lit), conj)
+                )
             elif t.upper() == "BOUND" or (
                 t == "!"
                 and (self.toks[self.i + 1 : self.i + 2] or [""])[0].upper()
@@ -985,10 +1021,28 @@ class _Parser:
             else:
                 lhs = self._operand()
                 op = self.next()
-                if op not in ("=", "!=", "<", "<=", ">", ">="):
-                    raise ValueError(f"unsupported FILTER operator {op!r}")
-                rhs = self._operand()
-                out.append(Filter(op, lhs, rhs, conj))
+                if op.upper() == "NOT":
+                    nxt = self.next()
+                    if nxt.upper() != "IN":
+                        raise ValueError(
+                            f"expected IN after NOT, got {nxt!r}"
+                        )
+                    op = "notin"
+                elif op.upper() == "IN":
+                    op = "in"
+                if op in ("in", "notin"):
+                    if not isinstance(lhs, Var):
+                        raise ValueError("IN needs a ?var left-hand side")
+                    out.append(
+                        Filter(op, lhs, tuple(self._in_list()), conj)
+                    )
+                else:
+                    if op not in ("=", "!=", "<", "<=", ">", ">="):
+                        raise ValueError(
+                            f"unsupported FILTER operator {op!r}"
+                        )
+                    rhs = self._operand()
+                    out.append(Filter(op, lhs, rhs, conj))
             nxt = self.peek()
             if nxt in ("&&", "||"):
                 conj = self.next()
@@ -1004,6 +1058,24 @@ class _Parser:
         raise ValueError(
             f"FILTER operands must be ?var or \"literal\", got {t!r}"
         )
+
+    def _in_list(self) -> list[str]:
+        """(\"lit\", \"lit\", ...) after IN / NOT IN — string literals
+        only, at least one, matching the VALUES literal subset."""
+        self.expect("(")
+        vals: list[str] = []
+        while True:
+            lit = self.next()
+            if not lit.startswith('"'):
+                raise ValueError(
+                    f"IN list entries must be string literals, got {lit!r}"
+                )
+            vals.append(_unquote(lit))
+            nxt = self.next()
+            if nxt == ")":
+                return vals
+            if nxt != ",":
+                raise ValueError(f"expected , or ) in IN list, got {nxt!r}")
 
     def _having_expr(self) -> list[Filter]:
         """HAVING constraint chain: comparisons whose operands are
@@ -1178,6 +1250,16 @@ def _filter_col(flt: Filter):
 
     if flt.op == "regex":
         return side(flt.lhs).rlike(flt.rhs)
+    if flt.op == "contains":
+        return side(flt.lhs).contains(flt.rhs)
+    if flt.op == "strstarts":
+        return side(flt.lhs).startswith(flt.rhs)
+    if flt.op == "strends":
+        return side(flt.lhs).endswith(flt.rhs)
+    if flt.op == "in":
+        return side(flt.lhs).isin(list(flt.rhs))
+    if flt.op == "notin":
+        return ~side(flt.lhs).isin(list(flt.rhs))
     if flt.op == "bound":
         return side(flt.lhs).isNotNull()
     if flt.op == "notbound":
@@ -1416,6 +1498,8 @@ def _agg_col(a: Agg):
     non-numeric terms become NULL and are skipped (SQL semantics,
     documented deviation from SPARQL 1.1 error propagation)."""
     if a.fn == "COUNT":
+        if a.distinct:
+            return F.countDistinct(F.col(a.var))
         return F.count(F.lit(1)) if a.var is None else F.count(F.col(a.var))
     if a.fn == "MIN":
         return F.min(F.col(a.var))

@@ -125,6 +125,7 @@ _OPERATOR_MODULES = (
     "operators.multimodal_ext",
     "operators.sparql_queries",
     "operators.sparql_ext9",
+    "operators.sparql_ext10",
     "operators.text_ext9",
     "operators.text_ext10",
     "streaming.queries",

@@ -860,3 +860,47 @@ def test_offset_slices_the_ordered_sequence(spark):
         "ORDER BY ?nm LIMIT 4 OFFSET 3",
     ).collect()
     assert [r.nm for r in page] == [r.nm for r in full[3:7]]
+
+
+# --- round-9 everyday-SELECT closers: COUNT(DISTINCT), IN, string preds ---
+
+
+def test_parse_count_distinct():
+    q = parse_sparql(
+        "SELECT ?g (COUNT(DISTINCT ?x) AS ?n) WHERE { ?x p ?g } GROUP BY ?g"
+    )
+    a = q.aggs[0]
+    assert (a.fn, a.var, a.alias, a.distinct) == ("COUNT", "x", "n", True)
+
+
+def test_parse_filter_in_and_string_predicates():
+    q = parse_sparql(
+        'SELECT ?s ?o WHERE { ?s p ?o . FILTER(?o IN ("a", "b")) '
+        'FILTER(?o NOT IN ("c")) '
+        'FILTER(STRSTARTS(?o, "a") || CONTAINS(?o, "x") '
+        '|| STRENDS(?o, "z")) }'
+    )
+    assert [g[0].op for g in q.filters] == ["in", "notin", "strstarts"]
+    assert q.filters[0][0].rhs == ("a", "b")
+    assert [f.op for f in q.filters[2]] == ["strstarts", "contains", "strends"]
+
+
+@pytest.mark.parametrize(
+    "bad",
+    [
+        # DISTINCT under non-COUNT aggregates stays rejected
+        "SELECT (SUM(DISTINCT ?x) AS ?s) WHERE { ?x p ?g }",
+        "SELECT (COUNT(DISTINCT *) AS ?n) WHERE { ?x p ?g }",
+        # IN needs a ?var lhs and string-literal entries
+        'SELECT ?s WHERE { ?s p ?o . FILTER("a" IN ("b")) }',
+        "SELECT ?s WHERE { ?s p ?o . FILTER(?o IN (1, 2)) }",
+        "SELECT ?s WHERE { ?s p ?o . FILTER(?o IN ()) }",
+        'SELECT ?s WHERE { ?s p ?o . FILTER(?o NOT LIKE "a") }',
+        # string predicates need (?var, "literal")
+        'SELECT ?s WHERE { ?s p ?o . FILTER(CONTAINS("a", "b")) }',
+        "SELECT ?s WHERE { ?s p ?o . FILTER(STRSTARTS(?o, ?o)) }",
+    ],
+)
+def test_rejects_bad_in_and_string_predicates(bad):
+    with pytest.raises(ValueError):
+        parse_sparql(bad)
