@@ -77,6 +77,40 @@ def q_sparql_filter_in(spark: SparkSession, sf_dir: str) -> DataFrame:
     return compile_sparql_encoded(spark, sf_dir, _IN_Q)
 
 
+_STRFN_Q = """
+SELECT ?c ?nid ?renamed WHERE {
+  ?c inNation ?nat .
+  BIND(STRAFTER(?nat, ":") AS ?nid)
+  BIND(REPLACE(?nat, "nation", "N") AS ?renamed)
+  BIND(STRBEFORE(?nat, ":") AS ?kind)
+  FILTER(?kind = "nation")
+}
+"""
+
+
+@register(
+    "q_sparql_str_functions",
+    oracle=f"""
+WITH {TRIPLES_SQL}
+SELECT s AS c,
+       CASE WHEN strpos(o, ':') > 0
+            THEN substr(o, strpos(o, ':') + 1) ELSE '' END AS nid,
+       regexp_replace(o, 'nation', 'N', 'g') AS renamed
+FROM triples
+WHERE p = 'inNation'
+  AND CASE WHEN strpos(o, ':') > 0
+           THEN substr(o, 1, strpos(o, ':') - 1) ELSE '' END = 'nation'
+""",
+)
+def q_sparql_str_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRAFTER / STRBEFORE / REPLACE in BIND expressions: strip the
+    'nation:' prefix off each customer's nation term and regex-rename
+    it. REPLACE follows SPARQL 1.1 fn:replace (regex, replaces EVERY
+    match — regexp_replace on both engines); STRBEFORE/STRAFTER return
+    the empty string when the separator is absent, per spec."""
+    return compile_sparql_encoded(spark, sf_dir, _STRFN_Q)
+
+
 _STR_Q = """
 SELECT ?node ?name WHERE {
   ?node hasName ?name .

@@ -42,7 +42,11 @@ Scope (documented subset, rejected loudly outside it):
   conjunctive groups only, not combinable with UNION
 - ``BIND(expr AS ?alias)`` and SELECT expressions ``(expr AS ?alias)``
   with arithmetic (+ - * /, try_cast-double NULL-skip semantics over
-  the string terms), ``CONCAT/UCASE/LCASE/STRLEN/SUBSTR/STR``, string
+  the string terms), ``CONCAT/UCASE/LCASE/STRLEN/SUBSTR/STR``,
+  ``REPLACE(expr, "pat", "repl")`` (SPARQL 1.1 fn:replace — regex,
+  every match, literal pattern/replacement) and
+  ``STRBEFORE/STRAFTER(expr, "sep")`` (empty string when the
+  separator is absent, per spec; non-empty literal separators), string
   and numeric literals — post-decode column extensions, evaluated
   after the group join (textual order; aggregates not allowed inside)
 - ``HAVING(...)`` constraints over aggregate aliases and anonymous
@@ -278,6 +282,9 @@ _EXPR_FUNCS = (
     "SUBSTR",
     "STR",
     "COALESCE",
+    "REPLACE",
+    "STRBEFORE",
+    "STRAFTER",
 )
 _AGG_FNS = ("COUNT", "MIN", "MAX", "SUM", "AVG", "GROUP_CONCAT", "SAMPLE")
 
@@ -1204,6 +1211,24 @@ class _Parser:
                         )
             if fn == "CONCAT" and len(args) < 2:
                 raise ValueError("CONCAT takes two or more arguments")
+            if fn == "REPLACE":
+                if len(args) != 3 or not all(
+                    isinstance(a, ExprStr) for a in args[1:]
+                ):
+                    raise ValueError(
+                        'REPLACE takes (expr, "pattern", "replacement") '
+                        "with literal pattern/replacement"
+                    )
+            if fn in ("STRBEFORE", "STRAFTER"):
+                if (
+                    len(args) != 2
+                    or not isinstance(args[1], ExprStr)
+                    or args[1].value == ""
+                ):
+                    raise ValueError(
+                        f'{fn} takes (expr, "separator") with a '
+                        "non-empty literal separator"
+                    )
             return ExprFunc(fn, tuple(args))
         if fn in _AGG_FNS:
             raise ValueError(
@@ -1475,6 +1500,20 @@ def _expr_col(e):
             return F.length(s(e.args[0]))
         if e.fn == "STR":
             return s(e.args[0])
+        if e.fn == "REPLACE":
+            # SPARQL 1.1 REPLACE is regex-based (fn:replace)
+            return F.regexp_replace(
+                s(e.args[0]), e.args[1].value, e.args[2].value
+            )
+        if e.fn in ("STRBEFORE", "STRAFTER"):
+            # spec: empty string when the separator does not occur
+            col, sep = s(e.args[0]), e.args[1].value
+            loc = F.locate(sep, col)
+            if e.fn == "STRBEFORE":
+                hit = F.substr(col, F.lit(1), loc - 1)
+            else:
+                hit = F.substr(col, loc + len(sep))
+            return F.when(loc > 0, hit).otherwise(F.lit(""))
         if e.fn == "SUBSTR":
             pos = e.args[1]
             if not isinstance(pos, ExprNum) or pos.value != int(pos.value):

@@ -904,3 +904,29 @@ def test_parse_filter_in_and_string_predicates():
 def test_rejects_bad_in_and_string_predicates(bad):
     with pytest.raises(ValueError):
         parse_sparql(bad)
+
+
+def test_parse_replace_strbefore_strafter():
+    q = parse_sparql(
+        'SELECT ?a WHERE { ?s p ?o . '
+        'BIND(REPLACE(?o, "a", "b") AS ?a) '
+        'BIND(STRBEFORE(?o, ":") AS ?b) '
+        'BIND(STRAFTER(?o, ":") AS ?c) }'
+    )
+    assert [alias for alias, _ in q.binds] == ["a", "b", "c"]
+
+
+@pytest.mark.parametrize(
+    "bad",
+    [
+        # REPLACE pattern/replacement must be string literals, arity 3
+        'SELECT ?a WHERE { ?s p ?o . BIND(REPLACE(?o, ?o, "b") AS ?a) }',
+        'SELECT ?a WHERE { ?s p ?o . BIND(REPLACE(?o, "a") AS ?a) }',
+        # STRBEFORE/STRAFTER need a non-empty literal separator
+        'SELECT ?a WHERE { ?s p ?o . BIND(STRBEFORE(?o, "") AS ?a) }',
+        'SELECT ?a WHERE { ?s p ?o . BIND(STRAFTER(?o, ?o) AS ?a) }',
+    ],
+)
+def test_rejects_bad_string_functions(bad):
+    with pytest.raises(ValueError):
+        parse_sparql(bad)
