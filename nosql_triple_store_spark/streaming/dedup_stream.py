@@ -22,6 +22,7 @@ re-ingesting what the corpus already has.
 from __future__ import annotations
 
 import os
+import threading
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -90,10 +91,20 @@ def compact_band_index(spark: SparkSession, index_dir: str, batch_id: int) -> No
         shutil.rmtree(s, ignore_errors=True)
 
 
+_WAVE_LOCK = threading.Lock()
+
+
 def _wave_source_dir(spark: SparkSession, sf_dir: str) -> str:
     """Documents written as one parquet file per ingestion wave,
     sequentially (ascending mtime), so the streaming file source with
-    maxFilesPerTrigger=1 replays the waves in doc_id order."""
+    maxFilesPerTrigger=1 replays the waves in doc_id order. Lock held
+    across the build (ADVICE r8 class: concurrent cache misses must
+    not race stage writes into one scratch path)."""
+    with _WAVE_LOCK:
+        return _wave_build(spark, sf_dir)
+
+
+def _wave_build(spark: SparkSession, sf_dir: str) -> str:
     if sf_dir not in _WAVE_DIRS:
         import glob as _glob
         import shutil

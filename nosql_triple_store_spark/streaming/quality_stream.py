@@ -24,6 +24,7 @@ operators).
 from __future__ import annotations
 
 import os
+import threading
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -36,6 +37,7 @@ from ..scratch import scratch_dir, scratch_tmp
 from .dedup_stream import _N_WAVES
 
 _FULL_WAVE_DIRS: dict[str, str] = {}
+_FULL_WAVE_LOCK = threading.Lock()
 
 
 def _full_wave_source_dir(spark: SparkSession, sf_dir: str) -> str:
@@ -43,7 +45,14 @@ def _full_wave_source_dir(spark: SparkSession, sf_dir: str) -> str:
     as one parquet file per ingestion wave (dedup_stream's doc_id
     quartiles, ascending mtimes) — the gate scores arriving TEXT, so
     unlike dedup admission's id-only waves the payload rides the
-    stream."""
+    stream. The build holds a lock for its whole duration (ADVICE r8
+    class: two threads that both miss the cache must not race
+    mode('overwrite') stage writes into one scratch path)."""
+    with _FULL_WAVE_LOCK:
+        return _full_wave_build(spark, sf_dir)
+
+
+def _full_wave_build(spark: SparkSession, sf_dir: str) -> str:
     if sf_dir not in _FULL_WAVE_DIRS:
         import glob as _glob
         import shutil
