@@ -1506,14 +1506,21 @@ def _expr_col(e):
                 s(e.args[0]), e.args[1].value, e.args[2].value
             )
         if e.fn in ("STRBEFORE", "STRAFTER"):
-            # spec: empty string when the separator does not occur
+            # spec: empty string when the separator does not occur; a
+            # NULL (unbound OPTIONAL) input stays NULL so the BIND
+            # alias stays unbound and BOUND() agrees with SPARQL 1.1
+            # error propagation (ADVICE r9)
             col, sep = s(e.args[0]), e.args[1].value
             loc = F.locate(sep, col)
             if e.fn == "STRBEFORE":
                 hit = F.substr(col, F.lit(1), loc - 1)
             else:
                 hit = F.substr(col, loc + len(sep))
-            return F.when(loc > 0, hit).otherwise(F.lit(""))
+            return (
+                F.when(col.isNull(), F.lit(None).cast("string"))
+                .when(loc > 0, hit)
+                .otherwise(F.lit(""))
+            )
         if e.fn == "SUBSTR":
             pos = e.args[1]
             if not isinstance(pos, ExprNum) or pos.value != int(pos.value):

@@ -105,12 +105,29 @@ def _wave_source_dir(spark: SparkSession, sf_dir: str) -> str:
 
 
 def _wave_build(spark: SparkSession, sf_dir: str) -> str:
-    if sf_dir not in _WAVE_DIRS:
+    return wave_build(spark, sf_dir, ["doc_id"], "docwaves", _WAVE_DIRS)
+
+
+def wave_build(
+    spark: SparkSession,
+    sf_dir: str,
+    columns: list[str],
+    scratch_key: str,
+    cache: dict[str, str],
+) -> str:
+    """Shared wave-source builder (ADVICE r9: quality_stream duplicated
+    this wholesale — one copy so the wave math / mtime-ordering can't
+    drift between the two streaming sources). Documents split into
+    _N_WAVES doc_id quartiles, each written sequentially as one plain
+    parquet file (ascending mtimes, no _SUCCESS markers) so a streaming
+    file source with maxFilesPerTrigger=1 replays them in doc_id order.
+    Callers must hold their own lock across the call."""
+    if sf_dir not in cache:
         import glob as _glob
         import shutil
 
-        out = scratch_dir("docwaves", sf_dir)
-        docs = load_table(spark, sf_dir, "documents").select("doc_id")
+        out = scratch_dir(scratch_key, sf_dir)
+        docs = load_table(spark, sf_dir, "documents").select(*columns)
         max_id = docs.agg(F.max("doc_id")).collect()[0][0]
         bs = (max_id + _N_WAVES) // _N_WAVES  # ceil((max+1)/4)
         os.makedirs(out, exist_ok=True)
@@ -128,8 +145,8 @@ def _wave_build(spark: SparkSession, sf_dir: str) -> str:
             part = _glob.glob(f"{stage}/part-*.parquet")[0]
             shutil.move(part, f"{out}/wave{w}.parquet")
             shutil.rmtree(stage)
-        _WAVE_DIRS[sf_dir] = out
-    return _WAVE_DIRS[sf_dir]
+        cache[sf_dir] = out
+    return cache[sf_dir]
 
 
 _ADMIT_ORACLE = f"""

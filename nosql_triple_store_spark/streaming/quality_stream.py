@@ -33,8 +33,8 @@ from ..catalog import load_table
 from ..functions.textfns import TOKS_SQL
 from ..operators.text_ext10 import nb_components, nb_score
 from ..registry import register
-from ..scratch import scratch_dir, scratch_tmp
-from .dedup_stream import _N_WAVES
+from ..scratch import scratch_tmp
+from .dedup_stream import _N_WAVES, wave_build
 
 _FULL_WAVE_DIRS: dict[str, str] = {}
 _FULL_WAVE_LOCK = threading.Lock()
@@ -45,38 +45,18 @@ def _full_wave_source_dir(spark: SparkSession, sf_dir: str) -> str:
     as one parquet file per ingestion wave (dedup_stream's doc_id
     quartiles, ascending mtimes) — the gate scores arriving TEXT, so
     unlike dedup admission's id-only waves the payload rides the
-    stream. The build holds a lock for its whole duration (ADVICE r8
-    class: two threads that both miss the cache must not race
-    mode('overwrite') stage writes into one scratch path)."""
+    stream. Delegates to dedup_stream.wave_build (ADVICE r9: one copy
+    of the wave math) under its own lock (ADVICE r8 class: two threads
+    that both miss the cache must not race mode('overwrite') stage
+    writes into one scratch path)."""
     with _FULL_WAVE_LOCK:
-        return _full_wave_build(spark, sf_dir)
-
-
-def _full_wave_build(spark: SparkSession, sf_dir: str) -> str:
-    if sf_dir not in _FULL_WAVE_DIRS:
-        import glob as _glob
-        import shutil
-
-        out = scratch_dir("docwaves_full", sf_dir)
-        docs = load_table(spark, sf_dir, "documents").select(
-            "doc_id", "lang", "text"
+        return wave_build(
+            spark,
+            sf_dir,
+            ["doc_id", "lang", "text"],
+            "docwaves_full",
+            _FULL_WAVE_DIRS,
         )
-        max_id = docs.agg(F.max("doc_id")).collect()[0][0]
-        bs = (max_id + _N_WAVES) // _N_WAVES
-        os.makedirs(out, exist_ok=True)
-        for w in range(_N_WAVES):
-            stage = f"{out}/_stage_w{w}"
-            (
-                docs.filter(F.expr(f"doc_id div {bs}") == w)
-                .coalesce(1)
-                .write.mode("overwrite")
-                .parquet(stage)
-            )
-            part = _glob.glob(f"{stage}/part-*.parquet")[0]
-            shutil.move(part, f"{out}/wave{w}.parquet")
-            shutil.rmtree(stage)
-        _FULL_WAVE_DIRS[sf_dir] = out
-    return _FULL_WAVE_DIRS[sf_dir]
 
 _GATE_TAU = 0.0  # admit iff log-odds >= 0 (classifier says "curated")
 
@@ -99,7 +79,7 @@ prior AS (
 counts AS (
   SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS n
   FROM tok GROUP BY doc_id, token),
-scores AS (
+tokscores AS (
   SELECT c.doc_id,
          ROUND(MAX(prior.lp) + SUM(c.n * ln(
              ((COALESCE(m.cp, 0) + 1) * (totals.nneg + totals.v))
@@ -108,6 +88,12 @@ scores AS (
   FROM counts c
   LEFT JOIN model m ON c.token = m.token, totals, prior
   GROUP BY c.doc_id),
+-- token-less docs (text tokenizes to nothing) still get a decision:
+-- scored at the prior alone (ADVICE r9 — the explode must not make an
+-- arriving doc vanish from the gate census)
+scores AS (
+  SELECT d.doc_id, COALESCE(ts.s, ROUND(prior.lp, 4)) AS s
+  FROM documents d LEFT JOIN tokscores ts ON d.doc_id = ts.doc_id, prior),
 bsz AS (SELECT (MAX(doc_id) + {_N_WAVES}) // {_N_WAVES} AS bs
         FROM documents)
 SELECT CAST(sc.doc_id // bsz.bs AS BIGINT) AS wave,
@@ -130,8 +116,11 @@ def q_stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     derived from doc_id (the quartile contract of _wave_source_dir),
     so a mis-batched file source changes nothing and the SQL oracle
     can recompute the gate exactly. Decision sinks are idempotent by
-    batch_id (retries no-op), matching foreachBatch's re-execution
-    contract."""
+    batch_id AND crash-safe (stage-write + atomic rename — a crash
+    mid-write leaves only a _stage dir the retry overwrites, never a
+    partial published dir it would skip), matching foreachBatch's
+    re-execution contract. Docs whose text tokenizes to zero tokens
+    still receive a decision row, scored at the prior alone."""
     src = _full_wave_source_dir(spark, sf_dir)
     model, totals, prior = nb_components(spark, sf_dir)
     # freeze the deployed model ONCE (localCheckpoint): foreachBatch
@@ -149,13 +138,37 @@ def q_stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     os.makedirs(dec_dir, exist_ok=True)
 
     def gate(batch_df: DataFrame, batch_id: int) -> None:
+        import shutil
+
         dpath = f"{dec_dir}/v{batch_id:06d}"
         if os.path.isdir(dpath):
-            return  # idempotent retry
+            return  # idempotent retry (publish below is atomic)
         scored = nb_score(batch_df, model, totals, prior)
-        scored.withColumn(
-            "admitted", (F.col("nb_score") >= F.lit(_GATE_TAU))
-        ).write.mode("overwrite").parquet(dpath)
+        # ADVICE r9: a doc whose text tokenizes to zero tokens gets no
+        # row out of nb_score (the explode drops it) — left-join the
+        # batch's ids back so every arriving doc receives a decision,
+        # token-less ones scored at the prior alone
+        decisions = (
+            batch_df.select("doc_id")
+            .join(scored.select("doc_id", "nb_score"), "doc_id", "left")
+            .crossJoin(F.broadcast(prior))
+            .select(
+                "doc_id",
+                F.coalesce("nb_score", F.round("lp", 4)).alias("nb_score"),
+            )
+            .withColumn("admitted", F.col("nb_score") >= F.lit(_GATE_TAU))
+        )
+        # ADVICE r9 (medium): mode('overwrite') creates dpath the
+        # moment the job starts, so a crash mid-write would leave a
+        # partial dir the isdir retry-guard permanently skips — write
+        # to a stage path and publish with an atomic rename, mirroring
+        # dedup_stream.admit
+        stage = f"{dec_dir}/_stage_v{batch_id:06d}"
+        decisions.write.mode("overwrite").parquet(stage)
+        if not os.path.isdir(dpath):
+            os.rename(stage, dpath)
+        else:
+            shutil.rmtree(stage, ignore_errors=True)
 
     stream = (
         spark.readStream.schema(docs_schema)

@@ -65,3 +65,42 @@ def test_gate_matches_batch_scoring(spark):
         for r in SPECS["q_stream_quality_gate"].fn(spark, SF_DIR).collect()
     }
     assert streamed == batch
+
+
+def test_gate_tokenless_docs_get_prior_decision(spark, tmp_path):
+    """ADVICE r9: a doc whose text tokenizes to nothing must still
+    appear in the census (scored at the prior alone), not vanish in
+    the explode. Build a fixture where 3 odd docs have empty/space
+    text and check n_seen still covers every doc and the census
+    matches the SQL oracle recomputed by DuckDB on the same dir."""
+    import duckdb
+
+    from nosql_triple_store_spark.streaming import quality_stream as qs
+
+    from .util import compare_to_duckdb
+
+    sf = str(tmp_path / "sf")
+    (tmp_path / "sf").mkdir()
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    from pyspark.sql import functions as F
+
+    blanked = docs.withColumn(
+        "text",
+        F.when(F.col("doc_id").isin(1, 3, 251), F.lit("  . ")).otherwise(
+            F.col("text")
+        ),
+    )
+    blanked.coalesce(1).write.parquet(f"{sf}/documents.parquet")
+    n_docs = docs.count()
+
+    res = SPECS["q_stream_quality_gate"].fn(spark, sf)
+    rows = res.collect()
+    assert sum(r["n_seen"] for r in rows) == n_docs
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet/*.parquet')"
+    )
+    compare_to_duckdb(res, con, SPECS["q_stream_quality_gate"].oracle)
+    con.close()

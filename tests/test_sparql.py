@@ -930,3 +930,36 @@ def test_parse_replace_strbefore_strafter():
 def test_rejects_bad_string_functions(bad):
     with pytest.raises(ValueError):
         parse_sparql(bad)
+
+
+def test_strbefore_strafter_preserve_unbound(spark):
+    """ADVICE r9: STRBEFORE/STRAFTER over an unbound OPTIONAL var must
+    leave the BIND alias unbound (NULL), not coerce it to '' — SPARQL
+    1.1 raises a type error on unbound args, so BOUND(?alias) must be
+    false. ?seg never binds on nation subjects (customers-only
+    predicate)."""
+    from nosql_triple_store_spark.plans.sparql import compile_sparql_encoded
+
+    rows = compile_sparql_encoded(
+        spark,
+        SF_DIR,
+        'SELECT ?nm ?b ?a WHERE { ?n hasName ?nm . '
+        "OPTIONAL { ?n inSegment ?seg } "
+        'BIND(STRBEFORE(?seg, "_") AS ?b) '
+        'BIND(STRAFTER(?seg, "_") AS ?a) '
+        'FILTER(REGEX(?nm, "^NATION_")) } LIMIT 5',
+    ).collect()
+    assert rows
+    for r in rows:
+        assert r["b"] is None and r["a"] is None
+    # bound input still follows the spec: hit -> split, miss -> ''
+    rows2 = compile_sparql_encoded(
+        spark,
+        SF_DIR,
+        'SELECT ?nm ?b ?m WHERE { ?n hasName ?nm . '
+        'BIND(STRBEFORE(?nm, "_") AS ?b) '
+        'BIND(STRAFTER(?nm, "x") AS ?m) '
+        'FILTER(REGEX(?nm, "^NATION_")) } LIMIT 5',
+    ).collect()
+    for r in rows2:
+        assert r["b"] == "NATION" and r["m"] == ""
