@@ -328,3 +328,50 @@ def q_sparql_order_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
     name itself as tiebreak (deterministic LIMIT cut), through the
     same expression grammar BIND uses."""
     return compile_sparql_encoded(spark, sf_dir, _ORDER_EXPR_Q)
+
+
+_UPDATE_TMPL_Q = """
+DELETE { ?c inSegment ?seg }
+INSERT { ?seg hasMember ?c . ?c wasSegmented "y" }
+WHERE { ?c inSegment ?seg . ?c inNation ?n } ;
+INSERT { ?n hasSegMember ?seg }
+WHERE { ?c inNation ?n . ?seg hasMember ?c }
+"""
+
+
+@register(
+    "q_sparql_update_tmpl",
+    oracle=f"""
+WITH {TRIPLES_SQL},
+sol AS (
+  SELECT c.s AS c, c.o AS seg, n.o AS n
+  FROM triples c JOIN triples n ON n.s = c.s AND n.p = 'inNation'
+  WHERE c.p = 'inSegment'),
+st1 AS (
+  SELECT t.s, t.p, t.o FROM triples t
+  WHERE NOT EXISTS (SELECT 1 FROM sol
+                    WHERE sol.c = t.s AND t.p = 'inSegment'
+                      AND sol.seg = t.o)
+  UNION SELECT seg, 'hasMember', c FROM sol
+  UNION SELECT c, 'wasSegmented', 'y' FROM sol),
+i2 AS (
+  SELECT DISTINCT cn.o AS s, 'hasSegMember' AS p, hm.s AS o
+  FROM st1 cn JOIN st1 hm ON hm.o = cn.s AND hm.p = 'hasMember'
+  WHERE cn.p = 'inNation')
+SELECT s, p, o FROM st1 UNION SELECT s, p, o FROM i2
+""",
+)
+def q_sparql_update_tmpl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The combined `DELETE {{tmpl}} INSERT {{tmpl}} WHERE` form with a
+    MULTI-TRIPLE insert template and variable reordering (?seg becomes
+    a SUBJECT — template instantiation is positional, SPARQL 1.1
+    §3.1.3): customer segment edges are rewritten into reverse
+    hasMember edges plus a wasSegmented marker, both instantiated from
+    the SAME solution multiset as the delete (deletions first). Op 2's
+    WHERE then joins triples op 1 JUST INSERTED (hasMember) against
+    surviving inNation edges — textual sequence semantics over the
+    evolving state — rolling segment membership up to the nation level.
+    Reference parity: the template generalization of the R2 keyed write
+    path (SQLite3DBConnector.py:48-119) the way SPARQL 1.1 generalizes
+    ground writes. Output: the full post-update graph."""
+    return compile_sparql_update(spark, sf_dir, _UPDATE_TMPL_Q)

@@ -89,8 +89,10 @@ Scope (documented subset, rejected loudly outside it):
   with ``;`` in textual order. The compiler returns the POST-UPDATE
   STATE as a DataFrame (the engine's storage is immutable parquet —
   updates are state transformations, exactly q_upsert_result's
-  contract). Everything else of SPARQL Update (INSERT/DELETE WHERE
-  templates, USING, GRAPH-qualified data) is rejected loudly.
+  contract). Template forms ``[DELETE { tmpl }] [INSERT { tmpl }]
+  WHERE { patterns }`` are ALSO supported (see the round-9-additions
+  list below). Everything else of SPARQL Update (USING/USING NAMED,
+  WITH, GRAPH-qualified data, LOAD/CLEAR/DROP) is rejected loudly.
 
 Round-9 additions beyond the verdict list:
 - aggregates ``GROUP_CONCAT(?v [; SEPARATOR="s"])`` (values SORTED for
@@ -2098,9 +2100,11 @@ class UpdateOp:
 
 def parse_sparql_update(text: str) -> list[UpdateOp]:
     """Parse the supported SPARQL Update subset: `INSERT DATA {...}`,
-    `DELETE DATA {...}`, `DELETE WHERE { pattern }`, sequenced with
-    `;`. Everything else (INSERT/DELETE WHERE templates, USING, WITH,
-    GRAPH-qualified data, LOAD/CLEAR/DROP) is rejected loudly."""
+    `DELETE DATA {...}`, `DELETE WHERE { pattern }`, and the template
+    forms `INSERT { tmpl } WHERE {...}` / `DELETE { tmpl } [INSERT
+    { tmpl }] WHERE {...}`, sequenced with `;`. Everything else
+    (USING/USING NAMED, WITH, GRAPH-qualified data, LOAD/CLEAR/DROP)
+    is rejected loudly."""
     p = _Parser(tokenize(text))
     ops: list[UpdateOp] = []
     while True:
@@ -2113,6 +2117,7 @@ def parse_sparql_update(text: str) -> list[UpdateOp]:
                 )
             elif p.peek() == "{":
                 ins = _tmpl_group(p, "INSERT")
+                _reject_using(p)
                 p.expect("WHERE")
                 ops.append(
                     UpdateOp(
@@ -2152,6 +2157,7 @@ def parse_sparql_update(text: str) -> list[UpdateOp]:
                 if (p.peek() or "").upper() == "INSERT":
                     p.next()
                     ins = _tmpl_group(p, "INSERT")
+                _reject_using(p)
                 p.expect("WHERE")
                 ops.append(
                     UpdateOp(
@@ -2166,10 +2172,17 @@ def parse_sparql_update(text: str) -> list[UpdateOp]:
                     f"unsupported DELETE form at {p.peek()!r} "
                     "(DATA, WHERE, or a {{ template }})"
                 )
+        elif t == "WITH":
+            raise ValueError(
+                "WITH <graph> update scoping is unsupported — the "
+                "engine's update algebra runs over the default triples "
+                "view (use the GRAPH-free template forms)"
+            )
         else:
             raise ValueError(
                 f"unsupported update operation {t!r} — the subset is "
-                "INSERT DATA / DELETE DATA / DELETE WHERE"
+                "INSERT DATA / DELETE DATA / DELETE WHERE / "
+                "[DELETE {tmpl}] [INSERT {tmpl}] WHERE {...}"
             )
         if p.peek() is None:
             break
@@ -2177,6 +2190,20 @@ def parse_sparql_update(text: str) -> list[UpdateOp]:
         if p.peek() is None:
             break  # trailing separator
     return ops
+
+
+def _reject_using(p: _Parser) -> None:
+    """USING / USING NAMED dataset clauses are a documented
+    non-goal: the update algebra evaluates WHERE against the default
+    triples view (the engine's named-graph surface is the quad layout
+    read side). Recognized and rejected loudly rather than falling
+    through to a generic expected-WHERE parse error."""
+    if (p.peek() or "").upper() == "USING":
+        raise ValueError(
+            "USING / USING NAMED dataset clauses are unsupported in "
+            "update templates — WHERE evaluates against the default "
+            "triples view"
+        )
 
 
 def _tmpl_group(p: _Parser, kind: str) -> tuple:

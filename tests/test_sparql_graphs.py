@@ -107,11 +107,34 @@ def test_describe_var_matches_iri_twin(spark):
         "CLEAR GRAPH <g:x>",  # unsupported op
         "LOAD <http://x>",  # unsupported op
         "DELETE USING <g> WHERE { ?s ?p ?o }",  # USING clause
+        # USING between template and WHERE (the SPARQL 1.1 position)
+        "DELETE { ?s ?p ?o } USING <g:x> WHERE { ?s ?p ?o }",
+        "INSERT { ?s ?p ?o } USING NAMED <g:x> WHERE { ?s ?p ?o }",
+        "DELETE { ?s ?p ?o } INSERT { ?s ?p ?o } USING <g> "
+        "WHERE { ?s ?p ?o }",
+        "WITH <g:x> DELETE { ?s ?p ?o } WHERE { ?s ?p ?o }",  # WITH scope
+        "INSERT { GRAPH <g:x> { ?s ?p ?o } } WHERE { ?s ?p ?o }",  # GRAPH tmpl
+        "DROP GRAPH <g:x>",  # unsupported op
+        "DELETE { } WHERE { ?s ?p ?o } MORE",  # trailing garbage
+        "INSERT WHERE { ?s ?p ?o }",  # template-less INSERT
     ],
 )
 def test_rejects_bad_updates(bad):
     with pytest.raises(ValueError):
         parse_sparql_update(bad)
+
+
+def test_using_and_with_rejections_are_specific():
+    """ADVICE/VERDICT r9 #1: USING and WITH must be RECOGNIZED
+    rejections (actionable message), not a generic parse error."""
+    with pytest.raises(ValueError, match="USING / USING NAMED"):
+        parse_sparql_update(
+            "DELETE { ?s ?p ?o } USING <g> WHERE { ?s ?p ?o }"
+        )
+    with pytest.raises(ValueError, match="WITH <graph>"):
+        parse_sparql_update(
+            "WITH <g> DELETE { ?s ?p ?o } WHERE { ?s ?p ?o }"
+        )
 
 
 def test_parse_group_concat_sample_bound_if():
