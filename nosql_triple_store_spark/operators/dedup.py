@@ -73,20 +73,21 @@ def _shingle_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, shingle) exploded stream, materialized once per process
     as scratch parquet (written 32-wide so the explode parallelizes)."""
     if sf_dir not in _SHINGLE_DIRS:
-        from ..scratch import scratch_dir
+        from ..scratch import scratch_dir, timed_build
 
-        out = scratch_dir("shingles", sf_dir)
-        docs = load_table(spark, sf_dir, "documents")
-        (
-            docs.select(
-                "doc_id",
-                F.explode(shingles_col(tokens_col())).alias("shingle"),
+        with timed_build("shingle_stream"):
+            out = scratch_dir("shingles", sf_dir)
+            docs = load_table(spark, sf_dir, "documents")
+            (
+                docs.select(
+                    "doc_id",
+                    F.explode(shingles_col(tokens_col())).alias("shingle"),
+                )
+                .repartition(cluster_cores(spark))
+                .write.mode("overwrite")
+                .parquet(out)
             )
-            .repartition(cluster_cores(spark))
-            .write.mode("overwrite")
-            .parquet(out)
-        )
-        _SHINGLE_DIRS[sf_dir] = out
+            _SHINGLE_DIRS[sf_dir] = out
     return spark.read.parquet(_SHINGLE_DIRS[sf_dir])
 
 
@@ -111,12 +112,14 @@ def _shingle_pairs(
     key = (sf_dir, df_cap)
     if key in _PAIR_DIRS:
         return spark.read.parquet(_PAIR_DIRS[key])
-    pairs = _shingle_pairs_plan(spark, sf_dir, df_cap)
-    from ..scratch import scratch_dir
+    from ..scratch import scratch_dir, timed_build
 
-    out = scratch_dir(f"shingle_pairs_{df_cap}", sf_dir)
-    pairs.write.mode("overwrite").parquet(out)
-    _PAIR_DIRS[key] = out
+    _shingle_stream(spark, sf_dir)  # its own timed_build (no nesting)
+    with timed_build(f"shingle_pairs_{df_cap}"):
+        pairs = _shingle_pairs_plan(spark, sf_dir, df_cap)
+        out = scratch_dir(f"shingle_pairs_{df_cap}", sf_dir)
+        pairs.write.mode("overwrite").parquet(out)
+        _PAIR_DIRS[key] = out
     return spark.read.parquet(out)
 
 

@@ -90,16 +90,18 @@ def band_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_dedup_pipeline (self-join), q_dedup_incremental (directional
     probe), q_stream_dedup_admission (per-batch probe + append)."""
     if sf_dir not in _BAND_DIRS:
-        from ..scratch import scratch_dir
+        from ..scratch import scratch_dir, timed_build
 
-        out = scratch_dir("bandindex", sf_dir)
-        (
-            _band_keys(_shingle_stream(spark, sf_dir))
-            .repartition(max(8, cluster_cores(spark) // 4))
-            .write.mode("overwrite")
-            .parquet(out)
-        )
-        _BAND_DIRS[sf_dir] = out
+        sh = _shingle_stream(spark, sf_dir)  # its own timed_build
+        with timed_build("band_index"):
+            out = scratch_dir("bandindex", sf_dir)
+            (
+                _band_keys(sh)
+                .repartition(max(8, cluster_cores(spark) // 4))
+                .write.mode("overwrite")
+                .parquet(out)
+            )
+            _BAND_DIRS[sf_dir] = out
     return spark.read.parquet(_BAND_DIRS[sf_dir])
 
 
@@ -159,15 +161,15 @@ def verified_edges_scratch(spark: SparkSession, sf_dir: str) -> DataFrame:
     (sub-quadratic, measured ×3.1 for ×3 data at sf3) and the verify is
     |candidates| × doc length."""
     if sf_dir not in _EDGE_DIRS:
-        from ..scratch import scratch_dir
+        from ..scratch import scratch_dir, timed_build
 
-        sh = _shingle_stream(spark, sf_dir)
-        edges = _verified_edges(
-            sh, _minhash_candidates(sh, band_index(spark, sf_dir))
-        )
-        out = scratch_dir("nearband_edges", sf_dir)
-        edges.write.mode("overwrite").parquet(out)
-        _EDGE_DIRS[sf_dir] = out
+        sh = _shingle_stream(spark, sf_dir)  # its own timed_build
+        bands = band_index(spark, sf_dir)  # its own timed_build
+        with timed_build("nearband_edges"):
+            edges = _verified_edges(sh, _minhash_candidates(sh, bands))
+            out = scratch_dir("nearband_edges", sf_dir)
+            edges.write.mode("overwrite").parquet(out)
+            _EDGE_DIRS[sf_dir] = out
     return spark.read.parquet(_EDGE_DIRS[sf_dir])
 
 

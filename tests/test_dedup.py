@@ -147,3 +147,28 @@ def test_simhash_arity2_covering_design():
         assert any(
             pair in combos for pair in combinations(triple, 2)
         ), triple
+
+
+def test_scratch_builds_record_to_layout_bucket(spark):
+    """VERDICT r9 #4: first-touch scratch builds must be attributable
+    to the layout bucket — builders record their build wall-clock via
+    scratch.timed_build, drained by the bench harness around each
+    query. A fresh sf_dir key must record a build; a warm one must
+    not."""
+    import shutil
+
+    from nosql_triple_store_spark import scratch as sc
+    from nosql_triple_store_spark.operators import dedup as dd
+
+    # fresh alias dir for the same data -> cold build path
+    alias = sc.scratch_tmp("sfalias_")
+    shutil.rmtree(alias, ignore_errors=True)
+    shutil.copytree(SF_DIR, alias)
+
+    sc.drain_build_seconds()
+    dd._shingle_stream(spark, alias).count()
+    built = sc.drain_build_seconds()
+    assert "shingle_stream" in built and built["shingle_stream"] > 0
+
+    dd._shingle_stream(spark, alias).count()  # warm: no rebuild
+    assert sc.drain_build_seconds() == {}

@@ -85,3 +85,52 @@ def test_trend_forecast_matches_builtin_regr(spark):
         want_forecast = round((b.ic + b.sl * (b.dmax + 1)) / 100, 2)
         assert abs(r.slope_per_day - round(b.sl / 100, 2)) <= 0.01
         assert abs(r.forecast_next_day - want_forecast) <= 0.01
+
+
+def test_sssp_frontier_join_is_size_adaptive(spark):
+    """VERDICT r9 #1: the relaxation join must broadcast only while the
+    frontier is small — above FRONTIER_BROADCAST_MAX the plan must flip
+    to a non-broadcast join (a forced broadcast of an O(|V|) frontier
+    is a driver-memory hazard on expander graphs)."""
+    from nosql_triple_store_spark.operators.relational_ext17 import (
+        FRONTIER_BROADCAST_MAX,
+        _relax_candidates,
+    )
+
+    adj = (
+        spark.range(8)
+        .select(
+            F.col("id").alias("src"),
+            F.array(
+                F.struct(
+                    (F.col("id") + 1).alias("dst"), F.lit(1).cast("long").alias("w")
+                )
+            ).alias("nbrs"),
+        )
+    )
+    frontier = spark.createDataFrame([(0, 0)], "node long, dist long")
+
+    # disable auto-broadcast so any BroadcastHashJoin in the plan can
+    # only come from the operator's own hint (the tiny test adjacency
+    # would otherwise be auto-broadcast, masking the flip)
+    key = "spark.sql.autoBroadcastJoinThreshold"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try:
+        small = _relax_candidates(frontier, 10, adj)
+        assert (
+            "BroadcastHashJoin"
+            in small._jdf.queryExecution().executedPlan().toString()
+        )
+
+        big = _relax_candidates(frontier, FRONTIER_BROADCAST_MAX + 1, adj)
+        assert (
+            "BroadcastHashJoin"
+            not in big._jdf.queryExecution().executedPlan().toString()
+        )
+        # both strategies produce identical relaxation candidates
+        assert sorted(map(tuple, small.collect())) == sorted(
+            map(tuple, big.collect())
+        )
+    finally:
+        spark.conf.set(key, old)

@@ -112,3 +112,35 @@ def test_mixture_dsir_matches_pure_python(spark):
         for r in SPECS["q_mixture_dsir"].fn(spark, SF_DIR).collect()
     ]
     assert got == expect
+
+
+def test_nb_model_join_bucketed_fallback(spark):
+    """VERDICT r9 #7: past NB_BROADCAST_MAX_TOKENS the model join must
+    flip from broadcast to a shuffle hash join co-partitioned on token
+    — and produce IDENTICAL scores (the switch is a physical-plan
+    choice, not a semantic one)."""
+    from nosql_triple_store_spark.catalog import load_table
+    from nosql_triple_store_spark.operators.text_ext10 import (
+        NB_BROADCAST_MAX_TOKENS,
+        nb_components,
+        nb_score,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").filter("doc_id % 2 = 1")
+    model, totals, prior = nb_components(spark, SF_DIR)
+
+    bcast = nb_score(docs, model, totals, prior)
+    plan_b = bcast._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan_b
+
+    shuf = nb_score(
+        docs, model, totals, prior,
+        model_rows=NB_BROADCAST_MAX_TOKENS + 1,
+    )
+    plan_s = shuf._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in plan_s
+    assert "ShuffledHashJoin" in plan_s
+
+    assert sorted(map(tuple, bcast.collect())) == sorted(
+        map(tuple, shuf.collect())
+    )
