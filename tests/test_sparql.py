@@ -204,13 +204,39 @@ def test_parse_union():
         "{ ?e inSegment ?g } ?e hasName ?x . }",
         # empty group
         "SELECT ?a WHERE { { } UNION { ?a p ?b } }",
-        # OPTIONAL + UNION
-        "SELECT ?a WHERE { { ?a p ?b } UNION { ?a q ?b } OPTIONAL { ?a z ?c } }",
+        # MINUS + UNION stays a documented subset edge
+        "SELECT ?a WHERE { { ?a p ?b } UNION { ?a q ?b } MINUS { ?a z ?c } }",
     ],
 )
 def test_rejects_bad_unions(bad):
     with pytest.raises(ValueError):
         parse_sparql(bad)
+
+
+def test_optional_over_union_accepted_and_left_extends(spark):
+    """Round 10 (VERDICT r9 #5): OPTIONAL over a UNION group parses and
+    compiles as leftjoin(union(A, B), C) — the OPTIONAL extends the
+    whole union's bag; suppliers (no inSegment) get NULL."""
+    q = parse_sparql(
+        "SELECT ?a ?c WHERE "
+        "{ { ?a p ?b } UNION { ?a q ?b } OPTIONAL { ?a z ?c } }"
+    )
+    assert len(q.unions) == 2 and len(q.optionals) == 1
+
+    from nosql_triple_store_spark.plans.sparql import compile_sparql_encoded
+
+    rows = compile_sparql_encoded(
+        spark,
+        SF_DIR,
+        "SELECT ?m ?seg WHERE { { ?m inSegment ?n } UNION "
+        "{ ?m inNation ?n } "
+        "OPTIONAL { ?m inSegment ?seg } }",
+    ).collect()
+    assert rows
+    # branch A members always re-bind BUILDING; suppliers in branch B
+    # (they match inNation but have no segment) must stay NULL
+    segs = {r["seg"] for r in rows}
+    assert None in segs and "BUILDING" in segs
 
 
 def test_sparql_groupby_is_partial_aggregate(spark):
