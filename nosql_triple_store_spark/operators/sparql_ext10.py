@@ -178,3 +178,64 @@ def q_sparql_optional_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantics hold: a BUILDING customer appears once per matching
     branch, each row left-extended independently."""
     return compile_sparql_encoded(spark, sf_dir, _OPT_UNION_Q)
+
+
+_MINUS_UNION_Q = """
+SELECT ?m ?n WHERE {
+  { ?m inSegment ?n }
+  UNION
+  { ?m inNation ?n }
+  MINUS { ?m inSegment "BUILDING" }
+}
+"""
+
+
+@register(
+    "q_sparql_minus_union",
+    oracle=f"""
+WITH {TRIPLES_SQL},
+branches AS (
+  SELECT s AS m, o AS n FROM triples WHERE p = 'inSegment'
+  UNION ALL
+  SELECT s, o FROM triples WHERE p = 'inNation')
+SELECT m, n FROM branches br
+WHERE NOT EXISTS (SELECT 1 FROM triples x
+                  WHERE x.s = br.m AND x.p = 'inSegment'
+                    AND x.o = 'BUILDING')
+""",
+)
+def q_sparql_minus_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MINUS over a UNION group (round 10, the #5 twin): the union of
+    branches compiles to one bound relation, then the shared-?m
+    anti-join removes every binding compatible with a BUILDING-segment
+    customer — minus(union(A, B), C), SPARQL 1.1 group semantics.
+    Suppliers and non-BUILDING customers survive in BOTH branches'
+    rows (bag preserved through the anti-join)."""
+    return compile_sparql_encoded(spark, sf_dir, _MINUS_UNION_Q)
+
+
+_GROUPBY_NOAGG_Q = """
+SELECT ?n ?seg WHERE {
+  ?c inNation ?n .
+  ?c inSegment ?seg .
+} GROUP BY ?n ?seg
+"""
+
+
+@register(
+    "q_sparql_groupby_noagg",
+    oracle=f"""
+WITH {TRIPLES_SQL}
+SELECT DISTINCT a.o AS n, b.o AS seg
+FROM triples a JOIN triples b ON b.s = a.s
+WHERE a.p = 'inNation' AND b.p = 'inSegment'
+""",
+)
+def q_sparql_groupby_noagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY with NO aggregates (round 10 — a legal SPARQL 1.1 form
+    rejected through round 9): one result row per (nation, segment)
+    group, i.e. the distinct key combinations of the customer join.
+    Lowered to a hash-distinct over the group keys — Spark plans the
+    same partial/final aggregate pair as COUNT-style grouping, minus
+    the aggregate buffers."""
+    return compile_sparql_encoded(spark, sf_dir, _GROUPBY_NOAGG_Q)

@@ -61,7 +61,8 @@ def test_parse_full_surface():
         "SELECT ?s WHERE { }",  # no patterns
         "SELECT ?s WHERE { ?s ?p }",  # incomplete triple
         "SELECT ?s WHERE { ?s ?p ?o } LIMIT x",  # non-integer limit
-        "SELECT ?s WHERE { ?s ?p ?o } GROUP BY ?s",  # unsupported clause
+        # GROUP BY of an unprojectable var mix still rejects
+        "SELECT ?s ?p WHERE { ?s ?p ?o } GROUP BY ?s",  # ?p ungrouped
         'SELECT ?s WHERE { ?s ?p ?o FILTER(?s ~ "x") }',  # bad operator
     ],
 )
@@ -172,7 +173,7 @@ def test_parse_aggregates():
         "SELECT (MIN(*) AS ?m) WHERE { ?x p ?g }",  # MIN(*)
         "SELECT (SUM(*) AS ?s) WHERE { ?x p ?g }",  # SUM(*)
         "SELECT ?x (COUNT(*) AS ?n) WHERE { ?x p ?g }",  # x not grouped
-        "SELECT ?x WHERE { ?x p ?g } GROUP BY ?x",  # group w/o agg
+        "SELECT ?x ?g WHERE { ?x p ?g } GROUP BY ?x",  # ?g ungrouped
         "SELECT * (COUNT(*) AS ?n) WHERE { ?x p ?g }",  # * with agg
     ],
 )
@@ -204,8 +205,6 @@ def test_parse_union():
         "{ ?e inSegment ?g } ?e hasName ?x . }",
         # empty group
         "SELECT ?a WHERE { { } UNION { ?a p ?b } }",
-        # MINUS + UNION stays a documented subset edge
-        "SELECT ?a WHERE { { ?a p ?b } UNION { ?a q ?b } MINUS { ?a z ?c } }",
     ],
 )
 def test_rejects_bad_unions(bad):
@@ -438,10 +437,6 @@ def test_parse_path_star_and_minus_notexists():
     [
         # variable followed by * is a path position
         "SELECT ?a WHERE { ?a ?p* ?b . }",
-        # MINUS / NOT EXISTS cannot combine with UNION
-        "SELECT ?a WHERE { { ?a p ?b } UNION { ?a q ?b } MINUS { ?a r ?c } }",
-        "SELECT ?a WHERE { { ?a p ?b } UNION { ?a q ?b } "
-        "FILTER NOT EXISTS { ?a r ?c } }",
         # empty groups
         "SELECT ?a WHERE { ?a p ?b . MINUS { } }",
         "SELECT ?a WHERE { ?a p ?b . FILTER NOT EXISTS { } }",
@@ -989,3 +984,35 @@ def test_strbefore_strafter_preserve_unbound(spark):
     ).collect()
     for r in rows2:
         assert r["b"] == "NATION" and r["m"] == ""
+
+
+def test_minus_and_groupby_noagg_over_union(spark):
+    """Round 10: MINUS / NOT EXISTS compose over UNION groups (same
+    shared-var anti-join as the conjunctive case), and GROUP BY with
+    no aggregates returns one row per group."""
+    from nosql_triple_store_spark.plans.sparql import compile_sparql_encoded
+
+    minus = compile_sparql_encoded(
+        spark,
+        SF_DIR,
+        "SELECT ?m ?n WHERE { { ?m inSegment ?n } UNION "
+        '{ ?m inNation ?n } MINUS { ?m inSegment "BUILDING" } }',
+    ).collect()
+    assert minus
+    # no surviving row may belong to a BUILDING customer
+    building = {
+        r["m"]
+        for r in compile_sparql_encoded(
+            spark, SF_DIR, 'SELECT ?m WHERE { ?m inSegment "BUILDING" }'
+        ).collect()
+    }
+    assert not ({r["m"] for r in minus} & building)
+
+    groups = compile_sparql_encoded(
+        spark,
+        SF_DIR,
+        "SELECT ?n ?s WHERE { ?c inNation ?n . ?c inSegment ?s } "
+        "GROUP BY ?n ?s",
+    ).collect()
+    assert groups
+    assert len(groups) == len({(r["n"], r["s"]) for r in groups})
