@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from ..plans.bgp import TRIPLES_SQL
+from ..plans.quads import QUADS_SQL
 from ..plans.sparql import compile_sparql_encoded
 from ..registry import register
 
@@ -239,3 +240,32 @@ def q_sparql_groupby_noagg(spark: SparkSession, sf_dir: str) -> DataFrame:
     same partial/final aggregate pair as COUNT-style grouping, minus
     the aggregate buffers."""
     return compile_sparql_encoded(spark, sf_dir, _GROUPBY_NOAGG_Q)
+
+
+_FROM_DEFAULT_Q = """
+SELECT ?n (COUNT(*) AS ?members) (SAMPLE(?m) AS ?first_member)
+FROM <g:supplier>
+WHERE { ?m inNation ?n }
+GROUP BY ?n
+"""
+
+
+@register(
+    "q_sparql_from_default",
+    oracle=f"""
+WITH {QUADS_SQL}
+SELECT o AS n, CAST(COUNT(*) AS BIGINT) AS members,
+       MIN(s) AS first_member
+FROM quads WHERE g = 'g:supplier' AND p = 'inNation'
+GROUP BY o
+""",
+)
+def q_sparql_from_default(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain `FROM <g:supplier>` (round 10 — the default-graph
+    override rejected through round 9): the SAME inNation pattern as
+    q_sparql_graph now ranges over the supplier graph as the DEFAULT
+    graph — no GRAPH keyword in the pattern. Lowered as one broadcast
+    semi-join restricting the encoded relation by subject-derived
+    graph (quads_view's provenance rule), then the ordinary encoded
+    aggregate pipeline."""
+    return compile_sparql_encoded(spark, sf_dir, _FROM_DEFAULT_Q)

@@ -79,8 +79,11 @@ Scope (documented subset, rejected loudly outside it):
   of the query on shared variables over decoded terms; a constant
   graph prunes ``g=`` partitions at the scan, ``FROM NAMED``
   restricts which graphs a ``GRAPH ?g`` ranges over. Plain ``FROM``
-  (default-graph override) is rejected loudly; the default graph for
-  non-GRAPH patterns stays the full triples view.
+  (default-graph override) makes the DEFAULT graph the merge of the
+  listed graphs (round 10): one broadcast semi-join restricts the
+  encoded relation by subject-derived graph, so patterns, paths,
+  OPTIONAL and MINUS all compose; with no FROM, the default graph is
+  the full triples view.
 - SPARQL UPDATE subset (round 9, VERDICT r8 #4), via
   :func:`parse_sparql_update` / :func:`compile_sparql_update`:
   ``INSERT DATA { triples }`` (the reference's R2 LWW-register upsert
@@ -388,6 +391,10 @@ class SparqlQuery:
     )
     # FROM NAMED <g> dataset clause: restricts the named-graph universe
     from_named: list[str] = field(default_factory=list)
+    # plain FROM <g> clauses: the DEFAULT graph becomes the merge of
+    # the listed graphs — non-GRAPH patterns (and paths, OPTIONALs,
+    # MINUS groups...) evaluate over that restriction only
+    from_default: list[str] = field(default_factory=list)
     # DESCRIBE form: constant resource iris (no WHERE), or one variable
     # whose WHERE-solution bindings are the described resources
     describe_iris: list[str] = field(default_factory=list)
@@ -532,24 +539,32 @@ class _Parser:
         if not select and not aggs and not select_exprs:
             raise ValueError("SPARQL parser: empty SELECT list")
         from_named: list[str] = []
+        from_default: list[str] = []
         while (self.peek() or "").upper() == "FROM":
             self.next()
-            if (self.peek() or "").upper() != "NAMED":
-                raise ValueError(
-                    "plain FROM (default-graph override) is unsupported — "
-                    "only FROM NAMED <g>"
-                )
-            self.next()
-            g = self.next()
-            if not g.startswith("<"):
-                raise ValueError(f"FROM NAMED needs an <iri>, got {g!r}")
-            from_named.append(g[1:-1])
+            if (self.peek() or "").upper() == "NAMED":
+                self.next()
+                g = self.next()
+                if not g.startswith("<"):
+                    raise ValueError(
+                        f"FROM NAMED needs an <iri>, got {g!r}"
+                    )
+                from_named.append(g[1:-1])
+            else:
+                # plain FROM <g> (round 10 — default-graph override,
+                # rejected through round 9): the default graph is the
+                # MERGE of the listed graphs
+                g = self.next()
+                if not g.startswith("<"):
+                    raise ValueError(f"FROM needs an <iri>, got {g!r}")
+                from_default.append(g[1:-1])
         self.expect("WHERE")
         self.expect("{")
         q = SparqlQuery(select=select, distinct=distinct, patterns=[])
         q.aggs = aggs
         q.select_exprs = select_exprs
         q.from_named = from_named
+        q.from_default = from_default
         self._where_body(q)
         self._modifiers(q, inner=inner)
         self._validate(q)
@@ -1637,6 +1652,22 @@ def _compile_query(
         return s_side.unionByName(o_side).distinct()
 
     d, enc = encoded_store(spark, sf_dir)
+    if q.from_default:
+        # plain FROM <g> (round 10): the default graph becomes the
+        # MERGE of the listed graphs. The quad layout derives each
+        # triple's graph from its SUBJECT's entity prefix
+        # (quads_view), so the restriction is one broadcast semi-join
+        # of the encoded relation against the allowed subject ids —
+        # every downstream construct (patterns, paths, OPTIONAL,
+        # MINUS, aggregates) then sees only the merged default graph.
+        # GRAPH groups are unaffected (they range over the NAMED set,
+        # per the SPARQL dataset model).
+        allowed_subjects = d.filter(
+            F.concat(
+                F.lit("g:"), F.split(F.col("term"), ":").getItem(0)
+            ).isin(list(q.from_default))
+        ).select(F.col("term_id").alias("s"))
+        enc = enc.join(F.broadcast(allowed_subjects), "s", "left_semi")
     subs = [_compile_query(spark, sf_dir, s) for s in q.subselects]
 
     plain = [p for p in q.patterns if not isinstance(p[1], _PATH_TYPES)]

@@ -49,8 +49,6 @@ def test_parse_order_by_expressions():
 @pytest.mark.parametrize(
     "bad",
     [
-        # plain FROM (default-graph override) is out of scope
-        "SELECT ?s FROM <g:customer> WHERE { ?s ?p ?o }",
         # FROM NAMED without a GRAPH group selects nothing
         "SELECT ?s FROM NAMED <g:customer> WHERE { ?s ?p ?o }",
         # paths inside GRAPH groups
@@ -342,3 +340,27 @@ def test_concat_integer_literal_lexical_form(spark):
         '{ ?n hasName ?nm } ORDER BY ?t LIMIT 1',
     ).collect()
     assert rows[0]["t"].endswith("-1") and not rows[0]["t"].endswith("-1.0")
+
+
+def test_plain_from_merges_default_graph(spark):
+    """Round 10: plain FROM <g> overrides the default graph — counts
+    must partition exactly (customer + supplier = unrestricted), the
+    multi-FROM form is the graph MERGE, and GRAPH groups stay on the
+    named-graph universe (unaffected by FROM)."""
+    def n(q):
+        return compile_sparql_encoded(spark, SF_DIR, q).count()
+
+    base = "SELECT ?m ?n {} WHERE {{ ?m inNation ?n }}"
+    alln = n(base.format(""))
+    cust = n(base.format("FROM <g:customer>"))
+    supp = n(base.format("FROM <g:supplier>"))
+    both = n(base.format("FROM <g:customer> FROM <g:supplier>"))
+    assert cust + supp == alln == both
+    assert 0 < supp < cust
+    # unknown graph -> empty default graph, legal
+    assert n(base.format("FROM <g:nosuch>")) == 0
+
+
+def test_from_rejects_bad_iri():
+    with pytest.raises(ValueError, match="FROM needs an <iri>"):
+        parse_sparql("SELECT ?s FROM g:x WHERE { ?s ?p ?o }")
