@@ -189,26 +189,26 @@ def verify_pairs(cand: DataFrame, rs: DataFrame) -> DataFrame:
 # exactly the regime prefix filtering is built for; mirror-heavy real
 # corpora are where this collapse pays.
 
-_GROUP_DIRS: dict[tuple[str, int], str] = {}
+_GROUP_DIRS: dict[str, str] = {}
 
 
-def _set_layout(spark: SparkSession, sf_dir: str, min_sh: int) -> str:
-    """Build the exact-set-group layout once per (sf_dir, min_sh):
+def _set_layout(spark: SparkSession, sf_dir: str) -> str:
+    """Build the exact-set-group layout once per sf_dir:
     `members` = (doc_id, rep, n_sh) with rep the group's min doc_id
     (one groupBy + one window over the full set-key string), and
     `repsh` = the ranked-shingle rows of representatives only (semi
     join; no forced broadcast — AQE broadcasts the rep list when small
     and shuffles on a mega-corpus). Both scratch parquet so every
-    ladder rung reuses them."""
-    key = (sf_dir, min_sh)
-    if key not in _GROUP_DIRS:
+    ladder rung reuses them. min_sh views derive by FILTER: members of
+    one group share n_sh (identical sets), so a size floor keeps or
+    drops whole groups and the rep stays the rep — one build serves
+    every floor."""
+    if sf_dir not in _GROUP_DIRS:
         from ..scratch import scratch_dir, timed_build
 
         rs = ranked_shingles(spark, sf_dir)
-        if min_sh > 0:
-            rs = rs.filter(F.col("n_sh") >= min_sh)
         with timed_build("shingle_set_groups"):
-            out = scratch_dir(f"setgroups_{min_sh}", sf_dir)
+            out = scratch_dir("setgroups", sf_dir)
             sets = rs.groupBy("doc_id", "n_sh").agg(
                 F.array_join(
                     F.array_sort(F.collect_list("shingle")), "\x1f"
@@ -227,20 +227,18 @@ def _set_layout(spark: SparkSession, sf_dir: str, min_sh: int) -> str:
             rs.join(reps, rs["doc_id"] == reps["rep"], "left_semi").write.mode(
                 "overwrite"
             ).parquet(f"{out}/repsh")
-            _GROUP_DIRS[key] = out
-    return _GROUP_DIRS[key]
+            _GROUP_DIRS[sf_dir] = out
+    return _GROUP_DIRS[sf_dir]
 
 
 def _set_groups(spark: SparkSession, sf_dir: str, min_sh: int) -> DataFrame:
-    return spark.read.parquet(
-        f"{_set_layout(spark, sf_dir, min_sh)}/members"
-    )
+    g = spark.read.parquet(f"{_set_layout(spark, sf_dir)}/members")
+    return g.filter(F.col("n_sh") >= min_sh) if min_sh > 0 else g
 
 
 def _rep_shingles(spark: SparkSession, sf_dir: str, min_sh: int) -> DataFrame:
-    return spark.read.parquet(
-        f"{_set_layout(spark, sf_dir, min_sh)}/repsh"
-    )
+    rs = spark.read.parquet(f"{_set_layout(spark, sf_dir)}/repsh")
+    return rs.filter(F.col("n_sh") >= min_sh) if min_sh > 0 else rs
 
 
 def _expand_group_pairs(rep_pairs: DataFrame, groups: DataFrame) -> DataFrame:
