@@ -191,6 +191,35 @@ def verify_pairs(cand: DataFrame, rs: DataFrame) -> DataFrame:
 
 _GROUP_DIRS: dict[str, str] = {}
 
+# Collapse only pays when a meaningful fraction of docs ARE exact-set
+# duplicates: below this duplicate mass the rep-level indirection
+# (repsh copy read + expansion joins) costs more than the ×K² join
+# saving. The decision is a LINEAR probe (one per-doc hash-sum
+# aggregate — no window, no string shuffle), cached per sf_dir;
+# hash-xor collisions can only overestimate the duplicate mass, i.e.
+# flip toward building the exact layout, never toward wrong results —
+# both paths are exact, this is purely a physical-plan choice.
+_COLLAPSE_MAX_REP_FRACTION = 0.7
+_COLLAPSE_DECISION: dict[str, bool] = {}
+
+
+def _collapse_pays(spark: SparkSession, sf_dir: str) -> bool:
+    if sf_dir not in _COLLAPSE_DECISION:
+        from ..scratch import timed_build
+
+        with timed_build("collapse_probe"):
+            rs = ranked_shingles(spark, sf_dir)
+            sig = rs.groupBy("doc_id").agg(
+                F.expr("bit_xor(xxhash64(shingle))").alias("h"),
+                F.first("n_sh").alias("n"),
+            )
+            n_docs = sig.count()
+            n_groups = sig.select("h", "n").distinct().count()
+            _COLLAPSE_DECISION[sf_dir] = (
+                n_groups <= _COLLAPSE_MAX_REP_FRACTION * n_docs
+            )
+    return _COLLAPSE_DECISION[sf_dir]
+
 
 def _set_layout(spark: SparkSession, sf_dir: str) -> str:
     """Build the exact-set-group layout once per sf_dir:
@@ -287,9 +316,13 @@ def jaccard_threshold_pairs(
     PPJoin POSITIONAL filter over REPRESENTATIVES, exact verification
     on the survivors, and member expansion (identical sets: intra-group
     pairs are Jaccard 1, above every rung)."""
-    groups = _set_groups(spark, sf_dir, 0)
-    rep_pairs = _jaccard_rep_pairs(_rep_shingles(spark, sf_dir, 0), p, q)
-    return _expand_group_pairs(rep_pairs, groups)
+    if _collapse_pays(spark, sf_dir):
+        groups = _set_groups(spark, sf_dir, 0)
+        rep_pairs = _jaccard_rep_pairs(_rep_shingles(spark, sf_dir, 0), p, q)
+        return _expand_group_pairs(rep_pairs, groups)
+    # low duplicate mass: the direct join over all docs IS the rep
+    # join (identical plan shape to round 9)
+    return _jaccard_rep_pairs(ranked_shingles(spark, sf_dir), p, q)
 
 
 def _jaccard_rep_pairs(rs: DataFrame, p: int, q: int) -> DataFrame:
@@ -361,11 +394,15 @@ def containment_threshold_pairs(
     the smaller side's prefix probes the FULL index of larger REPS (no
     size upper bound exists for containment), exact verification, and
     member expansion (intra-group pairs: containment 1)."""
-    groups = _set_groups(spark, sf_dir, min_sh)
-    rep_pairs = _containment_rep_pairs(
-        _rep_shingles(spark, sf_dir, min_sh), p, q
+    if _collapse_pays(spark, sf_dir):
+        groups = _set_groups(spark, sf_dir, min_sh)
+        rep_pairs = _containment_rep_pairs(
+            _rep_shingles(spark, sf_dir, min_sh), p, q
+        )
+        return _expand_group_pairs(rep_pairs, groups)
+    return _containment_rep_pairs(
+        ranked_shingles(spark, sf_dir).filter(F.col("n_sh") >= min_sh), p, q
     )
-    return _expand_group_pairs(rep_pairs, groups)
 
 
 def _containment_rep_pairs(rs: DataFrame, p: int, q: int) -> DataFrame:

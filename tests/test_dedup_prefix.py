@@ -111,3 +111,31 @@ def test_containment_top50_matches_exact_twin(spark):
         for r in q_text_containment(spark, SF_DIR).collect()
     ]
     assert got == want
+
+
+def test_collapse_paths_identical(spark):
+    """The adaptive exact-group collapse is a PHYSICAL choice: forcing
+    either decision must produce the identical rung pair set (round-10
+    guard for the corpus-shape probe)."""
+    from nosql_triple_store_spark.operators import dedup_prefix as dp
+
+    cols = ["doc_a", "doc_b", "common", "na", "nb"]
+    saved = dict(dp._COLLAPSE_DECISION)
+    try:
+        dp._COLLAPSE_DECISION[SF_DIR] = True
+        via_collapse = _rows(
+            containment_threshold_pairs(spark, SF_DIR, 9, 10, 10), cols
+        )
+        jac_collapse = _rows(
+            jaccard_threshold_pairs(spark, SF_DIR, 4, 5), cols
+        )
+        dp._COLLAPSE_DECISION[SF_DIR] = False
+        via_direct = _rows(
+            containment_threshold_pairs(spark, SF_DIR, 9, 10, 10), cols
+        )
+        jac_direct = _rows(jaccard_threshold_pairs(spark, SF_DIR, 4, 5), cols)
+    finally:
+        dp._COLLAPSE_DECISION.clear()
+        dp._COLLAPSE_DECISION.update(saved)
+    assert via_collapse == via_direct
+    assert jac_collapse == jac_direct
