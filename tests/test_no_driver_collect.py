@@ -19,7 +19,6 @@ PKG = os.path.join(
 # audited bounded:
 ALLOWED = {
     "streaming/dedup_stream.py": 1,  # max(doc_id) scalar
-    "streaming/quality_stream.py": 1,  # max(doc_id) scalar (wave split)
     "operators/graph_ext2.py": 1,  # (count, xor-digest) 1-row agg
     "operators/vector_ext4.py": 2,  # k seed rows + k*dim centroid stats
     "operators/register_ext.py": 1,  # 1-row ts cutoff scalar
