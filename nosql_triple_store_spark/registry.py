@@ -126,6 +126,7 @@ _OPERATOR_MODULES = (
     "operators.sparql_queries",
     "operators.sparql_ext9",
     "operators.sparql_ext10",
+    "operators.sparql_ext11",
     "operators.text_ext9",
     "operators.text_ext10",
     "streaming.queries",

@@ -139,3 +139,33 @@ def test_collapse_paths_identical(spark):
         dp._COLLAPSE_DECISION.update(saved)
     assert via_collapse == via_direct
     assert jac_collapse == jac_direct
+
+
+def test_skey_encoding_is_injective(spark):
+    """ADVICE r10: a shingle may contain the \\x1f separator byte
+    (tokens split on plain spaces only), so the exact-group set key
+    must be a prefix-free encoding — {"a\\x1fb","c"} and
+    {"a","b\\x1fc"} collide under a bare array_join (proved below) but
+    must receive distinct length-prefixed keys, or the collapse would
+    merge non-identical docs into one group."""
+    from nosql_triple_store_spark.operators.dedup_prefix import _skey_col
+
+    rows = [(1, "a\x1fb"), (1, "c"), (2, "a"), (2, "b\x1fc")]
+    df = spark.createDataFrame(rows, "doc_id int, shingle string")
+    keys = {
+        r["doc_id"]: r["k"]
+        for r in df.groupBy("doc_id").agg(_skey_col().alias("k")).collect()
+    }
+    assert keys[1] != keys[2]
+    # the bare join DOES collide — the regression the encoding targets
+    bare = {
+        r["doc_id"]: r["k"]
+        for r in df.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.array_sort(F.collect_list("shingle")), "\x1f"
+            ).alias("k")
+        )
+        .collect()
+    }
+    assert bare[1] == bare[2]

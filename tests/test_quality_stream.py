@@ -68,34 +68,64 @@ def test_gate_matches_batch_scoring(spark):
 
 
 def test_gate_tokenless_docs_get_prior_decision(spark, tmp_path):
-    """ADVICE r9: a doc whose text tokenizes to nothing must still
-    appear in the census (scored at the prior alone), not vanish in
-    the explode. Build a fixture where 3 odd docs have empty/space
-    text and check n_seen still covers every doc and the census
-    matches the SQL oracle recomputed by DuckDB on the same dir."""
+    """ADVICE r9 (+ ADVICE r10: the original fixture's "  . " text
+    still tokenized to ["."], so the zero-token path never ran): a doc
+    whose text tokenizes to NOTHING must still appear in the census,
+    scored at the rounded prior alone, not vanish in the explode.
+    Whitespace-only text genuinely yields zero tokens (tokens_col
+    splits on spaces and drops empties). Asserts (a) nb_score itself
+    DROPS the blanked docs — so census coverage can only come from the
+    prior fallback, (b) n_seen still covers every doc, and (c) the
+    census matches the SQL oracle recomputed by DuckDB on the same
+    dir (which pins the prior-scored docs' admission values)."""
     import duckdb
 
-    from nosql_triple_store_spark.streaming import quality_stream as qs
+    from pyspark.sql import functions as F
+
+    from nosql_triple_store_spark.catalog import load_table
+    from nosql_triple_store_spark.operators.text_ext10 import (
+        nb_components,
+        nb_score,
+    )
 
     from .util import compare_to_duckdb
 
     sf = str(tmp_path / "sf")
     (tmp_path / "sf").mkdir()
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
-    from pyspark.sql import functions as F
-
+    blank_ids = (1, 3, 251)
     blanked = docs.withColumn(
         "text",
-        F.when(F.col("doc_id").isin(1, 3, 251), F.lit("  . ")).otherwise(
+        F.when(F.col("doc_id").isin(*blank_ids), F.lit("   ")).otherwise(
             F.col("text")
         ),
     )
     blanked.coalesce(1).write.parquet(f"{sf}/documents.parquet")
     n_docs = docs.count()
 
+    # the batch scorer genuinely loses the zero-token docs to its
+    # explode — the streamed census below can only cover them via the
+    # prior-only fallback row
+    model, totals, prior = nb_components(spark, sf)
+    scored = nb_score(load_table(spark, sf, "documents"), model, totals, prior)
+    assert (
+        scored.filter(F.col("doc_id").isin(*blank_ids)).count() == 0
+    )
+    lp = round(prior.collect()[0]["lp"], 4)
+
     res = SPECS["q_stream_quality_gate"].fn(spark, sf)
     rows = res.collect()
     assert sum(r["n_seen"] for r in rows) == n_docs
+    # doc 1 and 3 land in wave 0: if the prior admits (lp >= 0), the
+    # fallback rows must be counted there — census arithmetic over the
+    # known fixture pins the prior-only score's admission decision
+    batch_scored = {
+        r["doc_id"] for r in scored.select("doc_id").collect()
+    }
+    assert not set(blank_ids) & batch_scored
+    if lp >= 0:
+        w0 = next(r for r in rows if r["wave"] == 0)
+        assert w0["n_admitted"] >= 2
 
     con = duckdb.connect()
     con.execute(

@@ -104,13 +104,14 @@ def test_describe_var_matches_iri_twin(spark):
         "INSERT { <a> <b>/<c> ?x } WHERE { ?s ?p ?x }",  # path in template
         "CLEAR GRAPH <g:x>",  # unsupported op
         "LOAD <http://x>",  # unsupported op
-        "DELETE USING <g> WHERE { ?s ?p ?o }",  # USING clause
-        # USING between template and WHERE (the SPARQL 1.1 position)
-        "DELETE { ?s ?p ?o } USING <g:x> WHERE { ?s ?p ?o }",
+        "DELETE USING <g> WHERE { ?s ?p ?o }",  # USING without template
         "INSERT { ?s ?p ?o } USING NAMED <g:x> WHERE { ?s ?p ?o }",
-        "DELETE { ?s ?p ?o } INSERT { ?s ?p ?o } USING <g> "
-        "WHERE { ?s ?p ?o }",
-        "WITH <g:x> DELETE { ?s ?p ?o } WHERE { ?s ?p ?o }",  # WITH scope
+        "DELETE { ?s ?p ?o } USING g:x WHERE { ?s ?p ?o }",  # bare iri
+        "WITH g:x DELETE { ?s ?p ?o } WHERE { ?s ?p ?o }",  # bare iri
+        "WITH <g:x> INSERT DATA { <a> <b> <c> }",  # WITH on ground data
+        "WITH <g:x> DELETE DATA { <a> <b> <c> }",
+        "WITH <g:x> DELETE WHERE { ?s ?p ?o }",
+        "WITH <g:x> CLEAR GRAPH <g:x>",  # WITH scopes templates only
         "INSERT { GRAPH <g:x> { ?s ?p ?o } } WHERE { ?s ?p ?o }",  # GRAPH tmpl
         "DROP GRAPH <g:x>",  # unsupported op
         "DELETE { } WHERE { ?s ?p ?o } MORE",  # trailing garbage
@@ -122,16 +123,116 @@ def test_rejects_bad_updates(bad):
         parse_sparql_update(bad)
 
 
-def test_using_and_with_rejections_are_specific():
-    """ADVICE/VERDICT r9 #1: USING and WITH must be RECOGNIZED
-    rejections (actionable message), not a generic parse error."""
-    with pytest.raises(ValueError, match="USING / USING NAMED"):
+def test_using_named_rejection_is_specific():
+    """USING NAMED stays a RECOGNIZED rejection (actionable message,
+    not a generic parse error) now that WITH / USING are supported
+    (round 11, VERDICT r10 #7)."""
+    with pytest.raises(ValueError, match="USING NAMED"):
         parse_sparql_update(
-            "DELETE { ?s ?p ?o } USING <g> WHERE { ?s ?p ?o }"
+            "DELETE { ?s ?p ?o } USING NAMED <g> WHERE { ?s ?p ?o }"
         )
-    with pytest.raises(ValueError, match="WITH <graph>"):
-        parse_sparql_update(
-            "WITH <g> DELETE { ?s ?p ?o } WHERE { ?s ?p ?o }"
+    with pytest.raises(ValueError, match="scopes template operations"):
+        parse_sparql_update('WITH <g:x> INSERT DATA { <a> <b> "c" }')
+
+
+def test_parse_with_and_using_scoping():
+    """Round 11 (VERDICT r10 #7): WITH <g> and USING <g> parse onto the
+    modify op; multiple USING clauses merge; both compose with the
+    combined DELETE/INSERT template form."""
+    ops = parse_sparql_update(
+        "WITH <g:region> DELETE { ?r hasName ?n } "
+        "INSERT { ?r hasName \"X\" } WHERE { ?r hasName ?n } ; "
+        "DELETE { ?s inNation ?n } USING <g:supplier> USING <g:customer> "
+        "WHERE { ?s inNation ?n }"
+    )
+    assert [o.kind for o in ops] == ["modify", "modify"]
+    assert ops[0].with_graph == "g:region" and ops[0].using == ()
+    assert ops[1].with_graph is None
+    assert ops[1].using == ("g:supplier", "g:customer")
+
+
+def test_with_scopes_where_delete_and_insert(spark):
+    """WITH <g:region>: hasName lives in BOTH g:region and g:nation —
+    the scoped rename must touch region names only."""
+    state = compile_sparql_update(
+        spark,
+        SF_DIR,
+        "WITH <g:region> DELETE { ?r hasName ?n } "
+        'INSERT { ?r hasName "R_X" } WHERE { ?r hasName ?n }',
+    )
+    region_names = {
+        r["o"]
+        for r in state.filter(
+            F.col("s").startswith("region:") & (F.col("p") == "hasName")
+        ).collect()
+    }
+    assert region_names == {"R_X"}
+    base = triples_view(spark, SF_DIR)
+    nat = base.filter(
+        F.col("s").startswith("nation:") & (F.col("p") == "hasName")
+    )
+    nat_after = state.filter(
+        F.col("s").startswith("nation:") & (F.col("p") == "hasName")
+    )
+    assert nat_after.exceptAll(nat).unionByName(
+        nat.exceptAll(nat_after)
+    ).isEmpty()
+
+
+def test_using_rescopes_where_only(spark):
+    """USING <g:supplier>: the WHERE binds supplier rows only, so only
+    supplier inNation edges are deleted — customers' survive."""
+    state = compile_sparql_update(
+        spark,
+        SF_DIR,
+        "DELETE { ?s inNation ?n } USING <g:supplier> "
+        "WHERE { ?s inNation ?n }",
+    )
+    assert state.filter(
+        F.col("s").startswith("supplier:") & (F.col("p") == "inNation")
+    ).isEmpty()
+    base = triples_view(spark, SF_DIR)
+    n_cust = base.filter(
+        F.col("s").startswith("customer:") & (F.col("p") == "inNation")
+    ).count()
+    assert (
+        state.filter(
+            F.col("s").startswith("customer:") & (F.col("p") == "inNation")
+        ).count()
+        == n_cust
+        > 0
+    )
+
+
+def test_with_insert_representability_rejections(spark):
+    """The quad layout derives a triple's graph from its subject, so a
+    WITH-scoped INSERT whose subject is not provably of the target
+    family must reject loudly (never silently drop)."""
+    # constant subject of the WRONG family
+    with pytest.raises(ValueError, match="unrepresentable"):
+        compile_sparql_update(
+            spark,
+            SF_DIR,
+            "WITH <g:region> DELETE { ?r hasName ?n } "
+            'INSERT { <nation:1> hasName "X" } WHERE { ?r hasName ?n }',
+        )
+    # variable subject bound only in OBJECT position
+    with pytest.raises(ValueError, match="not provably"):
+        compile_sparql_update(
+            spark,
+            SF_DIR,
+            "WITH <g:nation> INSERT { ?n wasSeen \"y\" } "
+            "WHERE { ?c inNation ?n }",
+        )
+    # USING re-scopes WHERE away from the WITH graph: subject-position
+    # binding no longer proves the family
+    with pytest.raises(ValueError, match="not provably"):
+        compile_sparql_update(
+            spark,
+            SF_DIR,
+            "WITH <g:region> DELETE { ?s hasName ?n } "
+            'INSERT { ?s hasName "X" } USING <g:nation> '
+            "WHERE { ?s hasName ?n }",
         )
 
 
@@ -364,3 +465,23 @@ def test_plain_from_merges_default_graph(spark):
 def test_from_rejects_bad_iri():
     with pytest.raises(ValueError, match="FROM needs an <iri>"):
         parse_sparql("SELECT ?s FROM g:x WHERE { ?s ?p ?o }")
+
+
+def test_from_without_from_named_empties_graph_groups(spark):
+    """ADVICE r10 #1 (SPARQL 1.1 §13.2): a dataset clause replaces the
+    WHOLE dataset — FROM without FROM NAMED implies an EMPTY named
+    set, so GRAPH ?g must match nothing (not range over all graphs);
+    adding FROM NAMED restores exactly the listed graphs."""
+    def n(clauses):
+        return compile_sparql_encoded(
+            spark,
+            SF_DIR,
+            f"SELECT ?c ?g {clauses} WHERE "
+            "{ ?c inNation ?nat . GRAPH ?g { ?s inNation ?nat } }",
+        ).count()
+
+    assert n("FROM <g:customer>") == 0
+    restored = n("FROM <g:customer> FROM NAMED <g:supplier>")
+    assert restored > 0
+    # no dataset clause at all: named set = all graphs (engine default)
+    assert n("") > restored
