@@ -31,6 +31,7 @@ ALLOWED = {
     "operators/vector_ext9.py": 2,
     "operators/text_ext.py": 1,  # top-1 BPE merge pair per round
     "sources/avro_py.py": 1,  # one (path, n) row per write partition
+    "operators/source_jdbc.py": 1,  # 2-scalar JDBC partition bounds
     "sources/bson_py.py": 1,  # one (path, n) row per write partition
 }
 
