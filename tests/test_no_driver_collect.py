@@ -32,6 +32,8 @@ ALLOWED = {
     "operators/text_ext.py": 1,  # top-1 BPE merge pair per round
     "sources/avro_py.py": 1,  # one (path, n) row per write partition
     "operators/source_jdbc.py": 1,  # 2-scalar JDBC partition bounds
+    # two 1-scalar candidate-volume estimates (saturation probe)
+    "operators/dedup_prefix.py": 2,
     "sources/bson_py.py": 1,  # one (path, n) row per write partition
 }
 
