@@ -105,6 +105,40 @@ def _shuffle_texts(texts: list[str], doc_ids: np.ndarray, copy: int) -> list[str
     return out
 
 
+def _zipf_texts(texts: list[str], doc_ids: np.ndarray, copy: int) -> list[str]:
+    """Open-vocabulary Zipfian resample (VERDICT r10 #2): the default
+    word-shuffle keeps the SOURCE vocabulary, so K-fold replication
+    saturates the ~30k-shingle space and every shingle's df grows with
+    n — the adversarial regime for exact prefix filtering. This
+    variant draws each copy-doc's tokens i.i.d. from an UNBOUNDED
+    Zipf(s=1.2) rank distribution (word of rank r is "w<r>"): the head
+    ranks repeat corpus-wide (boilerplate-like high-df shingles, which
+    rarest-first prefix selection avoids) while the tail keeps minting
+    new words forever, so the shingle vocabulary grows ~linearly with
+    the corpus and df tails stay flat — the open-vocabulary regime a
+    real crawl presents and the design point of the AllPairs/PPJoin
+    ladder. Token count per doc is preserved (text-stat distributions
+    stay comparable), and a deterministic ~10% of copy-docs are NEAR-
+    DUPLICATES of their source doc (every 8th token replaced) so the
+    dedup queries still have duplicate mass to find instead of an
+    all-unique corpus that trivially short-circuits."""
+    out = []
+    for text, did in zip(texts, doc_ids):
+        rng = np.random.default_rng((copy << 32) ^ int(did) ^ 0x21BF)
+        words = text.split(" ")
+        if rng.random() < 0.10:
+            # near-dup of the source: ~12.5% token substitution keeps
+            # Jaccard over 3-shingles in the verify-worthy band
+            w = list(words)
+            for i in range(0, len(w), 8):
+                w[i] = f"w{rng.zipf(1.2)}"
+            out.append(" ".join(w))
+        else:
+            ranks = rng.zipf(1.2, size=max(1, len(words)))
+            out.append(" ".join(f"w{r}" for r in ranks))
+    return out
+
+
 def _perturb_embeddings(tab: pa.Table, copy: int) -> pa.Array:
     vecs = np.array(tab["embedding"].to_pylist(), dtype=np.float64)
     ids = tab["vec_id"].to_numpy()
@@ -117,7 +151,13 @@ def _perturb_embeddings(tab: pa.Table, copy: int) -> pa.Array:
     return pa.array(list(v.astype(np.float32)), type=tab.schema.field("embedding").type)
 
 
-def _copy_of(name: str, tab: pa.Table, c: int, strides: dict[str, int]) -> pa.Table:
+def _copy_of(
+    name: str,
+    tab: pa.Table,
+    c: int,
+    strides: dict[str, int],
+    doc_mode: str = "shuffle",
+) -> pa.Table:
     if c == 0 or name in ("region", "nation"):
         return tab
     cols = {col: tab[col] for col in tab.column_names}
@@ -130,7 +170,8 @@ def _copy_of(name: str, tab: pa.Table, c: int, strides: dict[str, int]) -> pa.Ta
                 cols[cname] = off.cast(tab.schema.field(cname).type)
     if name == "documents":
         doc_ids = tab["doc_id"].to_numpy()
-        new_texts = _shuffle_texts(tab["text"].to_pylist(), doc_ids, c)
+        texts_fn = _zipf_texts if doc_mode == "zipf" else _shuffle_texts
+        new_texts = texts_fn(tab["text"].to_pylist(), doc_ids, c)
         cols["text"] = pa.array(new_texts, type=pa.string())
         cols["n_chars"] = pa.array(
             [len(t) for t in new_texts], type=tab.schema.field("n_chars").type
@@ -143,7 +184,15 @@ def _copy_of(name: str, tab: pa.Table, c: int, strides: dict[str, int]) -> pa.Ta
 
 
 def main() -> None:
-    src, out, k = sys.argv[1], sys.argv[2], int(sys.argv[3])
+    # Usage: make_scaled_sf.py SRC OUT K [--documents=shuffle|zipf]
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    doc_mode = "shuffle"
+    for a in sys.argv[1:]:
+        if a.startswith("--documents="):
+            doc_mode = a.split("=", 1)[1]
+    if doc_mode not in ("shuffle", "zipf"):
+        raise SystemExit(f"unknown --documents mode: {doc_mode}")
+    src, out, k = args[0], args[1], int(args[2])
     os.makedirs(out, exist_ok=True)
     tabs = {t: pq.read_table(os.path.join(src, f"{t}.parquet")) for t in TABLES}
     strides = _strides(tabs)
@@ -152,7 +201,7 @@ def main() -> None:
             scaled = tab
         else:
             scaled = pa.concat_tables(
-                [_copy_of(name, tab, c, strides) for c in range(k)]
+                [_copy_of(name, tab, c, strides, doc_mode) for c in range(k)]
             )
         dest = os.path.join(out, f"{name}.parquet")
         # small row groups keep the single-file tables splittable into
