@@ -285,6 +285,16 @@ def main() -> None:
     if progress is not None:
         progress.close()
         os.remove(progress_path + ".partial")
+    # ground-truth twins (deliberate exact-complexity baselines the
+    # recall tests certify against) distort family scaling curves when
+    # summed with production paths — tag them and report both totals
+    # (VERDICT r10 #4)
+    twins = sorted(
+        k for k in timings if all_specs()[k].ground_truth_twin
+    )
+    total_prod = round(
+        sum(v for k, v in timings.items() if k not in set(twins)), 4
+    )
     if full_path != "skip":
         with open(full_path, "w") as f:
             json.dump(
@@ -298,6 +308,8 @@ def main() -> None:
                     "bench_runs": n_runs,
                     "layout_build_sec": layout,
                     "calib_sec": calib,
+                    "ground_truth_twins": twins,
+                    "value_excl_ground_truth_twins": total_prod,
                     "sf": sf,
                 },
                 f,

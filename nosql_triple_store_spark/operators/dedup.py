@@ -578,7 +578,7 @@ def _embed_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return q_dedup_embed(spark, sf_dir)
 
 
-@register("q_dedup_embed", oracle=_EMBED_ORACLE)
+@register("q_dedup_embed", oracle=_EMBED_ORACLE, ground_truth_twin=True)
 def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (cos ≥ 0.4), exact, via a
     triangle-blocked DISTRIBUTED matrix multiply — no driver collect.
@@ -683,7 +683,11 @@ SELECT vec_id, cluster_id FROM cl
 """
 
 
-@register("q_dedup_embed_clusters", oracle=_EMBED_CLUSTER_ORACLE)
+@register(
+    "q_dedup_embed_clusters",
+    oracle=_EMBED_CLUSTER_ORACLE,
+    ground_truth_twin=True,
+)
 def q_dedup_embed_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-dedup CLUSTERING: connected components over the
     cos ≥ 0.4 pair graph — cluster_id = min vec_id reachable, the

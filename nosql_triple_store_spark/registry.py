@@ -144,6 +144,12 @@ class QuerySpec:
     name: str
     fn: QueryFn
     oracle: str | None  # DuckDB SQL, or None for rows-only checks
+    # Deliberate exact-complexity baseline (e.g. the O(n^2/block) GEMM
+    # twins the ANN recall tests certify against): kept registered and
+    # correctness-checked, but NOT a production scale path — timing
+    # artifacts tag these so scaling curves can be read with and
+    # without them (VERDICT r10 #4).
+    ground_truth_twin: bool = False
 
 
 _REGISTRY: dict[str, QuerySpec] = {}
@@ -151,13 +157,22 @@ _SKIPPED: dict[str, str] = {}
 _LOADED = False
 
 
-def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+def register(
+    name: str,
+    oracle: str | None = None,
+    ground_truth_twin: bool = False,
+) -> Callable[[QueryFn], QueryFn]:
     """Decorator: register a (spark, sf_dir) -> DataFrame query."""
 
     def deco(fn: QueryFn) -> QueryFn:
         if name in _REGISTRY:
             raise ValueError(f"duplicate query name: {name}")
-        _REGISTRY[name] = QuerySpec(name=name, fn=fn, oracle=oracle)
+        _REGISTRY[name] = QuerySpec(
+            name=name,
+            fn=fn,
+            oracle=oracle,
+            ground_truth_twin=ground_truth_twin,
+        )
         return fn
 
     return deco
