@@ -96,8 +96,11 @@ Scope (documented subset, rejected loudly outside it):
   updates are state transformations, exactly q_upsert_result's
   contract). Template forms ``[DELETE { tmpl }] [INSERT { tmpl }]
   WHERE { patterns }`` are ALSO supported (see the round-9-additions
-  list below). Everything else of SPARQL Update (USING/USING NAMED,
-  WITH, GRAPH-qualified data, LOAD/CLEAR/DROP) is rejected loudly.
+  list below), as are ``WITH``/``USING`` dataset scoping (round 11),
+  ``CLEAR``/``DROP`` (``GRAPH <g>`` or ``ALL``) and ``LOAD <doc>
+  [INTO GRAPH <g>]`` (round 11 — R19's bulk TSV load as a SPARQL
+  graph union). Everything else of SPARQL Update (USING NAMED,
+  GRAPH-qualified data, CLEAR/DROP DEFAULT/NAMED) is rejected loudly.
 
 Round-9 additions beyond the verdict list:
 - aggregates ``GROUP_CONCAT(?v [; SEPARATOR="s"])`` (values SORTED for
@@ -2171,6 +2174,8 @@ class UpdateOp:
     where: tuple = ()
     with_graph: str | None = None
     using: tuple = ()
+    graph: str | None = None  # clear/drop target; load INTO target
+    iri: str | None = None  # load source document
 
 
 def parse_sparql_update(text: str) -> list[UpdateOp]:
@@ -2178,9 +2183,11 @@ def parse_sparql_update(text: str) -> list[UpdateOp]:
     `DELETE DATA {...}`, `DELETE WHERE { pattern }`, and the template
     forms `INSERT { tmpl } WHERE {...}` / `DELETE { tmpl } [INSERT
     { tmpl }] WHERE {...}` with optional `WITH <g>` / `USING <g>`
-    dataset scoping (round 11, VERDICT r10 #7), sequenced with `;`.
-    Everything else (USING NAMED, GRAPH-qualified data,
-    LOAD/CLEAR/DROP) is rejected loudly."""
+    dataset scoping (round 11, VERDICT r10 #7), and the graph-
+    management forms `CLEAR|DROP [SILENT] (GRAPH <g> | ALL)` /
+    `LOAD [SILENT] <doc> [INTO GRAPH <g>]` (round 11), sequenced with
+    `;`. Everything else (USING NAMED, GRAPH-qualified data,
+    CLEAR/DROP DEFAULT/NAMED) is rejected loudly."""
     p = _Parser(tokenize(text))
     ops: list[UpdateOp] = []
     while True:
@@ -2278,11 +2285,66 @@ def parse_sparql_update(text: str) -> list[UpdateOp]:
                     f"unsupported DELETE form at {p.peek()!r} "
                     "(DATA, WHERE, or a {{ template }})"
                 )
+        elif t in ("CLEAR", "DROP"):
+            # Round 11 (VERDICT r10 #4 SPARQL note): graph management.
+            # This store records no empty graphs (a triple's graph IS
+            # its subject family), so DROP and CLEAR coincide — the
+            # exact store shape SPARQL 1.1 §3.2.2/§3.2.3 anticipates
+            # ("stores that do not record empty graphs"). SILENT is
+            # accepted and inert for the same reason: a missing graph
+            # already clears to a no-op.
+            if with_graph is not None:
+                raise ValueError(
+                    f"WITH <graph> scopes template operations, not {t}"
+                )
+            if (p.peek() or "").upper() == "SILENT":
+                p.next()
+            nxt = p.next().upper()
+            if nxt == "GRAPH":
+                g = p.next()
+                if not g.startswith("<"):
+                    raise ValueError(f"{t} GRAPH needs an <iri>, got {g!r}")
+                ops.append(UpdateOp("clear", graph=g[1:-1]))
+            elif nxt == "ALL":
+                ops.append(UpdateOp("clear", graph=None))
+            else:
+                # DEFAULT/NAMED are ambiguous here: the default view IS
+                # the union of the derived graphs, so both would equal
+                # ALL — rejected loudly rather than silently surprising
+                raise ValueError(
+                    f"{t} {nxt} is unsupported — in the subject-derived "
+                    "graph layout the default graph is the union of all "
+                    f"named graphs, so {t} DEFAULT/NAMED would equal "
+                    f"{t} ALL; say {t} ALL or {t} GRAPH <g>"
+                )
+        elif t == "LOAD":
+            if with_graph is not None:
+                raise ValueError(
+                    "WITH <graph> scopes template operations, not LOAD"
+                )
+            if (p.peek() or "").upper() == "SILENT":
+                p.next()
+            iri = p.next()
+            if not iri.startswith("<"):
+                raise ValueError(f"LOAD needs a <document-iri>, got {iri!r}")
+            into: str | None = None
+            if (p.peek() or "").upper() == "INTO":
+                p.next()
+                p.expect("GRAPH")
+                g = p.next()
+                if not g.startswith("<"):
+                    raise ValueError(
+                        f"LOAD INTO GRAPH needs an <iri>, got {g!r}"
+                    )
+                into = g[1:-1]
+            ops.append(UpdateOp("load", iri=iri[1:-1], graph=into))
         else:
             raise ValueError(
                 f"unsupported update operation {t!r} — the subset is "
                 "INSERT DATA / DELETE DATA / DELETE WHERE / "
-                "[DELETE {tmpl}] [INSERT {tmpl}] WHERE {...}"
+                "[DELETE {tmpl}] [INSERT {tmpl}] WHERE {...} / "
+                "CLEAR|DROP [SILENT] (GRAPH <g> | ALL) / "
+                "LOAD [SILENT] <doc> [INTO GRAPH <g>]"
             )
         if p.peek() is None:
             break
@@ -2395,6 +2457,57 @@ def compile_sparql_update(
             state = state.join(
                 F.broadcast(rows), ["s", "p", "o"], "left_anti"
             )
+        elif op.kind == "clear":
+            # CLEAR/DROP (round 11): graph-management on the derived
+            # layout — one scan-local predicate on the subject family,
+            # no joins. graph=None means ALL (empty state, schema kept).
+            if op.graph is None:
+                state = state.filter(F.lit(False))
+            else:
+                state = state.filter(
+                    F.concat(
+                        F.lit("g:"), F.split(F.col("s"), ":").getItem(0)
+                    )
+                    != op.graph
+                )
+        elif op.kind == "load":
+            # LOAD <doc> (round 11): the reference's R19 bulk TSV load
+            # (TSV_bulk upload route) as a SPARQL 1.1 §3.1.4 graph
+            # union — document triples merge set-wise into the state
+            # (unlike INSERT DATA's documented R2 LWW upsert).
+            from ..sources.readers import read_triples_tsv
+
+            loaded = read_triples_tsv(
+                spark, op.iri, has_timestamp=False
+            ).select(
+                F.col("subject").alias("s"),
+                F.col("predicate").alias("p"),
+                F.col("object").alias("o"),
+            )
+            if op.graph is not None:
+                # INTO GRAPH representability (same rule as WITH+INSERT
+                # templates): the layout derives a triple's graph from
+                # its subject family, so every loaded subject must be
+                # of the target family — validated on the actual
+                # document (bounded scalar: one count per LOAD op),
+                # rejected loudly, never silently re-homed
+                n_bad = loaded.filter(
+                    F.concat(
+                        F.lit("g:"), F.split(F.col("s"), ":").getItem(0)
+                    )
+                    != op.graph
+                ).count()
+                if n_bad:
+                    raise ValueError(
+                        f"LOAD INTO GRAPH <{op.graph}>: {n_bad} document "
+                        "triples have subjects outside that graph's "
+                        "family — unrepresentable in the subject-derived "
+                        "graph layout"
+                    )
+            new_rows = loaded.dropDuplicates(["s", "p", "o"]).join(
+                state, ["s", "p", "o"], "left_anti"
+            )
+            state = state.unionByName(new_rows)
         elif op.kind == "delete_where":
             cond = F.lit(True)
             seen: dict[str, str] = {}

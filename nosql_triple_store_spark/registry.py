@@ -127,6 +127,7 @@ _OPERATOR_MODULES = (
     "operators.sparql_ext9",
     "operators.sparql_ext10",
     "operators.sparql_ext11",
+    "operators.sparql_ext12",
     "operators.source_jdbc",
     "operators.text_ext9",
     "operators.text_ext10",

@@ -102,8 +102,11 @@ def test_describe_var_matches_iri_twin(spark):
         "DELETE DATA { <a> inNation/inRegion <b> . }",  # path in data
         "DELETE WHERE { ?s inNation ?o . ?o inRegion ?r }",  # 2 patterns
         "INSERT { <a> <b>/<c> ?x } WHERE { ?s ?p ?x }",  # path in template
-        "CLEAR GRAPH <g:x>",  # unsupported op
-        "LOAD <http://x>",  # unsupported op
+        "CLEAR DEFAULT",  # ambiguous in the derived-graph layout
+        "DROP NAMED",  # same
+        "CLEAR GRAPH g:x",  # bare iri
+        "LOAD file:///x.tsv",  # bare iri
+        "LOAD <file:///x.tsv> INTO <g:x>",  # missing GRAPH keyword
         "DELETE USING <g> WHERE { ?s ?p ?o }",  # USING without template
         "INSERT { ?s ?p ?o } USING NAMED <g:x> WHERE { ?s ?p ?o }",
         "DELETE { ?s ?p ?o } USING g:x WHERE { ?s ?p ?o }",  # bare iri
@@ -112,8 +115,8 @@ def test_describe_var_matches_iri_twin(spark):
         "WITH <g:x> DELETE DATA { <a> <b> <c> }",
         "WITH <g:x> DELETE WHERE { ?s ?p ?o }",
         "WITH <g:x> CLEAR GRAPH <g:x>",  # WITH scopes templates only
+        "WITH <g:x> LOAD <file:///x.tsv>",  # same
         "INSERT { GRAPH <g:x> { ?s ?p ?o } } WHERE { ?s ?p ?o }",  # GRAPH tmpl
-        "DROP GRAPH <g:x>",  # unsupported op
         "DELETE { } WHERE { ?s ?p ?o } MORE",  # trailing garbage
         "INSERT WHERE { ?s ?p ?o }",  # template-less INSERT
     ],
@@ -485,3 +488,66 @@ def test_from_without_from_named_empties_graph_groups(spark):
     assert restored > 0
     # no dataset clause at all: named set = all graphs (engine default)
     assert n("") > restored
+
+
+# --- round 11: CLEAR / DROP / LOAD graph management -----------------
+
+
+def test_parse_clear_drop_load_forms():
+    """CLEAR/DROP (GRAPH <g> | ALL, SILENT inert) and LOAD
+    [INTO GRAPH <g>] parse to the intended UpdateOps; DROP ≡ CLEAR
+    (no empty-graph bookkeeping, SPARQL 1.1 §3.2.2/§3.2.3)."""
+    ops = parse_sparql_update(
+        "CLEAR GRAPH <g:region> ; DROP SILENT GRAPH <g:supplier> ; "
+        "CLEAR SILENT ALL ; LOAD <file:///d.tsv> ; "
+        "LOAD SILENT <file:///d.tsv> INTO GRAPH <g:region>"
+    )
+    assert [op.kind for op in ops] == [
+        "clear", "clear", "clear", "load", "load",
+    ]
+    assert ops[0].graph == "g:region"
+    assert ops[1].graph == "g:supplier"
+    assert ops[2].graph is None  # ALL
+    assert ops[3].iri == "file:///d.tsv" and ops[3].graph is None
+    assert ops[4].graph == "g:region"
+
+
+def test_clear_graph_and_all(spark):
+    """CLEAR GRAPH removes exactly the named graph's (subject-family)
+    triples; CLEAR ALL empties the state but keeps the schema."""
+    state0 = triples_view(spark, SF_DIR)
+    n_region = state0.filter(F.col("s").startswith("region:")).count()
+    assert n_region > 0
+    cleared = compile_sparql_update(
+        spark, SF_DIR, "CLEAR GRAPH <g:region>"
+    )
+    assert cleared.filter(F.col("s").startswith("region:")).count() == 0
+    assert cleared.count() == state0.count() - n_region
+    nothing = compile_sparql_update(spark, SF_DIR, "DROP ALL")
+    assert nothing.count() == 0
+    assert nothing.columns == ["s", "p", "o"]
+
+
+def test_load_set_union_and_into_graph_validation(spark, tmp_path):
+    """LOAD merges the document set-wise (re-loading the same doc adds
+    nothing — §3.1.4 graph union) and INTO GRAPH rejects documents
+    whose subjects fall outside the target family."""
+    doc = tmp_path / "d.tsv"
+    doc.write_text(
+        "region:0\thasMotto\tm0\n"
+        "region:0\thasMotto\tm0\n"  # in-document duplicate
+        "region:1\thasMotto\tm1\n"
+    )
+    once = compile_sparql_update(spark, SF_DIR, f"LOAD <file://{doc}>")
+    base = triples_view(spark, SF_DIR).count()
+    assert once.count() == base + 2  # dup landed once
+    twice = compile_sparql_update(
+        spark, SF_DIR, f"LOAD <file://{doc}> ; LOAD <file://{doc}>"
+    )
+    assert twice.count() == base + 2  # idempotent re-load
+    bad = tmp_path / "bad.tsv"
+    bad.write_text("region:0\thasMotto\tm0\nnation:1\thasMotto\tmx\n")
+    with pytest.raises(ValueError, match="outside that graph's family"):
+        compile_sparql_update(
+            spark, SF_DIR, f"LOAD <file://{bad}> INTO GRAPH <g:region>"
+        ).count()
