@@ -348,6 +348,114 @@ def _simhash64(tokens: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
+# Two separate volume budgets (round 11), both as multiples of the
+# chunk rows (Σc² / rows — "candidate blowup"):
+# - ARITY budget (coarse): step the banding arity up only on GROSS
+#   super-linearity (zipf sf3 measured 1,565 at arity 2) — stepping
+#   changes the covering design, so it must never fire on corpora the
+#   committed artifacts pinned (driver SFs measure ≈1-3).
+# - CAP budget (tight): after the arity is fixed, the adaptive df-cap
+#   drops the hottest band values until the remaining volume is
+#   ≤ 4 × rows — the candidate join's actual memory/time bound. On
+#   corpora whose volume is already data-proportional the cap lands
+#   above every bucket size and drops nothing (bit-identical plan).
+_SIMHASH_ARITY_BLOWUP = 64
+_SIMHASH_CAP_BLOWUP = 4
+# ... with an ABSOLUTE floor: a join under this many candidate rows is
+# cheap on any executor (8M rows ≈ 140 MB across the shuffle), so the
+# cap never engages there — driver-SF corpora (measured Σc² ≤ 1.7M)
+# keep their historical fixed-cap results bit-identically, and the
+# relative budget takes over exactly where volume actually hurts
+_SIMHASH_CAP_FLOOR_ROWS = 8_000_000
+_SIMHASH_ARITY: dict[str, int] = {}
+# measured decision records (scripts/saturation_probe.py-style
+# artifact evidence): one per probed (corpus, arity)
+SIMHASH_ARITY_LOG: list[dict] = []
+
+
+def _simhash_combos(arity: int) -> list[tuple[int, ...]]:
+    from itertools import combinations
+
+    if arity == 2:
+        # covering design: the 12 within-half pairs (optimality
+        # argument in q_dedup_simhash's docstring)
+        return [
+            c
+            for half in (range(0, 4), range(4, 8))
+            for c in combinations(half, 2)
+        ]
+    return list(combinations(range(8), arity))
+
+
+def _chunk_col(combos: list[tuple[int, ...]]) -> list:
+    """The banding projection: one (chunk_idx, chunk_val) per combo,
+    chunk_val the base-256 concatenation of the chosen 8-bit chunks."""
+    return [
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("chunk_idx"),
+                        F.expr(
+                            " + ".join(
+                                f"(((sh >> {8 * c}) & 255) * {256 ** p})"
+                                for p, c in enumerate(combo)
+                            )
+                        ).alias("chunk_val"),
+                    )
+                    for k, combo in enumerate(combos)
+                ]
+            )
+        ).alias("c")
+    ]
+
+
+def _simhash_arity(
+    spark: SparkSession, sf_dir: str, groups: DataFrame, arity: int
+) -> int:
+    """Occupancy-probed band arity (round 11): starting from the
+    uniform-occupancy estimate, measure the actual candidate volume
+    Σ_buckets c² over the DISTINCT-signature band buckets and step the
+    arity up while it exceeds _SIMHASH_MAX_BLOWUP × chunk rows. One
+    linear aggregate + one 1-row collect per probed arity (≤3 probes
+    ever), cached per corpus and attributed to the layout bucket."""
+    if sf_dir not in _SIMHASH_ARITY:
+        from ..scratch import timed_build
+
+        with timed_build("simhash_arity_probe"):
+            while True:
+                combos = _simhash_combos(arity)
+                est, rows = (
+                    groups.select(*_chunk_col(combos))
+                    .groupBy("c.chunk_idx", "c.chunk_val")
+                    .agg(F.count(F.lit(1)).alias("n"))
+                    .agg(
+                        F.coalesce(
+                            F.sum(F.col("n") * F.col("n")), F.lit(0)
+                        ).alias("e"),
+                        F.coalesce(F.sum("n"), F.lit(0)).alias("r"),
+                    )
+                    .collect()[0]
+                )
+                blowup = est / max(rows, 1)
+                SIMHASH_ARITY_LOG.append(
+                    {
+                        "sf_dir": sf_dir,
+                        "arity": arity,
+                        "est_candidate_rows": int(est),
+                        "chunk_rows": int(rows),
+                        "blowup": round(blowup, 2),
+                        "accepted": blowup <= _SIMHASH_ARITY_BLOWUP
+                        or arity >= 3,
+                    }
+                )
+                if blowup <= _SIMHASH_ARITY_BLOWUP or arity >= 3:
+                    break
+                arity += 1
+            _SIMHASH_ARITY[sf_dir] = arity
+    return _SIMHASH_ARITY[sf_dir]
+
+
 @register("q_dedup_simhash", oracle=None)  # rows-only: custom signature
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup: 64-bit signatures, banded candidate join over
@@ -362,7 +470,14 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     after the driver-SF top-50s all measured max hamming <= 5 — inside
     the arity-2 covering bound, so the finer buckets provably return
     the identical answer while the band join shrinks; sf0.1 flips to
-    arity 2, 7.0 -> ~3 s). At arity 2 the combo set
+    arity 2, 7.0 -> ~3 s). Round 11: the static rule's uniform-
+    occupancy assumption is additionally CHECKED by a measured
+    occupancy probe (_simhash_arity) that steps the arity further up
+    while the actual Σc² candidate volume is super-linear — corpora
+    sharing high-frequency head tokens bias every signature toward
+    the head's majority bit pattern and concentrate buckets far past
+    n/256^a (measured ×1,500 blowup at derived zipf sf3, 223 s; the
+    probe's arity 3 runs it at data-proportional cost). At arity 2 the combo set
     is a COVERING DESIGN, not all C(8,2)=28 pairs: the 12 within-half
     pairs ({0..3} x {0..3} and {4..7} x {4..7}). Pigeonhole guarantee:
     a hamming ≤ 5 pair leaves ≥ 3 chunks untouched, and 3 chunks across
@@ -406,24 +521,14 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     The signature is the only Python step (vectorized pandas UDF); banding,
     the self-join, and the Hamming verify are codegen'd expressions.
     """
-    from itertools import combinations
-
     docs = load_table(spark, sf_dir, "documents")
-    # arity from the DOC count (metadata-cheap, no UDF action): an
-    # upper bound on distinct signatures, so the step-up is at worst
-    # conservative — finer buckets, never coarser
+    # starting arity from the DOC count (metadata-cheap, no UDF
+    # action): an upper bound on distinct signatures, so the step-up
+    # is at worst conservative — finer buckets, never coarser
     n_docs = docs.count()
     arity = 1
     while arity < 3 and n_docs / (256 ** arity) > 16:
         arity += 1
-    if arity == 2:
-        combos = [
-            c
-            for half in (range(0, 4), range(4, 8))
-            for c in combinations(half, 2)
-        ]
-    else:
-        combos = list(combinations(range(8), arity))
     # spread the single-file scan before the pandas UDF: one partition
     # would mean ONE Arrow batch on one core for the whole corpus
     sigs = docs.repartition(fanout_width(spark)).select(
@@ -443,33 +548,85 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=False)
     )
-    chunks = groups.select(
-        "sh",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(k).alias("chunk_idx"),
-                        F.expr(
-                            " + ".join(
-                                f"(((sh >> {8 * c}) & 255) * {256 ** p})"
-                                for p, c in enumerate(combo)
-                            )
-                        ).alias("chunk_val"),
-                    )
-                    for k, combo in enumerate(combos)
-                ]
-            )
-        ).alias("c"),
-    ).select("sh", "c.chunk_idx", "c.chunk_val")
+    # round 11 (found by the Zipfian open-vocabulary sweep): the
+    # static arity rule assumes UNIFORM bucket occupancy, but corpora
+    # that share high-frequency head tokens bias every signature
+    # toward the head's majority bit pattern, concentrating band
+    # buckets far past n/256^a — the candidate join measured 223 s at
+    # zipf sf3 under arity 2 while every other dedup member ran ≤5 s.
+    # The occupancy PROBE measures the actual candidate volume Σ c²
+    # per arity (one linear aggregate + one scalar collect, cached per
+    # corpus, layout-attributed) and steps the arity up while the
+    # measured blowup is super-linear — the same measured-decision
+    # pattern as dedup_prefix's saturation probe. The covering bound
+    # only tightens with arity (≤7 at 1, ≤5 at 2 and 3), so stepping
+    # up never loses a top-50-band pair the coarser arity guaranteed.
+    arity = _simhash_arity(spark, sf_dir, groups, arity)
+    combos = _simhash_combos(arity)
+    chunks = groups.select("sh", *_chunk_col(combos)).select(
+        "sh", "c.chunk_idx", "c.chunk_val"
+    )
     # df-cap (the hot-shingle recipe of _shingle_pairs): a band value
     # shared by thousands of SIGNATURES is non-discriminative. Hot
     # bands are anti-joined out (bounded broadcast); low-hamming pairs
     # survive through any of their other bands, and hamming-0 pairs
     # never need the join (they are within-group).
-    counts = chunks.groupBy("chunk_idx", "chunk_val").count()
-    hot = counts.filter(F.col("count") > _SIMHASH_DF_CAP).select(
-        "chunk_idx", "chunk_val"
+    #
+    # Round 11: the cap is ADAPTIVE, selected IN THE PLAN like the
+    # expansion radius below. Head-biased corpora put most bucket
+    # sizes BELOW the fixed 2048 cap while their Σc² still explodes
+    # (zipf sf3: 511M join rows / 133 s after the fixed cap, with
+    # arity already probed up) — so the cap becomes the largest
+    # bucket size whose cumulative candidate volume Σ_{s<=cap} s²·h(s)
+    # stays within _SIMHASH_MAX_BLOWUP × chunk rows, computed from the
+    # (bounded, distinct-sizes) occupancy histogram with a running-sum
+    # window and broadcast back. The most-discriminative (rarest)
+    # bands — where the low-hamming pairs meet — are kept first; on
+    # corpora whose volume was already data-proportional every bucket
+    # size clears the budget and the plan is the historical one
+    # bit-identically (the fixed 2048 cap still applies on top).
+    # Hamming-0 recall stays unconditional (within-group pairs never
+    # enter the band join).
+    # three consumers below (size histogram, row total, hot filter):
+    # checkpoint so the chunk aggregate runs once
+    counts = (
+        chunks.groupBy("chunk_idx", "chunk_val")
+        .count()
+        .localCheckpoint(eager=False)
+    )
+    from pyspark.sql import Window as W
+
+    size_hist = counts.groupBy("count").agg(
+        F.count(F.lit(1)).alias("nb")
+    )
+    cum_vol = F.sum(
+        F.col("count") * F.col("count") * F.col("nb")
+    ).over(W.orderBy("count").rowsBetween(W.unboundedPreceding, 0))
+    total_rows = counts.agg(
+        F.coalesce(F.sum("count"), F.lit(0)).alias("tr")
+    )
+    adaptive_cap = (
+        size_hist.withColumn("cum", cum_vol)
+        .crossJoin(F.broadcast(total_rows))
+        .filter(
+            (
+                F.col("cum")
+                <= F.greatest(
+                    F.lit(_SIMHASH_CAP_BLOWUP) * F.col("tr"),
+                    F.lit(_SIMHASH_CAP_FLOOR_ROWS),
+                )
+            )
+            | (F.col("count") <= 2)  # pair-capable floor, always kept
+        )
+        .agg(F.coalesce(F.max("count"), F.lit(_SIMHASH_DF_CAP)).alias("cap"))
+    )
+    hot = (
+        counts.crossJoin(F.broadcast(adaptive_cap))
+        .filter(
+            F.col("count")
+            > F.least(F.col("cap"), F.lit(_SIMHASH_DF_CAP))
+        )
+        .select("chunk_idx", "chunk_val")
     )
     cold = chunks.join(
         F.broadcast(hot), ["chunk_idx", "chunk_val"], "left_anti"

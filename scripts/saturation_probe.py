@@ -29,8 +29,10 @@ def main() -> None:
         for d in (
             "/root/testdata/sf0.01",
             "/root/testdata/sf0.1",
-            "/tmp/sfderived/sf1",
-            "/tmp/sfderived/sf3",
+            "/tmp/scaled/sf1",
+            "/tmp/scaled/sf3",
+            "/tmp/scaled/zipf_sf1",
+            "/tmp/scaled/zipf_sf3",
         )
         if os.path.isdir(d)
     ]
@@ -44,7 +46,12 @@ def main() -> None:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
+    from pyspark.sql import functions as F
+
+    from nosql_triple_store_spark.functions.textfns import tokens_col
+    from nosql_triple_store_spark.operators import dedup as dd
     from nosql_triple_store_spark.operators import dedup_prefix as dp
+    from nosql_triple_store_spark.widths import fanout_width
 
     # the rungs the registered queries actually run: the ladder's
     # routable rungs for both kinds
@@ -55,11 +62,33 @@ def main() -> None:
         for kind, pqs in rungs.items():
             for p, q in pqs:
                 dp._exact_is_proportional(spark, sf_dir, rs, p, q, kind)
+        # the simhash occupancy probe (round 11): same measured-decision
+        # evidence for the banding arity step-up on head-biased corpora
+        from nosql_triple_store_spark.catalog import load_table
+
+        docs = load_table(spark, sf_dir, "documents")
+        n_docs = docs.count()
+        arity = 1
+        while arity < 3 and n_docs / (256 ** arity) > 16:
+            arity += 1
+        sigs = docs.repartition(fanout_width(spark)).select(
+            "doc_id", dd._simhash64(tokens_col()).alias("sh")
+        )
+        groups = sigs.groupBy("sh").agg(
+            F.slice(F.sort_array(F.collect_list("doc_id")), 1, 51).alias(
+                "members"
+            ),
+            F.count(F.lit(1)).alias("m"),
+        )
+        dd._simhash_arity(spark, sf_dir, groups, arity)
     print(
         json.dumps(
             {
                 "sat_max_blowup": dp.SAT_MAX_BLOWUP,
                 "decisions": dp.SATURATION_LOG,
+                "simhash_arity_blowup": dd._SIMHASH_ARITY_BLOWUP,
+                "simhash_cap_blowup": dd._SIMHASH_CAP_BLOWUP,
+                "simhash_arity_decisions": dd.SIMHASH_ARITY_LOG,
             },
             indent=1,
         )

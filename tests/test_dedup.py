@@ -172,3 +172,44 @@ def test_scratch_builds_record_to_layout_bucket(spark):
 
     dd._shingle_stream(spark, alias).count()  # warm: no rebuild
     assert sc.drain_build_seconds() == {}
+
+
+def test_simhash_arity_probe_steps_up_on_head_bias(spark):
+    """Round 11 (found by the Zipfian open-vocabulary sweep): corpora
+    whose signatures share a head-biased bit pattern concentrate band
+    buckets far past the uniform n/256^a estimate — the occupancy
+    probe must measure the Σc² blowup and step the arity up, while a
+    uniformly-spread signature set keeps its starting arity."""
+    from pyspark.sql import functions as F
+
+    from nosql_triple_store_spark.operators import dedup as dd
+
+    # head-biased: 4,000 distinct signatures differing ONLY in the low
+    # byte plus a few high bits — every arity-2 within-half pair of
+    # high chunks collides into a handful of buckets (blowup >> 64)
+    biased = (
+        spark.range(4000)
+        .select(
+            (
+                (F.col("id") % 256)
+                + (F.col("id") / 256).cast("long") * F.lit(1 << 56)
+            ).alias("sh")
+        )
+        .select("sh", F.array(F.lit(1)).alias("members"), F.lit(1).alias("m"))
+    )
+    dd._SIMHASH_ARITY.pop("probe_biased", None)
+    assert dd._simhash_arity(spark, "probe_biased", biased, 2) == 3
+
+    # uniform: xxhash64-spread signatures — blowup ~1, arity kept
+    uniform = (
+        spark.range(4000)
+        .select(F.xxhash64("id").alias("sh"))
+        .select("sh", F.array(F.lit(1)).alias("members"), F.lit(1).alias("m"))
+    )
+    dd._SIMHASH_ARITY.pop("probe_uniform", None)
+    assert dd._simhash_arity(spark, "probe_uniform", uniform, 2) == 2
+    # decisions are recorded as measured-evidence log entries
+    assert any(
+        r["sf_dir"] == "probe_biased" and not r["accepted"]
+        for r in dd.SIMHASH_ARITY_LOG
+    )

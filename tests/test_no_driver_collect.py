@@ -34,6 +34,9 @@ ALLOWED = {
     "operators/source_jdbc.py": 1,  # 2-scalar JDBC partition bounds
     # two 1-scalar candidate-volume estimates (saturation probe)
     "operators/dedup_prefix.py": 2,
+    # one 1-row (est, rows) scalar per probed simhash arity (<=3 ever,
+    # cached per corpus — the occupancy probe)
+    "operators/dedup.py": 1,
     "sources/bson_py.py": 1,  # one (path, n) row per write partition
 }
 
