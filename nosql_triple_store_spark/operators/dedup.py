@@ -367,7 +367,7 @@ _SIMHASH_CAP_BLOWUP = 4
 # keep their historical fixed-cap results bit-identically, and the
 # relative budget takes over exactly where volume actually hurts
 _SIMHASH_CAP_FLOOR_ROWS = 8_000_000
-_SIMHASH_ARITY: dict[str, int] = {}
+_SIMHASH_ARITY: dict[str, tuple[int, int]] = {}  # sf_dir -> (arity, Σc²)
 # measured decision records (scripts/saturation_probe.py-style
 # artifact evidence): one per probed (corpus, arity)
 SIMHASH_ARITY_LOG: list[dict] = []
@@ -452,8 +452,16 @@ def _simhash_arity(
                 if blowup <= _SIMHASH_ARITY_BLOWUP or arity >= 3:
                     break
                 arity += 1
-            _SIMHASH_ARITY[sf_dir] = arity
-    return _SIMHASH_ARITY[sf_dir]
+            # cache the accepted arity's measured volume too: the
+            # df-cap decision below reuses it to skip its histogram
+            # subplan when the cap provably cannot engage
+            _SIMHASH_ARITY[sf_dir] = (arity, int(est))
+    return _SIMHASH_ARITY[sf_dir][0]
+
+
+def _simhash_probed_volume(sf_dir: str) -> int:
+    """Measured Σc² at the accepted arity (from the cached probe)."""
+    return _SIMHASH_ARITY[sf_dir][1]
 
 
 @register("q_dedup_simhash", oracle=None)  # rows-only: custom signature
@@ -587,47 +595,66 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bit-identically (the fixed 2048 cap still applies on top).
     # Hamming-0 recall stays unconditional (within-group pairs never
     # enter the band join).
-    # three consumers below (size histogram, row total, hot filter):
-    # checkpoint so the chunk aggregate runs once
-    counts = (
-        chunks.groupBy("chunk_idx", "chunk_val")
-        .count()
-        .localCheckpoint(eager=False)
-    )
-    from pyspark.sql import Window as W
+    if _simhash_probed_volume(sf_dir) <= _SIMHASH_CAP_FLOOR_ROWS:
+        # The arity probe already measured TOTAL Σc² under the cap's
+        # absolute floor, so the adaptive budget keeps every bucket
+        # (cum at the max size ≤ floor) and the adaptive cap provably
+        # coincides with the fixed cap — skip the histogram/window/
+        # broadcast subplan entirely. Bit-identical hot set; driver
+        # corpora (Σc² ≤ 1.7M) always take this branch, restoring
+        # their pre-round-11 plan shape.
+        hot = (
+            chunks.groupBy("chunk_idx", "chunk_val")
+            .count()
+            .filter(F.col("count") > _SIMHASH_DF_CAP)
+            .select("chunk_idx", "chunk_val")
+        )
+    else:
+        # three consumers below (size histogram, row total, hot
+        # filter): checkpoint so the chunk aggregate runs once
+        counts = (
+            chunks.groupBy("chunk_idx", "chunk_val")
+            .count()
+            .localCheckpoint(eager=False)
+        )
+        from pyspark.sql import Window as W
 
-    size_hist = counts.groupBy("count").agg(
-        F.count(F.lit(1)).alias("nb")
-    )
-    cum_vol = F.sum(
-        F.col("count") * F.col("count") * F.col("nb")
-    ).over(W.orderBy("count").rowsBetween(W.unboundedPreceding, 0))
-    total_rows = counts.agg(
-        F.coalesce(F.sum("count"), F.lit(0)).alias("tr")
-    )
-    adaptive_cap = (
-        size_hist.withColumn("cum", cum_vol)
-        .crossJoin(F.broadcast(total_rows))
-        .filter(
-            (
-                F.col("cum")
-                <= F.greatest(
-                    F.lit(_SIMHASH_CAP_BLOWUP) * F.col("tr"),
-                    F.lit(_SIMHASH_CAP_FLOOR_ROWS),
+        size_hist = counts.groupBy("count").agg(
+            F.count(F.lit(1)).alias("nb")
+        )
+        cum_vol = F.sum(
+            F.col("count") * F.col("count") * F.col("nb")
+        ).over(W.orderBy("count").rowsBetween(W.unboundedPreceding, 0))
+        total_rows = counts.agg(
+            F.coalesce(F.sum("count"), F.lit(0)).alias("tr")
+        )
+        adaptive_cap = (
+            size_hist.withColumn("cum", cum_vol)
+            .crossJoin(F.broadcast(total_rows))
+            .filter(
+                (
+                    F.col("cum")
+                    <= F.greatest(
+                        F.lit(_SIMHASH_CAP_BLOWUP) * F.col("tr"),
+                        F.lit(_SIMHASH_CAP_FLOOR_ROWS),
+                    )
+                )
+                | (F.col("count") <= 2)  # pair-capable floor, always kept
+            )
+            .agg(
+                F.coalesce(F.max("count"), F.lit(_SIMHASH_DF_CAP)).alias(
+                    "cap"
                 )
             )
-            | (F.col("count") <= 2)  # pair-capable floor, always kept
         )
-        .agg(F.coalesce(F.max("count"), F.lit(_SIMHASH_DF_CAP)).alias("cap"))
-    )
-    hot = (
-        counts.crossJoin(F.broadcast(adaptive_cap))
-        .filter(
-            F.col("count")
-            > F.least(F.col("cap"), F.lit(_SIMHASH_DF_CAP))
+        hot = (
+            counts.crossJoin(F.broadcast(adaptive_cap))
+            .filter(
+                F.col("count")
+                > F.least(F.col("cap"), F.lit(_SIMHASH_DF_CAP))
+            )
+            .select("chunk_idx", "chunk_val")
         )
-        .select("chunk_idx", "chunk_val")
-    )
     cold = chunks.join(
         F.broadcast(hot), ["chunk_idx", "chunk_val"], "left_anti"
     )

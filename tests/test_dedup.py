@@ -213,3 +213,27 @@ def test_simhash_arity_probe_steps_up_on_head_bias(spark):
         r["sf_dir"] == "probe_biased" and not r["accepted"]
         for r in dd.SIMHASH_ARITY_LOG
     )
+
+
+def test_simhash_cap_skip_branch_is_bit_identical(spark, monkeypatch):
+    """When the probed Σc² sits under the cap's absolute floor, the
+    query skips the adaptive-cap histogram subplan with the claim the
+    hot set (and therefore the result) is bit-identical to the
+    adaptive branch. Pin that equivalence on the driver corpus by
+    forcing the adaptive branch and comparing full outputs."""
+    from nosql_triple_store_spark.operators import dedup as dd
+
+    fast = sorted(
+        map(tuple, SPECS["q_dedup_simhash"].fn(spark, SF_DIR).collect())
+    )
+    # force the adaptive branch: report a probed volume above the
+    # floor (the cached (arity, est) entry keeps its real arity)
+    monkeypatch.setattr(
+        dd,
+        "_simhash_probed_volume",
+        lambda sf_dir: dd._SIMHASH_CAP_FLOOR_ROWS + 1,
+    )
+    adaptive = sorted(
+        map(tuple, SPECS["q_dedup_simhash"].fn(spark, SF_DIR).collect())
+    )
+    assert fast == adaptive
