@@ -120,33 +120,45 @@ def q_graph_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     e_dir = _edges(spark, sf_dir)
     e = e_dir.unionByName(
         e_dir.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    ).localCheckpoint()  # loop invariant: one materialization, not one
+    # union-of-parquet-scans replan per round (guide §2.4)
     nodes = (
         e.select(F.col("src").alias("node_id"))
         .union(e.select("dst"))
         .union(region.select(F.col("r_regionkey").cast("long")))
         .distinct()
     )
-    labels = nodes.select("node_id", F.col("node_id").alias("component"))
+    labels = nodes.select(
+        "node_id", F.col("node_id").alias("component")
+    ).localCheckpoint()  # round 1 otherwise recomputes the distinct twice
     changed = -1
     for _ in range(10):
         neigh = (
             e.join(labels, e.dst == labels.node_id)
             .select(F.col("src").alias("node_id"), "component")
         )
-        new_labels = (
-            labels.unionByName(neigh)
+        # Carry the previous label through the aggregate (labels has
+        # exactly one row per node, so max(oldc) recovers it; neighbor
+        # rows contribute null) — the changed-count then reads the
+        # checkpointed result instead of paying a join per round.
+        stepped = (
+            labels.select(
+                "node_id", "component", F.col("component").alias("oldc")
+            )
+            .unionByName(
+                neigh.withColumn("oldc", F.lit(None).cast("long"))
+            )
             .groupBy("node_id")
-            .agg(F.min("component").alias("component"))
+            .agg(
+                F.min("component").alias("component"),
+                F.max("oldc").alias("oldc"),
+            )
             .localCheckpoint()  # truncate lineage: plans stay O(1) per round
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node_id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        labels = new_labels
+        changed = stepped.filter(
+            F.col("component") != F.col("oldc")
+        ).count()
+        labels = stepped.select("node_id", "component")
         if changed == 0:
             break
     if changed != 0:
@@ -215,10 +227,19 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranks round to 6 dp and the check is rows-only."""
     e = _edges(spark, sf_dir)
     out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    e_w = e.join(out_deg, "src")
-    nodes = e.select(F.col("src").alias("node_id")).union(
-        e.select("dst")
-    ).distinct()
+    # Loop invariants materialized ONCE (guide §2.4): without the
+    # checkpoints each round replans and re-executes the parquet scans,
+    # the degree aggregate + edge join (e_w) and the union+distinct
+    # (nodes) — measured 2 extra exchanges per round at sf0.1 and the
+    # same re-scan pattern at any scale. GraphX caches the edge RDD for
+    # exactly this reason.
+    e_w = e.join(out_deg, "src").localCheckpoint()
+    nodes = (
+        e.select(F.col("src").alias("node_id"))
+        .union(e.select("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
     n_nodes = nodes.count()
     ranks = nodes.select(
         "node_id", F.lit(1.0 / n_nodes).alias("rank")
@@ -233,28 +254,30 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("node_id")
             .agg(F.sum("c").alias("c"))
         )
-        new_ranks = (
-            nodes.join(contribs, "node_id", "left")
+        # ranks always holds every node (initialized from nodes and
+        # rebuilt over the same key set each round), so left-joining
+        # contribs onto ranks replaces BOTH the nodes join and the
+        # separate delta join: one join per round instead of two, and
+        # the convergence check reads the checkpointed step result.
+        stepped = (
+            ranks.select("node_id", F.col("rank").alias("prev"))
+            .join(contribs, "node_id", "left")
             .select(
                 "node_id",
                 (
                     F.lit(0.15 / n_nodes)
                     + F.lit(0.85) * F.coalesce("c", F.lit(0.0))
                 ).alias("rank"),
+                "prev",
             )
             .localCheckpoint()
         )
         delta = (
-            new_ranks.join(
-                ranks.select(
-                    "node_id", F.col("rank").alias("prev")
-                ),
-                "node_id",
-            )
-            .agg(F.max(F.abs(F.col("rank") - F.col("prev"))).alias("d"))
-            .first()["d"]
+            stepped.agg(
+                F.max(F.abs(F.col("rank") - F.col("prev"))).alias("d")
+            ).first()["d"]
         )
-        ranks = new_ranks
+        ranks = stepped.select("node_id", "rank")
         if delta is not None and delta < _PR_TOL:
             break
     return ranks.select("node_id", F.round("rank", 6).alias("rank"))

@@ -36,7 +36,7 @@ def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     e = e_dir.unionByName(
         e_dir.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    ).localCheckpoint()  # loop invariant: joined every level (guide §2.4)
     dist = spark.createDataFrame([("region:2", 0)], "node string, dist int")
     for _ in range(3):
         frontier = (

@@ -49,7 +49,7 @@ def q_graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _edges(spark, sf_dir)
     und = e.select("src", "dst").unionByName(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    ).localCheckpoint()  # loop invariant: joined every round (guide §2.4)
     nodes = und.select(F.col("src").alias("node_id")).distinct()
     labels = nodes.select(
         "node_id", F.col("node_id").alias("label")

@@ -198,19 +198,28 @@ def q_graph_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
             neigh = e.join(
                 labels, e.b == labels.node
             ).select(F.col("a").alias("node"), "lab")
-            new_labels = (
-                labels.unionByName(neigh)
+            # carry the previous label through the aggregate (one
+            # labels row per node, so max(oldl) recovers it) — the
+            # changed-count reads the checkpointed result instead of
+            # paying a join per round (same fusion as q_graph_cc)
+            stepped = (
+                labels.select("node", "lab", F.col("lab").alias("oldl"))
+                .unionByName(
+                    neigh.withColumn(
+                        "oldl", F.lit(None).cast("string")
+                    )
+                )
                 .groupBy("node")
-                .agg(F.min("lab").alias("lab"))
+                .agg(
+                    F.min("lab").alias("lab"),
+                    F.max("oldl").alias("oldl"),
+                )
                 .localCheckpoint()
             )
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "node")
-                .filter(F.col("n.lab") != F.col("o.lab"))
-                .count()
-            )
-            labels = new_labels
+            changed = stepped.filter(
+                F.col("lab") != F.col("oldl")
+            ).count()
+            labels = stepped.select("node", "lab")
             if changed == 0:
                 break
         if changed != 0:

@@ -57,7 +57,11 @@ def _all_pairs_dists(ed: DataFrame) -> DataFrame:
         if nxt.limit(1).count() == 0:
             exhausted = True
             break
-        known = known.unionByName(nxt).localCheckpoint()
+        # lazy union of per-round checkpoints: each leg is already
+        # materialized, so re-checkpointing the whole accumulated
+        # relation every round (O(rounds x pairs) rewrite) buys nothing
+        # — the anti-join and final consumers scan the same blocks
+        known = known.unionByName(nxt)
         frontier = nxt
     if not exhausted:
         # the cap is a correctness guard, not a budget: one more probe

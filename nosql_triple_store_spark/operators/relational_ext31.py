@@ -8,12 +8,16 @@ stats a CBO consumes (Spark's own ANALYZE TABLE ... COMPUTE STATISTICS
 FOR COLUMNS computes exactly this family) and the first debugging query
 against any unfamiliar table.
 
-Plan shape: ONE pass over the table computing all per-column aggregates
-simultaneously (a single partial-aggregable hash aggregate with ~4·k
-expressions — not k passes), then a stack() unpivot of the 1-row result
-into (column, stat) rows. The unpivot is on one row, so the whole query
-shuffles 1 row; distinct counts use exact count_distinct which Spark
-evaluates via expand within the same aggregate.
+Plan shape: ONE single-column aggregate branch per profiled column,
+unioned. A combined aggregate with k exact count_distincts looked
+cheaper on paper but planned as Expand x(k+1) -> Sort -> SortAggregate
+keyed on ALL k columns at once (wide string keys, 7x the input rows
+through a sort) — measured 3.3 s at sf0.1. One branch per column keeps
+Spark's single-distinct rewrite (two-stage hash aggregate keyed on just
+that column, no Expand, no sort), each branch's parquet scan prunes to
+exactly one column, and the union's branches run as independent stages
+of one job. At 100 TB each branch shuffles only that column's distinct
+values — strictly fewer bytes than the expanded 7-way sort key.
 """
 
 from __future__ import annotations
@@ -68,31 +72,35 @@ def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct, min/max as strings) in ONE aggregation pass + a 1-row
     unpivot — the ANALYZE TABLE statistics family as a query."""
     ev = load_table(spark, sf_dir, "events")
-    aggs = []
+    branches = []
     for c, is_double in _PROFILE_COLS:
-        aggs.append(F.count(F.lit(1)).alias(f"{c}__rows"))
-        aggs.append(
-            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
-            .cast("long")
-            .alias(f"{c}__nulls")
-        )
-        aggs.append(F.count_distinct(F.col(c)).alias(f"{c}__distinct"))
         if is_double:
-            aggs.append(
-                F.format_string("%.4f", F.min(c)).alias(f"{c}__min")
-            )
-            aggs.append(
-                F.format_string("%.4f", F.max(c)).alias(f"{c}__max")
-            )
+            mn = F.format_string("%.4f", F.min(c))
+            mx = F.format_string("%.4f", F.max(c))
         else:
-            aggs.append(F.min(c).cast("string").alias(f"{c}__min"))
-            aggs.append(F.max(c).cast("string").alias(f"{c}__max"))
-    one = ev.agg(*aggs)
-    stack_args = ", ".join(
-        f"'{c}', {c}__rows, {c}__nulls, {c}__distinct, {c}__min, {c}__max"
-        for c, _ in _PROFILE_COLS
-    )
-    return one.selectExpr(
-        f"stack({len(_PROFILE_COLS)}, {stack_args}) AS "
-        "(column_name, n_rows, n_nulls, n_distinct, min_s, max_s)"
-    )
+            mn = F.min(c).cast("string")
+            mx = F.max(c).cast("string")
+        branches.append(
+            ev.select(c)
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+                .cast("long")
+                .alias("n_nulls"),
+                F.count_distinct(F.col(c)).alias("n_distinct"),
+                mn.alias("min_s"),
+                mx.alias("max_s"),
+            )
+            .select(
+                F.lit(c).alias("column_name"),
+                "n_rows",
+                "n_nulls",
+                "n_distinct",
+                "min_s",
+                "max_s",
+            )
+        )
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionByName(b)
+    return out
