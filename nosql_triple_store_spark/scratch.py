@@ -153,3 +153,20 @@ def scratch_tmp(prefix: str) -> str:
     path = tempfile.mkdtemp(prefix=prefix)
     _CREATED.append(path)
     return path
+
+
+def ckpt_tmp(prefix: str) -> str:
+    """Scratch dir for EPHEMERAL streaming checkpoints (bounded
+    availableNow drains whose checkpoint dies with the query). The
+    state-store/offset-log writes are per-batch fsync'd small files, so
+    a memory-backed fs measurably cuts the per-query floor (~0.1-0.3 s
+    each at sf0.1). Resolution: $SPARK_GRAFT_CKPT_BASE if set (point it
+    at durable storage for restartable production streams), else
+    /dev/shm when present, else the normal tmp dir. Removed at process
+    exit either way."""
+    base = os.environ.get("SPARK_GRAFT_CKPT_BASE")
+    if base is None and os.path.isdir("/dev/shm"):
+        base = "/dev/shm"
+    path = tempfile.mkdtemp(prefix=prefix, dir=base)
+    _CREATED.append(path)
+    return path

@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 from ..catalog import load_table
 from ..operators.bgp_queries import STAR_ORACLE
 from ..registry import register
-from ..scratch import scratch_dir, scratch_tmp
+from ..scratch import ckpt_tmp, scratch_dir, scratch_tmp
 
 _N_WAVES = 4
 
@@ -147,7 +147,7 @@ def q_stream_bgp_delta_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .option("maxFilesPerTrigger", "1")
             .parquet(src)
             .writeStream.foreachBatch(maintain)
-            .option("checkpointLocation", scratch_tmp("ckpt_bgpd_"))
+            .option("checkpointLocation", ckpt_tmp("ckpt_bgpd_"))
             .trigger(availableNow=True)
             .start()
         )

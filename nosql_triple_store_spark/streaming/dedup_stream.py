@@ -32,7 +32,7 @@ from ..operators.dedup import _shingle_stream
 from ..operators.dedup_pipeline import THRESHOLD, band_index
 from ..functions.textfns import TOKS_SQL, shingles_sql
 from ..registry import register
-from ..scratch import scratch_dir, scratch_tmp
+from ..scratch import ckpt_tmp, scratch_dir, scratch_tmp
 
 _N_WAVES = 4
 
@@ -302,7 +302,7 @@ def q_stream_dedup_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
             .option("maxFilesPerTrigger", "1")
             .parquet(src)
             .writeStream.foreachBatch(admit)
-            .option("checkpointLocation", scratch_tmp("ckpt_admit_"))
+            .option("checkpointLocation", ckpt_tmp("ckpt_admit_"))
             .trigger(availableNow=True)
             .start()
         )

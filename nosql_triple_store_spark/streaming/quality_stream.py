@@ -33,7 +33,7 @@ from ..catalog import load_table
 from ..functions.textfns import TOKS_SQL
 from ..operators.text_ext10 import nb_components, nb_score
 from ..registry import register
-from ..scratch import scratch_tmp
+from ..scratch import ckpt_tmp, scratch_tmp
 from .dedup_stream import _N_WAVES, wave_build
 
 _FULL_WAVE_DIRS: dict[str, str] = {}
@@ -206,7 +206,7 @@ def q_stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     (
         stream.writeStream.foreachBatch(gate)
-        .option("checkpointLocation", f"{base}/ckpt")
+        .option("checkpointLocation", ckpt_tmp("ckpt_gate_"))
         .trigger(availableNow=True)
         .start()
         .awaitTermination()

@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from ..registry import register
-from ..scratch import scratch_tmp
+from ..scratch import ckpt_tmp, scratch_tmp
 from ..session import ensure_runtime_confs
 from ..operators.eventtime import _SLIDING_ORACLE as _BATCH_SLIDING_ORACLE
 from ..operators.triple import E_CTE
@@ -116,10 +116,7 @@ def _run_to_memory(
     width matched to the QUERY for the stream's lifetime and restore
     after. Round-8 profiling (PLANS.md): the width trades state-store
     init (∝ partitions × state stores × batches) against kernel
-    parallelism. Default 16 — measured best for engine-stateful plans
-    (stream-stream join: 4.7 s at 16 vs 7.8 s at 32; its multiple
-    per-partition stores make init dominate). Pass
-    ``state_width=cluster_cores(spark)`` for single-batch
+    parallelism. Pass ``state_width=cluster_cores(spark)`` for single-batch
     applyInPandasWithState operators, whose per-key Python kernel is
     the cost and which halve with the extra parallelism
     (q_stream_lww_state at sf1: 27.6 → 11.8 s).
@@ -127,15 +124,23 @@ def _run_to_memory(
     spark = stream_df.sparkSession
     name = f"mem_{uuid.uuid4().hex[:10]}"
     old = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set(
-        "spark.sql.shuffle.partitions", str(state_width or 16)
+    # Default width is env-parameterised (scale-dependent setting, guide
+    # §2): state-store init cost is ∝ partitions × stores × batches, so
+    # small bounded fixtures want few state partitions while a real
+    # cluster sizes this to keys/executors. Round-11 A/B at sf0.1
+    # (medians of 3, disk checkpoints): width 16 → 1.58 s, 8 → 1.13 s,
+    # 4 → 1.10 s for a windowed count; the heavy stateful members were
+    # re-measured per query (OPTIMIZATION_r11.md) before settling on 8.
+    width = state_width or int(
+        os.environ.get("SPARK_GRAFT_STREAM_STATE_WIDTH", "8")
     )
+    spark.conf.set("spark.sql.shuffle.partitions", str(width))
     try:
         q = (
             stream_df.writeStream.format("memory")
             .queryName(name)
             .outputMode(output_mode)
-            .option("checkpointLocation", scratch_tmp("ckpt_"))
+            .option("checkpointLocation", ckpt_tmp("ckpt_"))
             .trigger(availableNow=True)
             .start()
         )
@@ -462,7 +467,7 @@ def q_stream_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         q = (
             ev.writeStream.foreachBatch(sink)
-            .option("checkpointLocation", scratch_tmp("ckpt_"))
+            .option("checkpointLocation", ckpt_tmp("ckpt_"))
             .trigger(availableNow=True)
             .start()
         )
@@ -703,7 +708,7 @@ def q_stream_incr_view(spark: SparkSession, sf_dir: str) -> DataFrame:
             .option("maxFilesPerTrigger", "2")
             .parquet(src)
             .writeStream.foreachBatch(fold)
-            .option("checkpointLocation", scratch_tmp("ckpt_"))
+            .option("checkpointLocation", ckpt_tmp("ckpt_"))
             .trigger(availableNow=True)
             .start()
         )

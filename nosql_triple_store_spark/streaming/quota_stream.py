@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from ..functions.topk import grouped_topk
 from ..registry import register
-from ..scratch import scratch_tmp
+from ..scratch import ckpt_tmp, scratch_tmp
 from .queries import _events_multifile_dir
 
 _QUOTA_K = 5
@@ -108,7 +108,7 @@ def q_stream_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             .option("maxFilesPerTrigger", "2")
             .parquet(src)
             .writeStream.foreachBatch(fold)
-            .option("checkpointLocation", scratch_tmp("ckpt_"))
+            .option("checkpointLocation", ckpt_tmp("ckpt_"))
             .trigger(availableNow=True)
             .start()
         )
