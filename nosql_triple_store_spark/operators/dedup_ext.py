@@ -73,14 +73,19 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
                 lambda i: F.col("__t").substr(i, F.lit(_N)),
             )
         ).alias("g"),
-    ).distinct()
+    ).distinct().localCheckpoint()
+    # ^ the gram stream (explode + distinct over every character) is the
+    # expensive input and feeds BOTH the df-cap aggregate and the rare
+    # re-join; materialize once instead of exploding the corpus twice
     rare = (
         grams.groupBy("g")
         .agg(F.count(F.lit(1)).alias("df"))
         .filter(F.col("df") <= DF_CAP)
         .select("g")
     )
-    rsh = grams.join(F.broadcast(rare), "g")
+    # rare-filtered stream feeds three consumers (sizes + both self-join
+    # sides); after the df-cap it is the small end of the pipeline
+    rsh = grams.join(F.broadcast(rare), "g").localCheckpoint()
     sizes = rsh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_g"))
     a = rsh.select(F.col("doc_id").alias("doc_a"), "g")
     b = rsh.select(F.col("doc_id").alias("doc_b"), "g")

@@ -101,11 +101,20 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = sym
     for _ in range(50):
-        deg = edges.groupBy("pa").agg(F.count(F.lit(1)).alias("deg"))
+        # one materialization of the degree table per round: it feeds
+        # the two semi-joins and BOTH convergence counts (fused into a
+        # single scalar aggregate — was two separate count actions)
+        deg = (
+            edges.groupBy("pa")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .localCheckpoint()
+        )
         keep = deg.filter(F.col("deg") >= K_CORE).select("pa")
-        n_all = deg.count()
-        n_keep = keep.count()
-        if n_keep == n_all:
+        row = deg.agg(
+            F.count(F.lit(1)).alias("n_all"),
+            F.sum((F.col("deg") >= K_CORE).cast("long")).alias("n_keep"),
+        ).collect()[0]
+        if row["n_keep"] == row["n_all"]:
             break
         keep_b = keep.select(F.col("pa").alias("pb"))
         edges = (
@@ -167,12 +176,16 @@ def q_graph_node_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     deg = basket.groupBy("cust").agg(F.count(F.lit(1)).alias("d"))
-    x = basket.select(F.col("cust").alias("u"), "part")
-    y = basket.select(F.col("cust").alias("v"), "part")
+    # repartition BEFORE aliasing the two self-join sides: the two
+    # exchange subtrees are then byte-identical, so ReuseExchange ships
+    # the basket over the wire once instead of twice (aliasing first
+    # made the exchanges differ by projection and defeated the reuse)
     wide = wedge_width(spark)
+    bp = basket.repartition(wide, "part")
+    x = bp.select(F.col("cust").alias("u"), "part")
+    y = bp.select(F.col("cust").alias("v"), "part")
     wedge = (
-        x.repartition(wide, "part")
-        .join(y.repartition(wide, "part"), "part")
+        x.join(y, "part")
         .filter(F.col("u") < F.col("v"))
         .groupBy("u", "v")
         .agg(F.count(F.lit(1)).alias("common"))

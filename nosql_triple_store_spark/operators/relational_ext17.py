@@ -125,27 +125,42 @@ def q_graph_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
         converged = False
         for _ in range(SSSP_ROUND_CAP):
             cand = _relax_candidates(frontier, frontier_rows, adj)
-            improved = (
-                cand.join(dist.withColumnRenamed("dist", "old"), "node", "left")
-                .filter(F.col("old").isNull() | (F.col("cand") < F.col("old")))
-                .select("node", F.col("cand").alias("dist"))
+            # ONE union+min merge per round carries the previous
+            # distance alongside (dist has one row per node, so
+            # max(old) recovers it; candidates contribute null): the
+            # improved set AND the merged distances both read off the
+            # same checkpointed step — replacing the old
+            # join-filter-checkpoint + union-min-checkpoint pair (3
+            # actions, 2 shuffles per round) with 1 checkpoint + 1
+            # count and a single shuffle. Same values by min-merge
+            # algebra: improved iff old is null or cand < old.
+            stepped = (
+                dist.select(
+                    "node",
+                    F.col("dist").alias("d"),
+                    F.col("dist").alias("old"),
+                )
+                .unionByName(
+                    cand.select(
+                        "node",
+                        F.col("cand").alias("d"),
+                        F.lit(None).cast("long").alias("old"),
+                    )
+                )
+                .groupBy("node")
+                .agg(F.min("d").alias("dist"), F.max("old").alias("old"))
                 .localCheckpoint()
             )
-            # count (on the checkpointed set, so ~free) doubles as the
+            frontier = stepped.filter(
+                F.col("old").isNull() | (F.col("dist") < F.col("old"))
+            ).select("node", "dist")
+            # count (on the checkpointed step, so ~free) doubles as the
             # convergence check AND next round's frontier-size estimate
-            frontier_rows = improved.count()
+            frontier_rows = frontier.count()
+            dist = stepped.select("node", "dist")
             if frontier_rows == 0:
                 converged = True
                 break
-            # merge = union + min (one shuffle), cheaper than a full-outer
-            # join and identical because improved rows always win
-            dist = (
-                dist.unionByName(improved)
-                .groupBy("node")
-                .agg(F.min("dist").alias("dist"))
-                .localCheckpoint()
-            )
-            frontier = improved
         if not converged:
             raise RuntimeError(
                 f"SSSP did not converge in {SSSP_ROUND_CAP} rounds"

@@ -202,19 +202,27 @@ def q_itemsets_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     prune is lossless.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
+    # materialize once: items feeds the frequency prune AND the pruned
+    # stream; pruned feeds all THREE self-join sides — unchecked, each
+    # consumer replans the lineitem scan + distinct exchange
+    items = li.select("l_orderkey", "l_partkey").distinct().localCheckpoint()
     freq = (
         items.groupBy("l_partkey")
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") >= _MIN_SUPPORT)
         .select("l_partkey")
     )
-    pruned = items.join(F.broadcast(freq), "l_partkey").select(
-        "l_orderkey", "l_partkey"
+    pruned = (
+        items.join(F.broadcast(freq), "l_partkey")
+        .select("l_orderkey", "l_partkey")
+        .localCheckpoint()
     )
-    a = pruned.select("l_orderkey", F.col("l_partkey").alias("part_a"))
-    b = pruned.select("l_orderkey", F.col("l_partkey").alias("part_b"))
-    c = pruned.select("l_orderkey", F.col("l_partkey").alias("part_c"))
+    # shared exchange for the 3-way self-join: repartition on the join
+    # key BEFORE aliasing so ReuseExchange shuffles pruned once, not 3x
+    pb = pruned.repartition("l_orderkey")
+    a = pb.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    b = pb.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    c = pb.select("l_orderkey", F.col("l_partkey").alias("part_c"))
     return (
         a.join(b, "l_orderkey")
         .filter(F.col("part_a") < F.col("part_b"))

@@ -51,11 +51,17 @@ def q_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratio of exact counts, so cross-engine ordering is bit-identical;
     top-50 carries (part_a, part_b) tiebreaks."""
     li = load_table(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
+    # materialize the distinct item set once: it feeds FOUR consumers
+    # (the order count, the support aggregate, both self-join sides) —
+    # unchecked, each replans the lineitem scan + distinct exchange
+    items = li.select("l_orderkey", "l_partkey").distinct().localCheckpoint()
     n_orders = items.select("l_orderkey").distinct().count()
     supp = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_part"))
-    a = items.select("l_orderkey", F.col("l_partkey").alias("part_a"))
-    b = items.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    # shared exchange for the self-join: repartition on the join key
+    # BEFORE aliasing so ReuseExchange shuffles items once, not twice
+    ib = items.repartition("l_orderkey")
+    a = ib.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    b = ib.select("l_orderkey", F.col("l_partkey").alias("part_b"))
     pairs = (
         a.join(b, "l_orderkey")
         .filter(F.col("part_a") < F.col("part_b"))

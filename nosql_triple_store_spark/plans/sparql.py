@@ -2437,6 +2437,34 @@ def compile_sparql_update(
     one scan of the state per operation, no shuffles."""
     from .bgp import triples_view
 
+    def _anti_literals(
+        df: DataFrame, cols: tuple[str, ...], tuples: list[tuple[str, ...]]
+    ) -> DataFrame:
+        """Remove rows matching any literal tuple. DATA batches come
+        from the statement text, so they are usually a handful of
+        triples — compiled as a scan-local NOT(OR-of-conjunctions)
+        predicate that pushes into every leg of the triples-view union
+        (the broadcast anti-join form planned one BroadcastExchange +
+        BroadcastHashJoin PER LEG PER OP: 80-node plans for a 3-op
+        update). Past _MAX_LITERAL_FILTER the OR chain would bloat
+        codegen, so big batches keep the anti-join."""
+        _MAX_LITERAL_FILTER = 64
+        if len(tuples) > _MAX_LITERAL_FILTER:
+            rows = spark.createDataFrame(
+                tuples, ", ".join(f"{c} string" for c in cols)
+            )
+            return df.join(F.broadcast(rows), list(cols), "left_anti")
+        match = None
+        for vals in tuples:
+            one = None
+            for c, v in zip(cols, vals):
+                eq = F.col(c) == F.lit(v)
+                one = eq if one is None else (one & eq)
+            match = one if match is None else (match | one)
+        # null-safe: anti-join keeps rows whose key is NULL; plain
+        # ~match would drop them (three-valued logic), so coalesce
+        return df.filter(~F.coalesce(match, F.lit(False)))
+
     state = triples_view(spark, sf_dir)
     for op in parse_sparql_update(text):
         if op.kind == "insert_data":
@@ -2447,16 +2475,11 @@ def compile_sparql_update(
                 [(s, p, o) for (s, p), o in kv.items()],
                 "s string, p string, o string",
             )
-            state = state.join(
-                F.broadcast(rows.select("s", "p")), ["s", "p"], "left_anti"
+            state = _anti_literals(
+                state, ("s", "p"), [k for k in kv]
             ).unionByName(rows)
         elif op.kind == "delete_data":
-            rows = spark.createDataFrame(
-                list(op.triples), "s string, p string, o string"
-            )
-            state = state.join(
-                F.broadcast(rows), ["s", "p", "o"], "left_anti"
-            )
+            state = _anti_literals(state, ("s", "p", "o"), list(op.triples))
         elif op.kind == "clear":
             # CLEAR/DROP (round 11): graph-management on the derived
             # layout — one scan-local predicate on the subject family,

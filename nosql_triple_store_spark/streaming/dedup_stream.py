@@ -202,6 +202,12 @@ def q_stream_dedup_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = _wave_source_dir(spark, sf_dir)
     sh_all = _shingle_stream(spark, sf_dir)
     all_bands = band_index(spark, sf_dir)
+    # batch-invariant: the per-doc shingle-set sizes are consumed by
+    # every micro-batch's verify stage; materialize once instead of
+    # re-aggregating the shingle stream per batch
+    sizes_all = sh_all.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_sh")
+    ).localCheckpoint()
     base = scratch_tmp("dedup_admit_")
     _LAST_BASE[sf_dir] = base
     index_dir = f"{base}/index"
@@ -235,10 +241,13 @@ def q_stream_dedup_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .dropDuplicates(["new_id", "old_id"])
             )
             n = sh_all.select(F.col("doc_id").alias("new_id"), "shingle")
-            o = sh_all.select(F.col("doc_id").alias("old_id"), "shingle")
-            sizes = sh_all.groupBy("doc_id").agg(
-                F.count(F.lit(1)).alias("n_sh")
-            )
+            # verify reads only CANDIDATE docs' shingles: semi-join the
+            # stored side down to candidate old_ids before the
+            # (old_id, shingle) equi-join shuffles it (guide §3.2)
+            o = sh_all.select(
+                F.col("doc_id").alias("old_id"), "shingle"
+            ).join(cand.select("old_id").distinct(), "old_id", "left_semi")
+            sizes = sizes_all
             common = (
                 cand.join(n, "new_id")
                 .join(o, ["old_id", "shingle"])
