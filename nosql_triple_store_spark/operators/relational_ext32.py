@@ -246,8 +246,11 @@ def q_events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     med = lower_median(x, "value", "med")
-    dev = x.join(med, "event_type").withColumn(
-        "d", F.abs(F.col("value") - F.col("med"))
+    dev = (
+        x.join(med, "event_type")
+        .withColumn("d", F.abs(F.col("value") - F.col("med")))
+        .localCheckpoint()  # consumed by the MAD median AND the final
+        # census — unchecked, the median join + window run twice
     )
     mad = lower_median(
         dev.select("event_type", "event_id", F.col("d").alias("value")),

@@ -150,10 +150,16 @@ def q_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     touch = e.filter(
         F.col("event_type").isin("click", "view", "signup")
     ).select("user_id", F.col("event_type").alias("channel"), us.alias("tts"))
-    pairs = conv.join(touch, "user_id").filter(
-        (F.col("tts") <= F.col("cts"))
-        & (F.col("tts") > F.col("cts") - F.lit(_LOOKBACK_US))
-    ).select("conv_id", "channel")
+    pairs = (
+        conv.join(touch, "user_id")
+        .filter(
+            (F.col("tts") <= F.col("cts"))
+            & (F.col("tts") > F.col("cts") - F.lit(_LOOKBACK_US))
+        )
+        .select("conv_id", "channel")
+        .localCheckpoint()  # consumed by the per-conversion count AND
+        # the credit join — unchecked, the range self-join runs twice
+    )
     k = pairs.groupBy("conv_id").agg(F.count(F.lit(1)).alias("k"))
     return (
         pairs.join(k, "conv_id")

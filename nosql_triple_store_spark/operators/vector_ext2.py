@@ -113,11 +113,16 @@ def q_dedup_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("b"),
-    ).select("vec_id", "b.band_idx", "b.band_val")
-    lhs = bands.select(
+    ).select("vec_id", "b.band_idx", "b.band_val").localCheckpoint()
+    # ^ checkpoint: both self-join sides consume the banded signatures,
+    # and the SRP-signature UDF would otherwise run over the corpus
+    # twice. Repartition on the join key BEFORE aliasing so the two
+    # exchange subtrees are identical and the shuffle is reused.
+    bp = bands.repartition("band_idx", "band_val")
+    lhs = bp.select(
         F.col("vec_id").alias("vec_a"), "band_idx", "band_val"
     )
-    rhs = bands.select(
+    rhs = bp.select(
         F.col("vec_id").alias("vec_b"), "band_idx", "band_val"
     )
     cand = (
