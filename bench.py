@@ -233,6 +233,22 @@ def main() -> None:
         # timings (measured: q_grouping_sets 0.2s -> 6.6s when starved)
         del df
         gc.collect()
+        # Round 11: ContextCleaner only reaps blocks after a driver GC,
+        # which an 8g mostly-idle heap rarely runs — localCheckpoint
+        # blocks from 400+ queries accumulated in the storage-protected
+        # half of unified memory and stalled late-position queries
+        # (measured: full bench 350.7 s vs 317.8 s; q_text_containment
+        # 6.5 s with 6.3 s spread vs 2.0 s). Every persistent RDD here
+        # is a per-query localCheckpoint whose owning plan was dropped
+        # above (no operator caches DataFrames across queries), so free
+        # them deterministically — OUTSIDE the timed region, unlike a
+        # periodic GC whose soft-ref-clearing pause lands inside random
+        # timed runs.
+        try:
+            for jrdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+                jrdd.unpersist(False)
+        except Exception:
+            pass  # cleanup is best-effort; never fail the bench
         return elapsed
 
     timings: dict[str, float] = {}

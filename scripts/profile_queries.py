@@ -98,6 +98,14 @@ def main() -> None:
             times.append(el)
             del df
             gc.collect()
+            # same deterministic checkpoint-block cleanup as bench.py
+            try:
+                for jrdd in (
+                    spark.sparkContext._jsc.getPersistentRDDs().values()
+                ):
+                    jrdd.unpersist(False)
+            except Exception:
+                pass
         spark.sparkContext.setJobDescription(None)
         warm = sorted(times[1:])
         med = warm[len(warm) // 2] if warm else times[0]
