@@ -27,6 +27,7 @@ numeric (cast dates via unix_date etc.).
 """
 
 from __future__ import annotations
+from ..materialize import materialize as _materialize
 
 from collections.abc import Sequence
 
@@ -66,7 +67,7 @@ def with_buckets(
     key = _key(order_key)
     if n_buckets <= 1:
         out = df.withColumn(_B, F.lit(0))
-        return out.localCheckpoint() if materialize else out
+        return out.transform(_materialize) if materialize else out
     probs = [i / n_buckets for i in range(1, n_buckets)]
     bnd = df.agg(F.percentile_approx(key, probs, 10_000).alias("__bnd"))
     out = (
@@ -81,7 +82,7 @@ def with_buckets(
         )
         .drop("__bnd")
     )
-    return out.localCheckpoint() if materialize else out
+    return out.transform(_materialize) if materialize else out
 
 
 def _prefix_join(

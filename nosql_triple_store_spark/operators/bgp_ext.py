@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from ..plans.bgp import TRIPLES_SQL, triples_view
 from ..registry import register
+from ..materialize import materialize
 
 # DuckDB recursive CTE needs the RECURSIVE keyword up front; reuse the
 # shared triples derivation inside it.
@@ -48,7 +49,7 @@ def q_bgp_path_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.filter(F.col("p").isin("inNation", "inRegion"))
         .select("s", "o")
         .distinct()
-        .localCheckpoint()
+        .transform(materialize)
     )
     closure = base
     frontier = base
@@ -60,11 +61,11 @@ def q_bgp_path_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("f.s").alias("s"), F.col("b.o").alias("o"))
             .distinct()
         )
-        new = step.join(closure, ["s", "o"], "left_anti").localCheckpoint()
+        new = step.join(closure, ["s", "o"], "left_anti").transform(materialize)
         if new.isEmpty():
             converged = True
             break
-        closure = closure.unionByName(new).localCheckpoint()
+        closure = closure.unionByName(new).transform(materialize)
         frontier = new
     if not converged:
         raise RuntimeError("path closure did not converge in 12 rounds")

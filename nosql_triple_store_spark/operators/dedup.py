@@ -36,6 +36,7 @@ from ..catalog import load_table
 from ..functions.textfns import TOKS_SQL, shingles_col, shingles_sql, tokens_col
 from ..registry import register
 from ..widths import cluster_cores, fanout_width
+from ..materialize import lazy_cut, materialize
 
 
 @register(
@@ -554,7 +555,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.count(F.lit(1)).alias("m"),
         )
-        .localCheckpoint(eager=False)
+        .transform(lazy_cut)
     )
     # round 11 (found by the Zipfian open-vocabulary sweep): the
     # static arity rule assumes UNIFORM bucket occupancy, but corpora
@@ -615,7 +616,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts = (
             chunks.groupBy("chunk_idx", "chunk_val")
             .count()
-            .localCheckpoint(eager=False)
+            .transform(lazy_cut)
         )
         from pyspark.sql import Window as W
 
@@ -666,7 +667,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("sh_a", "sh_b")
         .dropDuplicates(["sh_a", "sh_b"])
         .withColumn("hamming", F.bit_count(F.expr("sh_a ^ sh_b")))
-        .localCheckpoint(eager=False)
+        .transform(lazy_cut)
     )
     within = groups.select(
         F.explode("members").alias("doc_a"),
@@ -886,26 +887,13 @@ def q_dedup_embed_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     different fixpoint engines, same partition. The τ=0.4 threshold
     compares BLAS-dot vs DuckDB list_cosine_similarity with margin
     1.3e-4 vs noise 1e-15 (probed at q_dedup_embed)."""
-    from .graph_ext2 import _edge_digest, _large_star, _oriented, _small_star
+    from .graph_ext2 import star_fixpoint
 
     emb_ids = load_table(spark, sf_dir, "embeddings").select("vec_id")
     edges = _embed_pairs(spark, sf_dir).select(
         F.col("vec_a").alias("src"), F.col("vec_b").alias("dst")
     )
-    e = _oriented(edges).localCheckpoint()
-    prev = _edge_digest(e)
-    converged = e.isEmpty()
-    for _ in range(12):
-        if converged:
-            break
-        e = _oriented(_small_star(_large_star(e))).localCheckpoint()
-        cur = _edge_digest(e)
-        if cur == prev:
-            converged = True
-            break
-        prev = cur
-    if not converged:
-        raise RuntimeError("embed clustering did not converge in 12 rounds")
+    e = star_fixpoint(edges, "embed clustering")
     star = e.select(F.col("src").alias("vec_id"), F.col("dst").alias("cluster_id"))
     return (
         emb_ids.join(star, "vec_id", "left")

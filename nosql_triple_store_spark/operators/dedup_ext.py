@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from ..catalog import load_table
 from ..registry import register
 from ..widths import fanout_width
+from ..materialize import materialize
 
 DF_CAP = 20
 _N = 5
@@ -73,7 +74,7 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
                 lambda i: F.col("__t").substr(i, F.lit(_N)),
             )
         ).alias("g"),
-    ).distinct().localCheckpoint()
+    ).distinct().transform(materialize)
     # ^ the gram stream (explode + distinct over every character) is the
     # expensive input and feeds BOTH the df-cap aggregate and the rare
     # re-join; materialize once instead of exploding the corpus twice
@@ -85,7 +86,7 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # rare-filtered stream feeds three consumers (sizes + both self-join
     # sides); after the df-cap it is the small end of the pipeline
-    rsh = grams.join(F.broadcast(rare), "g").localCheckpoint()
+    rsh = grams.join(F.broadcast(rare), "g").transform(materialize)
     sizes = rsh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_g"))
     a = rsh.select(F.col("doc_id").alias("doc_a"), "g")
     b = rsh.select(F.col("doc_id").alias("doc_b"), "g")

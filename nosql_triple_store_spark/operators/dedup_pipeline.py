@@ -29,7 +29,7 @@ from ..functions.textfns import TOKS_SQL, shingles_col, shingles_sql, tokens_col
 from ..registry import register
 from ..widths import cluster_cores
 from .dedup import _shingle_stream
-from .graph_ext2 import _edge_digest, _large_star, _oriented, _small_star
+from .graph_ext2 import star_fixpoint
 
 N_PERM = 64
 BAND_ROWS = 2
@@ -177,20 +177,7 @@ def _cluster_labels(docs: DataFrame, edges: DataFrame) -> DataFrame:
     """Star-contraction connected components (the O(log²n)-round
     large-star/small-star pattern shared with q_dedup_clusters) →
     (doc_id, cluster_id = min reachable doc_id)."""
-    e = _oriented(edges).localCheckpoint()
-    prev = _edge_digest(e)
-    converged = e.isEmpty()
-    for _ in range(12):
-        if converged:
-            break
-        e = _oriented(_small_star(_large_star(e))).localCheckpoint()
-        cur = _edge_digest(e)
-        if cur == prev:
-            converged = True
-            break
-        prev = cur
-    if not converged:
-        raise RuntimeError("dedup pipeline clustering did not converge")
+    e = star_fixpoint(edges, "dedup pipeline clustering")
     star = e.select(
         F.col("src").alias("doc_id"), F.col("dst").alias("cluster_id")
     )

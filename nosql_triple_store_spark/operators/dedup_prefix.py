@@ -83,6 +83,7 @@ from pyspark.sql import functions as F
 
 from ..registry import register
 from ..widths import cluster_cores
+from ..materialize import materialize
 
 _RANKED_DIRS: dict[str, str] = {}
 
@@ -814,7 +815,7 @@ def top_pairs_ladder(
     The per-rung .count() is a bounded layout scalar, not a data
     collect."""
     for p, q in _LADDER:
-        ver = rung_fn(p, q).localCheckpoint(eager=True)
+        ver = rung_fn(p, q).transform(materialize)
         if p == 0 or ver.count() >= k:
             return ver
     raise AssertionError("unreachable: final ladder rung is 0/1")

@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..registry import register
+from ..materialize import materialize
 
 _EDGES_SQL = """
 edges AS (
@@ -120,7 +121,7 @@ def q_graph_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     e_dir = _edges(spark, sf_dir)
     e = e_dir.unionByName(
         e_dir.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint()  # loop invariant: one materialization, not one
+    ).transform(materialize)  # loop invariant: one materialization, not one
     # union-of-parquet-scans replan per round (guide §2.4)
     nodes = (
         e.select(F.col("src").alias("node_id"))
@@ -130,7 +131,7 @@ def q_graph_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     labels = nodes.select(
         "node_id", F.col("node_id").alias("component")
-    ).localCheckpoint()  # round 1 otherwise recomputes the distinct twice
+    ).transform(materialize)  # round 1 otherwise recomputes the distinct twice
     changed = -1
     for _ in range(10):
         neigh = (
@@ -153,7 +154,7 @@ def q_graph_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.min("component").alias("component"),
                 F.max("oldc").alias("oldc"),
             )
-            .localCheckpoint()  # truncate lineage: plans stay O(1) per round
+            .transform(materialize)  # truncate lineage: plans stay O(1) per round
         )
         changed = stepped.filter(
             F.col("component") != F.col("oldc")
@@ -233,17 +234,17 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (nodes) — measured 2 extra exchanges per round at sf0.1 and the
     # same re-scan pattern at any scale. GraphX caches the edge RDD for
     # exactly this reason.
-    e_w = e.join(out_deg, "src").localCheckpoint()
+    e_w = e.join(out_deg, "src").transform(materialize)
     nodes = (
         e.select(F.col("src").alias("node_id"))
         .union(e.select("dst"))
         .distinct()
-        .localCheckpoint()
+        .transform(materialize)
     )
     n_nodes = nodes.count()
     ranks = nodes.select(
         "node_id", F.lit(1.0 / n_nodes).alias("rank")
-    ).localCheckpoint()
+    ).transform(materialize)
     for _ in range(_PR_MAX_ROUNDS):
         contribs = (
             e_w.join(ranks, e_w.src == ranks.node_id)
@@ -270,7 +271,7 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("rank"),
                 "prev",
             )
-            .localCheckpoint()
+            .transform(materialize)
         )
         delta = (
             stepped.agg(

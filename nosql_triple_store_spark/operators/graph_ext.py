@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 from ..catalog import load_table
 from ..plans.bgp import TRIPLES_SQL, Var, compile_bgp, triples_view
 from ..registry import register
+from ..materialize import materialize
 
 
 @register(
@@ -36,7 +37,7 @@ def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     e = e_dir.unionByName(
         e_dir.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint()  # loop invariant: joined every level (guide §2.4)
+    ).transform(materialize)  # loop invariant: joined every level (guide §2.4)
     dist = spark.createDataFrame([("region:2", 0)], "node string, dist int")
     for _ in range(3):
         frontier = (
@@ -47,7 +48,7 @@ def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
             dist.unionByName(frontier)
             .groupBy("node")
             .agg(F.min("dist").alias("dist"))
-            .localCheckpoint()
+            .transform(materialize)
         )
     return dist
 

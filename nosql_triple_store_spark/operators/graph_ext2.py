@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from ..catalog import load_table
 from ..registry import register
 from .graph import _edges
+from ..materialize import lazy_cut
 
 
 def _oriented(e: DataFrame) -> DataFrame:
@@ -81,6 +82,40 @@ def _edge_digest(e: DataFrame) -> tuple[int, int]:
     return int(row["n"]), int(row["h"])
 
 
+def star_fixpoint(edges: DataFrame, what: str, max_rounds: int = 12) -> DataFrame:
+    """Run alternating large-star/small-star contraction on ``edges`` to
+    its edge fixpoint and return the fixpoint edge set (every edge is
+    then node -> its component min). Shared by the four CC consumers
+    (q_graph_cc_stars, q_dedup_clusters, q_dedup_embed_clusters,
+    dedup_pipeline._cluster_labels).
+
+    Round 12 driver-action economics: the round's lineage cut is a LAZY
+    checkpoint materialized BY the digest aggregate — one Spark action
+    per round (materialize blocks + count + xor-digest in a single job)
+    instead of the former eager-checkpoint job followed by a digest job.
+    The empty-edge early exit rides the digest's count (n == 0), not a
+    separate isEmpty action. Convergence semantics identical: stop when
+    the (count, xor) digest repeats."""
+    e = _oriented(edges).transform(lazy_cut)
+    prev = _edge_digest(e)  # one job: checkpoint blocks + digest
+    converged = prev[0] == 0  # n == 0 <=> no edges
+    for _ in range(max_rounds):
+        if converged:
+            break
+        e = _oriented(_small_star(_large_star(e))).transform(lazy_cut)
+        cur = _edge_digest(e)
+        if cur == prev:
+            converged = True
+            break
+        prev = cur
+    if not converged:
+        raise RuntimeError(
+            f"{what}: star contraction did not reach an edge fixpoint "
+            f"in {max_rounds} rounds"
+        )
+    return e
+
+
 @register(
     "q_graph_cc_stars",
     oracle="""
@@ -101,20 +136,7 @@ def q_graph_cc_stars(spark: SparkSession, sf_dir: str) -> DataFrame:
     minimal in the fixture, so the oracle is the region hierarchy)."""
     region = load_table(spark, sf_dir, "region")
     e0 = _edges(spark, sf_dir)
-    e = _oriented(e0).localCheckpoint()
-    prev = _edge_digest(e)
-    converged = False
-    for _ in range(12):
-        e = _oriented(_small_star(_large_star(e))).localCheckpoint()
-        cur = _edge_digest(e)
-        if cur == prev:
-            converged = True
-            break
-        prev = cur
-    if not converged:
-        raise RuntimeError(
-            "star contraction did not reach an edge fixpoint in 12 rounds"
-        )
+    e = star_fixpoint(e0, "q_graph_cc_stars")
     # At the fixpoint every edge is (node -> its component min): a star.
     star = e.select(F.col("src").alias("node_id"), F.col("dst").alias("component"))
     roots = e.select("dst").distinct().select(
@@ -132,6 +154,10 @@ def q_graph_cc_stars(spark: SparkSession, sf_dir: str) -> DataFrame:
             "node_id",
             F.coalesce("component", "node_id").alias("component"),
         )
+        # consumed twice (guard count below + returned result): the
+        # guard's count materializes the lazy cut, the returned plan
+        # reads the blocks instead of recomputing the 3-scan node union
+        .transform(lazy_cut)
     )
     # Consistency guard: no ORIGINAL edge may straddle two labels.
     la = labels.select(

@@ -11,6 +11,7 @@ from ..catalog import load_table
 from ..registry import register
 from ..scratch import scratch_dir
 from ..widths import wedge_width
+from ..materialize import materialize
 
 K_CORE = 4
 
@@ -107,7 +108,7 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         deg = (
             edges.groupBy("pa")
             .agg(F.count(F.lit(1)).alias("deg"))
-            .localCheckpoint()
+            .transform(materialize)
         )
         keep = deg.filter(F.col("deg") >= K_CORE).select("pa")
         row = deg.agg(
@@ -120,7 +121,7 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges = (
             edges.join(keep, "pa", "left_semi")
             .join(keep_b, "pb", "left_semi")
-            .localCheckpoint()
+            .transform(materialize)
         )
     else:
         raise RuntimeError("k-core peel did not converge in 50 rounds")
@@ -173,7 +174,7 @@ def q_graph_node_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.join(li, o.o_orderkey == li.l_orderkey)
         .select(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part"))
         .distinct()
-        .localCheckpoint()
+        .transform(materialize)
     )
     deg = basket.groupBy("cust").agg(F.count(F.lit(1)).alias("d"))
     # repartition BEFORE aliasing the two self-join sides: the two

@@ -25,6 +25,7 @@ from ..catalog import load_table
 from ..registry import register
 from ..widths import fanout_width
 from .graph import _edges
+from ..materialize import materialize
 
 _LPA_ROUNDS = 5
 
@@ -49,11 +50,11 @@ def q_graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _edges(spark, sf_dir)
     und = e.select("src", "dst").unionByName(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint()  # loop invariant: joined every round (guide §2.4)
+    ).transform(materialize)  # loop invariant: joined every round (guide §2.4)
     nodes = und.select(F.col("src").alias("node_id")).distinct()
     labels = nodes.select(
         "node_id", F.col("node_id").alias("label")
-    ).localCheckpoint()
+    ).transform(materialize)
     for _ in range(_LPA_ROUNDS):
         neigh = (
             und.join(
@@ -74,7 +75,7 @@ def q_graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.struct(F.col("cnt"), (-F.col("nlabel")).alias("nl")),
                 ).alias("label")
             )
-            .localCheckpoint()
+            .transform(materialize)
         )
     return (
         labels.groupBy("label")

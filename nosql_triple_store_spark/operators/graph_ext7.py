@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..registry import register
+from ..materialize import materialize
 
 # transition digraph, distinct non-loop directed edges (a, b): strings
 _DIGRAPH_SQL = """
@@ -183,7 +184,7 @@ def q_graph_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
     practice (real session graphs: 1-3 giant SCCs plus stragglers);
     the cap raises rather than silently under-merging.
     """
-    edges0 = _digraph(spark, sf_dir).localCheckpoint()
+    edges0 = _digraph(spark, sf_dir).transform(materialize)
     nodes = (
         edges0.select(F.col("a").alias("node"))
         .union(edges0.select("b"))
@@ -214,7 +215,7 @@ def q_graph_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.min("lab").alias("lab"),
                     F.max("oldl").alias("oldl"),
                 )
-                .localCheckpoint()
+                .transform(materialize)
             )
             changed = stepped.filter(
                 F.col("lab") != F.col("oldl")
@@ -230,7 +231,7 @@ def q_graph_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
         return labels
 
     assigned: DataFrame | None = None
-    remaining, edges = nodes.localCheckpoint(), edges0
+    remaining, edges = nodes.transform(materialize), edges0
     for _ in range(_SCC_OUTER):
         fwd = _min_label_fixpoint(remaining, edges)
         bwd = _min_label_fixpoint(
@@ -242,17 +243,17 @@ def q_graph_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(bwd.alias("g"), "node")
             .filter(F.col("f.lab") == F.col("g.lab"))
             .select("node", F.col("f.lab").alias("scc_id"))
-            .localCheckpoint()
+            .transform(materialize)
         )
         assigned = done if assigned is None else assigned.unionByName(done)
-        remaining = remaining.join(done, "node", "left_anti").localCheckpoint()
+        remaining = remaining.join(done, "node", "left_anti").transform(materialize)
         if remaining.limit(1).count() == 0:
             break
         edges = (
             edges.join(remaining.withColumnRenamed("node", "a"), "a")
             .join(remaining.withColumnRenamed("node", "b"), "b")
             .select("a", "b")
-            .localCheckpoint()
+            .transform(materialize)
         )
     else:
         raise RuntimeError(
@@ -323,7 +324,7 @@ def q_graph_random_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..sources.dictionary import assign_dense_ids
 
-    ed = _digraph(spark, sf_dir).localCheckpoint()
+    ed = _digraph(spark, sf_dir).transform(materialize)
     vs = (
         ed.select(F.col("a").alias("v"))
         .union(ed.select("b"))
@@ -332,15 +333,15 @@ def q_graph_random_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialize the step-invariant sides once (each is consumed by
     # all _WALK_STEPS joins; without the checkpoint the id assignment
     # and adjacency window would be re-derived per step)
-    nid = assign_dense_ids(vs, "v", id_col="id", start=0).localCheckpoint()
+    nid = assign_dense_ids(vs, "v", id_col="id", start=0).transform(materialize)
     adj = ed.select(
         "a",
         "b",
         (
             F.row_number().over(Window.partitionBy("a").orderBy("b")) - 1
         ).alias("idx"),
-    ).localCheckpoint()
-    deg = ed.groupBy("a").agg(F.count(F.lit(1)).alias("d")).localCheckpoint()
+    ).transform(materialize)
+    deg = ed.groupBy("a").agg(F.count(F.lit(1)).alias("d")).transform(materialize)
     walks = spark.range(_WALKS_PER_NODE).select(
         F.col("id").alias("walk_id")
     )

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import register
+from ..materialize import materialize
 from .graph_ext7 import _DIGRAPH_SQL, _digraph
 
 _ECC_MAX_ROUNDS = 12
@@ -40,7 +41,7 @@ def _all_pairs_dists(ed: DataFrame) -> DataFrame:
         F.col("b").alias("d"),
         F.lit(1).alias("l"),
         F.lit(1).cast("long").alias("sigma"),
-    ).localCheckpoint()
+    ).transform(materialize)
     frontier = known
     exhausted = False
     for r in range(2, _ECC_MAX_ROUNDS + 1):
@@ -52,7 +53,7 @@ def _all_pairs_dists(ed: DataFrame) -> DataFrame:
             .join(known.select("s", "d"), ["s", "d"], "left_anti")
             .withColumn("l", F.lit(r))
             .select("s", "d", "l", "sigma")
-            .localCheckpoint()
+            .transform(materialize)
         )
         if nxt.limit(1).count() == 0:
             exhausted = True
@@ -121,7 +122,7 @@ def q_graph_eccentricity(spark: SparkSession, sf_dir: str) -> DataFrame:
     sources instead (the same code runs unchanged on a sampled source
     set, which is how q_graph_bfs scales).
     """
-    ed = _digraph(spark, sf_dir).localCheckpoint()
+    ed = _digraph(spark, sf_dir).transform(materialize)
     vs = (
         ed.select(F.col("a").alias("v")).union(ed.select("b")).distinct()
     )
@@ -173,7 +174,7 @@ def q_graph_triad_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     endpoints; degree-orientation / df-cap hub guards (graph.py:175)
     apply to the wedge stream unchanged.
     """
-    ed = _digraph(spark, sf_dir).localCheckpoint()
+    ed = _digraph(spark, sf_dir).transform(materialize)
     e1 = ed.select(F.col("a").alias("x"), F.col("b").alias("y"))
     e2 = ed.select(F.col("a").alias("y2"), F.col("b").alias("z"))
     e3c = ed.select(F.col("a").alias("z2"), F.col("b").alias("x2"))

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import register
+from ..materialize import materialize
 from .graph_ext7 import _DIGRAPH_SQL, _digraph
 from .graph_ext8 import _ECC_MAX_ROUNDS, _all_pairs_dists
 
@@ -65,7 +66,7 @@ def q_graph_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     set — sampled harmonic centrality is the standard estimator
     (Eppstein-Wang) and only the source filter changes.
     """
-    ed = _digraph(spark, sf_dir).localCheckpoint()
+    ed = _digraph(spark, sf_dir).transform(materialize)
     vs = ed.select(F.col("a").alias("v")).union(ed.select("b")).distinct()
     sp = _all_pairs_dists(ed).filter(F.col("s") != F.col("d"))
     per_src = sp.groupBy("s").agg(
@@ -147,13 +148,13 @@ def q_graph_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter s to a sample and rescale — only the first join's left input
     changes.
     """
-    ed = _digraph(spark, sf_dir).localCheckpoint()
+    ed = _digraph(spark, sf_dir).transform(materialize)
     vs = ed.select(F.col("a").alias("v")).union(ed.select("b")).distinct()
     sig = (
         _all_pairs_dists(ed)
         .filter(F.col("s") != F.col("d"))
         .select("s", "d", F.col("l").alias("dist"), "sigma")
-        .localCheckpoint()
+        .transform(materialize)
     )
     sv = sig.select(
         F.col("s").alias("src"),

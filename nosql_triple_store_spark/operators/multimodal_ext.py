@@ -25,6 +25,7 @@ from ..catalog import load_table
 from ..registry import register
 from ..widths import fanout_width
 from .multimodal import decode_wav_pcm16, encode_wav_pcm16
+from ..materialize import materialize
 
 _VAD_RATE = 8000
 _VAD_FRAME = 80  # 10 ms at 8 kHz
@@ -525,7 +526,7 @@ def q_multimodal_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     m = docs.repartition(fanout_width(spark)).mapInPandas(
         kernel, schema="doc_id long, cls long, lo long, hi long"
-    ).localCheckpoint()
+    ).transform(materialize)
     # EXACT-GROUP COLLAPSE before the pairwise join (round 8, the fix
     # for the sf3 blowup): perceptual hashes cluster — many images
     # share a hash bit-exactly (here: class templates; in a real
@@ -538,7 +539,7 @@ def q_multimodal_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stays lossless: a hash pair within Hamming {_PHASH_HAM} differs
     # in at most {_PHASH_HAM} of the 8 byte-bands, so one band is
     # untouched (pigeonhole) — same guarantee, applied to groups.
-    groups = m.select("lo", "hi").distinct().localCheckpoint()
+    groups = m.select("lo", "hi").distinct().transform(materialize)
 
     def banded(df: DataFrame, suffix: str) -> DataFrame:
         exprs = []

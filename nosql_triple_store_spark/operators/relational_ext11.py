@@ -11,7 +11,7 @@ from ..functions.prefix import bucketed_running_sum
 from ..functions.textfns import TOKS_SQL, shingles_sql
 from ..registry import register
 from .dedup_pipeline import verified_edges_scratch
-from .graph_ext2 import _edge_digest, _large_star, _oriented, _small_star
+from .graph_ext2 import star_fixpoint
 from .triple import E_CTE
 
 
@@ -165,20 +165,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle bit-for-bit."""
     docs = load_table(spark, sf_dir, "documents")
     edges = verified_edges_scratch(spark, sf_dir)
-    e = _oriented(edges).localCheckpoint()
-    prev = _edge_digest(e)
-    converged = e.isEmpty()
-    for _ in range(12):
-        if converged:
-            break
-        e = _oriented(_small_star(_large_star(e))).localCheckpoint()
-        cur = _edge_digest(e)
-        if cur == prev:
-            converged = True
-            break
-        prev = cur
-    if not converged:
-        raise RuntimeError("dedup clustering did not converge in 12 rounds")
+    e = star_fixpoint(edges, "dedup clustering")
     star = e.select(F.col("src").alias("doc_id"), F.col("dst").alias("cluster_id"))
     labels = (
         docs.select("doc_id")

@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from ..catalog import load_table
 from ..registry import register
 from .triple import E_CTE
+from ..materialize import materialize
 
 _SESSION_US = 900 * 1_000_000  # 15-minute activity interval per event
 
@@ -211,7 +212,7 @@ def q_join_bloom_runtime(spark: SparkSession, sf_dir: str) -> DataFrame:
                     1,
                 ).alias("revenue"),
             )
-            .localCheckpoint(eager=True)
+            .transform(materialize)
         )
     finally:
         _restore_confs(spark, old)

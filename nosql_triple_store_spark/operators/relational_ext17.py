@@ -20,6 +20,7 @@ from ..registry import register
 from .graph_ext3 import _copurchase_edges
 from .relational_ext12 import csv_orders
 from .triple import E_CTE
+from ..materialize import materialize
 
 SSSP_ROUND_CAP = 15
 
@@ -103,7 +104,7 @@ def q_graph_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     adj = (
         und.groupBy("src")
         .agg(F.collect_list(F.struct("dst", "w")).alias("nbrs"))
-        .localCheckpoint()
+        .transform(materialize)
     )
     source = adj.agg(F.min("src")).collect()[0][0]
     # Semi-naive frontier relaxation: only nodes whose distance improved
@@ -149,7 +150,7 @@ def q_graph_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
                 .groupBy("node")
                 .agg(F.min("d").alias("dist"), F.max("old").alias("old"))
-                .localCheckpoint()
+                .transform(materialize)
             )
             frontier = stepped.filter(
                 F.col("old").isNull() | (F.col("dist") < F.col("old"))

@@ -19,6 +19,7 @@ from ..operators.triple import E_CTE
 from ..registry import register
 from ..scratch import scratch_dir
 from ..widths import fanout_width
+from ..materialize import materialize
 
 # --- q_text_repetition --------------------------------------------------
 
@@ -130,7 +131,7 @@ def q_text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.explode(shingles_col(F.col("toks"), _CONTAM_K)).alias("sh"),
         )
-        .localCheckpoint()
+        .transform(materialize)
     )
     bench = (
         sh.filter(F.col("doc_id") % 10 == 1).select("sh").distinct()

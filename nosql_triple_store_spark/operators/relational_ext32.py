@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from ..catalog import load_table
 from ..registry import register
 from .triple import E_CTE
+from ..materialize import materialize
 
 _HALFLIFE_US = 7 * 86_400 * 1_000_000  # one week
 _K_CAP = 20
@@ -249,7 +250,7 @@ def q_events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     dev = (
         x.join(med, "event_type")
         .withColumn("d", F.abs(F.col("value") - F.col("med")))
-        .localCheckpoint()  # consumed by the MAD median AND the final
+        .transform(materialize)  # consumed by the MAD median AND the final
         # census — unchecked, the median join + window run twice
     )
     mad = lower_median(

@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from ..catalog import load_table
 from ..registry import register
 from .triple import E_CTE
+from ..materialize import materialize
 
 # year*4 + zero-based quarter: a dense integer quarter index whose
 # differences are "age in quarters" — identical arithmetic both engines
@@ -157,7 +158,7 @@ def q_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("tts") > F.col("cts") - F.lit(_LOOKBACK_US))
         )
         .select("conv_id", "channel")
-        .localCheckpoint()  # consumed by the per-conversion count AND
+        .transform(materialize)  # consumed by the per-conversion count AND
         # the credit join — unchecked, the range self-join runs twice
     )
     k = pairs.groupBy("conv_id").agg(F.count(F.lit(1)).alias("k"))
@@ -211,7 +212,7 @@ def q_itemsets_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialize once: items feeds the frequency prune AND the pruned
     # stream; pruned feeds all THREE self-join sides — unchecked, each
     # consumer replans the lineitem scan + distinct exchange
-    items = li.select("l_orderkey", "l_partkey").distinct().localCheckpoint()
+    items = li.select("l_orderkey", "l_partkey").distinct().transform(materialize)
     freq = (
         items.groupBy("l_partkey")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -221,7 +222,7 @@ def q_itemsets_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     pruned = (
         items.join(F.broadcast(freq), "l_partkey")
         .select("l_orderkey", "l_partkey")
-        .localCheckpoint()
+        .transform(materialize)
     )
     # shared exchange for the 3-way self-join: repartition on the join
     # key BEFORE aliasing so ReuseExchange shuffles pruned once, not 3x

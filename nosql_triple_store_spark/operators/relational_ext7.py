@@ -12,6 +12,7 @@ from ..functions.prefix import bucketed_ntile
 from ..functions.skew import salted_join
 from ..registry import register
 from .triple import E_CTE
+from ..materialize import materialize
 
 
 @register(
@@ -54,7 +55,7 @@ def q_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialize the distinct item set once: it feeds FOUR consumers
     # (the order count, the support aggregate, both self-join sides) —
     # unchecked, each replans the lineitem scan + distinct exchange
-    items = li.select("l_orderkey", "l_partkey").distinct().localCheckpoint()
+    items = li.select("l_orderkey", "l_partkey").distinct().transform(materialize)
     n_orders = items.select("l_orderkey").distinct().count()
     supp = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_part"))
     # shared exchange for the self-join: repartition on the join key
@@ -172,7 +173,7 @@ def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("o_orderdate").alias("last_order"),
         F.count(F.lit(1)).alias("frequency"),
         F.round(F.sum("o_totalprice"), 2).alias("monetary"),
-    ).localCheckpoint()
+    ).transform(materialize)
     # numeric bucket key monotone in last_order, robust to the fixture's
     # DATE-vs-TIMESTAMP_NTZ representation (driver-owned, has changed)
     out = bucketed_ntile(

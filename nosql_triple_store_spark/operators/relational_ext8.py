@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 from ..catalog import load_table
 from ..functions.textfns import TOKS_SQL, tokens_col
 from ..registry import register
+from ..materialize import lazy_cut
 
 _JSONL_DIRS: dict[str, str] = {}
 
@@ -112,7 +113,7 @@ def q_text_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     cnt = (
         bi.groupBy("bg", "doc_id")
         .agg(F.count(F.lit(1)).alias("c"))
-        .localCheckpoint(eager=False)
+        .transform(lazy_cut)
     )
     df = cnt.groupBy("bg").agg(F.count(F.lit(1)).alias("df"))
     scored = (

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from ..catalog import load_table
 from ..functions.textfns import TOKS_SQL, tokens_col
 from ..registry import register
+from ..materialize import materialize
 
 _PMI_MIN_COUNT = 5
 
@@ -146,7 +147,7 @@ def bpe_fit(
     )
     cur = words.select(
         "freq", F.expr("filter(split(w, ''), s -> s <> '')").alias("syms")
-    ).localCheckpoint()
+    ).transform(materialize)
     merges: list[tuple[int, str, str, str, int]] = []
     for r in range(k):
         # pre-filter: a 1-symbol word has no pairs, and sequence(1, 0)
@@ -192,7 +193,7 @@ def bpe_fit(
                     ),
                 ).otherwise(F.concat(acc, F.array(x))),
             ).alias("syms"),
-        ).localCheckpoint()
+        ).transform(materialize)
     return merges
 
 

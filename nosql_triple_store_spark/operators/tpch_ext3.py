@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..registry import register
+from ..materialize import materialize
 
 
 @register(
@@ -239,7 +240,7 @@ def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 1
             ).alias("total_revenue")
         )
-        .localCheckpoint()
+        .transform(materialize)
     )
     mx = revenue.agg(F.max("total_revenue").alias("mx"))
     s = load_table(spark, sf_dir, "supplier")

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..registry import register
+from ..materialize import materialize
 
 
 @register(
@@ -158,7 +159,7 @@ def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(nr, s.s_nationkey == nr.n_nationkey)
         .groupBy(F.col("l_partkey").alias("partkey"))
         .agg(F.sum(F.col("l_quantity") * F.col("l_extendedprice")).alias("value"))
-        .localCheckpoint()
+        .transform(materialize)
     )
     st = inv.agg(F.sum("value").alias("t"), F.count(F.lit(1)).alias("np"))
     return (

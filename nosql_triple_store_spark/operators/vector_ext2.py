@@ -32,6 +32,7 @@ from pyspark.sql.types import DoubleType, LongType
 
 from ..catalog import load_table
 from ..registry import register
+from ..materialize import materialize
 
 _N_BANDS = 5
 _BAND_BITS_MIN = 6  # the historical 30-plane signature (n <= 2048)
@@ -113,7 +114,7 @@ def q_dedup_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("b"),
-    ).select("vec_id", "b.band_idx", "b.band_val").localCheckpoint()
+    ).select("vec_id", "b.band_idx", "b.band_val").transform(materialize)
     # ^ checkpoint: both self-join sides consume the banded signatures,
     # and the SRP-signature UDF would otherwise run over the corpus
     # twice. Repartition on the join key BEFORE aliasing so the two

@@ -21,6 +21,7 @@ from ..catalog import load_table
 from ..functions.topk import grouped_topk
 from ..functions.vectors import as_double_array, cosine_col
 from ..registry import register
+from ..materialize import materialize
 
 _EV_PROBES = 8
 _EV_K = 10
@@ -57,7 +58,7 @@ def q_vector_eval_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding",
         F.expr(_pack_expr(1, 32)).alias("lo"),
         F.expr(_pack_expr(33, 64)).alias("hi"),
-    ).localCheckpoint()
+    ).transform(materialize)
     probes = m.filter(F.col("vec_id") < _EV_PROBES).select(
         F.col("vec_id").alias("probe_id"),
         as_double_array("embedding").alias("pe"),
@@ -78,7 +79,7 @@ def q_vector_eval_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                 + F.bit_count(F.col("hi").bitwiseXOR(F.col("phi")))
             ).cast("long").alias("hamming"),
         )
-        .localCheckpoint()
+        .transform(materialize)
     )
     exact = grouped_topk(
         scored,

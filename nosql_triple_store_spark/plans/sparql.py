@@ -150,6 +150,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .bgp import Term, Var, compile_bgp
+from ..materialize import lazy_cut, materialize
 
 _TOKEN = re.compile(
     r"""
@@ -1386,7 +1387,7 @@ def _path_rel(enc: DataFrame, path, cmap) -> DataFrame:
         )
     if isinstance(path, PathPlus):
         return _closure_rel(
-            _path_rel(enc, path.inner, cmap).distinct().localCheckpoint()
+            _path_rel(enc, path.inner, cmap).distinct().transform(materialize)
         )
     if isinstance(path, PathStar):
         # zero-or-more: transitive closure UNION the zero-length pairs.
@@ -1394,7 +1395,7 @@ def _path_rel(enc: DataFrame, path, cmap) -> DataFrame:
         # to nodes INCIDENT to the path's own relation (the SPARQL
         # spec's all-graph-terms zero-length universe is out of scope;
         # constants with no inner-path edge contribute no (c, c) row).
-        base = _path_rel(enc, path.inner, cmap).distinct().localCheckpoint()
+        base = _path_rel(enc, path.inner, cmap).distinct().transform(materialize)
         closure = _closure_rel(base)
         nodes = (
             base.select("src")
@@ -1424,10 +1425,10 @@ def _closure_rel(base: DataFrame) -> DataFrame:
         )
         new = step.join(
             closure, ["src", "dst"], "left_anti"
-        ).localCheckpoint()
+        ).transform(materialize)
         if new.isEmpty():
             return closure
-        closure = closure.unionByName(new).localCheckpoint()
+        closure = closure.unionByName(new).transform(materialize)
         frontier = new
     raise RuntimeError("path closure did not converge in 12 rounds")
 
@@ -2448,6 +2449,11 @@ def compile_sparql_update(
         BroadcastHashJoin PER LEG PER OP: 80-node plans for a 3-op
         update). Past _MAX_LITERAL_FILTER the OR chain would bloat
         codegen, so big batches keep the anti-join."""
+        if not tuples:
+            # ADVICE r11: SPARQL's legal empty `INSERT DATA { }` must
+            # be a no-op, not a coalesce(None, ...) crash, should the
+            # parser ever start admitting empty DATA groups
+            return df
         _MAX_LITERAL_FILTER = 64
         if len(tuples) > _MAX_LITERAL_FILTER:
             rows = spark.createDataFrame(
@@ -2622,7 +2628,7 @@ def compile_sparql_update(
             # and the next operation share one computation
             sols = compile_bgp(
                 where_state, list(op.where)
-            ).localCheckpoint(eager=False)
+            ).transform(lazy_cut)
 
             def _inst(tmpls: tuple) -> DataFrame | None:
                 parts = []

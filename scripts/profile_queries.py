@@ -86,6 +86,13 @@ def main() -> None:
         builds = []
         for i in range(args.runs):
             drain_build_seconds()
+            # ADVICE r11: unpersist only blocks created during the run
+            try:
+                pre_ids = set(
+                    spark.sparkContext._jsc.getPersistentRDDs().keys()
+                )
+            except Exception:
+                pre_ids = set()
             spark.sparkContext.setJobDescription(f"{name} run{i}")
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
@@ -100,10 +107,11 @@ def main() -> None:
             gc.collect()
             # same deterministic checkpoint-block cleanup as bench.py
             try:
-                for jrdd in (
-                    spark.sparkContext._jsc.getPersistentRDDs().values()
+                for rid, jrdd in (
+                    spark.sparkContext._jsc.getPersistentRDDs().items()
                 ):
-                    jrdd.unpersist(False)
+                    if rid not in pre_ids:
+                        jrdd.unpersist(False)
             except Exception:
                 pass
         spark.sparkContext.setJobDescription(None)
